@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-table operators: windows/analytics (SURVEY.md §2.5 W1), distinct
+  * counting, JSON prop extraction (§2.6), and time-bucketed aggregation —
+  * the batch face of hustle's append-only event model (§2.7).
+  *
+  * Scale notes: all window functions partition by `user_id` (high
+  * cardinality → even shuffle); time-bucket aggregations pre-aggregate
+  * map-side via HashAggregate. `distinct_exact` is a two-stage exact
+  * distinct; `distinct_approx` is the HLL path that replaces it at 100 TB.
+  */
+object EventsOps {
+
+  val queries: Seq[Q] = Seq(
+    // ---- exact COUNT(DISTINCT) — bench headline ----
+    Q(
+      "distinct_exact",
+      "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    ) { (s, d) =>
+      Tables.events(s, d).agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // ---- approx_count_distinct (HLL++) — engine-specific sketch, so the
+    // oracle can't reproduce the exact value: rows-only check; bench headline ----
+    Q.rowsOnly("distinct_approx") { (s, d) =>
+      Tables.events(s, d)
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"))
+    },
+
+    // ---- W1: row_number ranking, keep top-3 per user — bench headline ----
+    Q(
+      "window_rank",
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    },
+
+    // ---- W1: lag — inter-event gap per user, exact integer microseconds ----
+    Q(
+      "q_window_lag",
+      """SELECT user_id, event_id, gap_us FROM (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |WHERE gap_us IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- W1: running sum per user ----
+    Q(
+      "q_window_running_sum",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("running_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- §2.7: tumbling 1-hour aggregation — bench headline ----
+    Q(
+      "events_sessionize_agg",
+      """SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "hour_start")
+    },
+
+    // ---- batch sessionization: 30-min-gap sessions via window marker ----
+    Q(
+      "q_sessionize_gap",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) -
+        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session,
+        |    event_id
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    ) { (s, d) =>
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(order)
+      val marked = Tables.events(s, d)
+        .withColumn("new_session",
+          when(gapUs > 1800000000L || lag(col("ts"), 1).over(order).isNull, 1).otherwise(0))
+      marked
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- §2.6: JSON prop extraction from the events.props string ----
+    Q(
+      "q_json_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // ---- value-distribution stats per event type ----
+    Q(
+      "q_event_stats",
+      """SELECT event_type,
+        |  MIN(value) AS min_v, MAX(value) AS max_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_v,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          min("value").as("min_v"), max("value").as("max_v"),
+          Det.dsum(col("value")).as("sum_v"),
+          Det.davg(col("value")).as("avg_v"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+  )
+}

@@ -1,0 +1,372 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator coverage (SURVEY.md §2.1–§2.5).
+  *
+  * Reference semantics (tspurway/hustle, public API — see SURVEY.md
+  * provenance warning; the local reference mount was empty): projections,
+  * column-vs-literal predicates with `& | ~` combinators, per-table
+  * `where`, two-table equi-join, implicit GROUP BY with the five
+  * aggregates (sum/count/avg/min/max), `order_by`/`limit`/`distinct`.
+  * Everything here compiles to vanilla DataFrame ops so Catalyst provides
+  * pushdown, pruning, partial aggregation, and join-strategy selection.
+  *
+  * Scale notes are attached per query: the dimension tables (region,
+  * nation, supplier, part at TPC-H ratios) stay broadcastable at 100 TB;
+  * fact-fact joins (orders⋈lineitem) shuffle on the join key, which is
+  * the natural co-partitioning for bucketed storage.
+  */
+object Relational {
+
+  private val ship9809 = expr("timestamp'1998-09-02 00:00:00'")
+
+  val queries: Seq[Q] = Seq(
+    // ---- S1 scan + A1..A6 implicit groupBy + O1 sort (TPC-H Q1 shape) ----
+    Q(
+      "q1_scan_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST((l_extendedprice*(1-l_discount)*(1+l_tax)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ship9809)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- J1 + A1 + O2 top-k (TPC-H Q3 shape); the bench headline join ----
+    // Scale: customer filter is pushed below the join; orders⋈lineitem is the
+    // fact-fact shuffle join; customer side is broadcast at dim scale.
+    Q(
+      "q3_join_agg_topk",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    ) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < expr("timestamp'1995-03-15 00:00:00'"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- P2/P3/P4 full predicate surface: = != < <= > >= & | ~ isin ----
+    Q(
+      "q_predicates",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE ((l_quantity >= 30 AND l_discount <= 0.05)
+        |       OR (l_returnflag IN ('A','N') AND NOT (l_tax > 0.04)))
+        |  AND l_linestatus <> 'X' AND l_suppkey > 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          ((col("l_quantity") >= 30 && col("l_discount") <= 0.05)
+            || (col("l_returnflag").isin("A", "N") && !(col("l_tax") > 0.04)))
+            && col("l_linestatus") =!= "X" && col("l_suppkey") > 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- P5 per-table where + J1 two-table equi-join (hustle's exact join shape) ----
+    Q(
+      "q_join_per_table_where",
+      """SELECT s_name, s_acctbal, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 1000.0 AND n_regionkey <= 3
+        |ORDER BY s_name""".stripMargin,
+    ) { (s, d) =>
+      val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 1000.0)
+      val nat = Tables.nation(s, d).filter(col("n_regionkey") <= 3)
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    },
+
+    // ---- J2 extension: multi-way join through the dim hierarchy ----
+    Q(
+      "q_multi_join_dims",
+      """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), Det.dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("r_name")
+    },
+
+    // ---- J2 extension: left semi join (EXISTS) ----
+    Q(
+      "q_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    ) { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- J2 extension: left anti join (NOT EXISTS) ----
+    Q(
+      "q_anti_join",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // ---- J2 extension: left outer join, nulls aggregated ----
+    Q(
+      "q_outer_join",
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(l_orderkey) AS BIGINT) AS n_matched
+        |FROM orders LEFT JOIN lineitem
+        |  ON o_orderkey = l_orderkey AND l_quantity > 45.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_quantity") > 45.0, "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), count(col("l_orderkey")).as("n_matched"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- A7 distinct ----
+    Q(
+      "q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- O1/O2 global sort + limit (TakeOrderedAndProject, true top-k) ----
+    Q(
+      "q_orderby_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ---- A5 min/max + avg per group ----
+    Q(
+      "q_minmax_agg",
+      """SELECT p_brand,
+        |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
+        |  CAST(MIN(p_size) AS BIGINT) AS min_size, CAST(MAX(p_size) AS BIGINT) AS max_size,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(
+          min("p_retailprice").as("min_price"),
+          max("p_retailprice").as("max_price"),
+          min("p_size").cast("long").as("min_size"),
+          max("p_size").cast("long").as("max_size"),
+          Det.davg(col("p_retailprice")).as("avg_price"),
+        )
+        .orderBy("p_brand")
+    },
+
+    // ---- U1 extension: UNION / INTERSECT / EXCEPT (distinct semantics) ----
+    Q(
+      "q_union",
+      """SELECT n FROM (
+        |  SELECT c_nationkey AS n FROM customer UNION SELECT s_nationkey AS n FROM supplier
+        |) ORDER BY n""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("n"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("n")))
+        .distinct()
+        .orderBy("n")
+    },
+    Q(
+      "q_intersect",
+      """SELECT c_nationkey AS n FROM customer INTERSECT SELECT s_nationkey AS n FROM supplier
+        |ORDER BY n""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("n"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("n")))
+        .orderBy("n")
+    },
+    Q(
+      "q_except",
+      """SELECT c_nationkey AS n FROM customer EXCEPT SELECT s_nationkey AS n FROM supplier
+        |ORDER BY n""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("n"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("n")))
+        .orderBy("n")
+    },
+
+    // ---- A8 extension: rollup / cube (grouping keys coalesced to a
+    // sentinel so NULL-ordering dialect differences can't bite) ----
+    Q(
+      "q_rollup",
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+    Q(
+      "q_cube",
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))
+        .orderBy("rf", "ls")
+    },
+
+    // ---- §2.6 extension: scalar functions (string) ----
+    Q(
+      "q_string_funcs",
+      """SELECT p_partkey,
+        |  SUBSTRING(p_name, 1, 8) AS name8,
+        |  UPPER(p_brand) AS brand_u,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type
+        |FROM part WHERE p_size >= 40 ORDER BY p_partkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size") >= 40)
+        .select(
+          col("p_partkey"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        )
+        .orderBy("p_partkey")
+    },
+
+    // ---- §2.6 extension: date parts + computed projections + CASE WHEN ----
+    Q(
+      "q_date_parts",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("yr", "mon")
+    },
+    Q(
+      "q_case_when",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY bucket, o_orderpriority""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("bucket"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket", "o_orderpriority")
+    },
+
+    // ---- row-level computed projection (no agg): IEEE double arithmetic
+    // is bit-identical across engines, so no Det needed ----
+    Q(
+      "q_computed_projection",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS net_price,
+        |  l_quantity * 2.5 + 1.0 AS adj_qty
+        |FROM lineitem WHERE l_quantity > 49.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 49.0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+          (col("l_quantity") * lit(2.5) + lit(1.0)).as("adj_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+  )
+}

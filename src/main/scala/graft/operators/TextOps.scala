@@ -1,0 +1,7 @@
+package graft.operators
+
+import graft.Q
+
+object TextOps {
+  val queries: Seq[Q] = Seq()
+}
