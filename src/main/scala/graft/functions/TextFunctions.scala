@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline tier
+  * (SURVEY.md §2.9): tokenization, shingling, quality scoring,
+  * fingerprinting, language-ID heuristics.
+  *
+  * Everything is built from `org.apache.spark.sql.functions._` higher-order
+  * array functions, so the whole pipeline stays inside whole-stage codegen —
+  * no Scala UDFs in the hot path. All of it is embarrassingly parallel
+  * (per-row), so it scales linearly with partitions.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, in document order (duplicates kept). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct whitespace tokens. */
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-shingles (distinct), e.g. n=3 → "a b c" for each window.
+    * Empty array when the document has fewer than n tokens (guarded — an
+    * unguarded `sequence(1, size-n+1)` would go descending for short docs).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(
+      size(ws) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct character n-grams of the raw text. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(
+      length(text) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token count via a BPE-ish regex (runs of lowercase alphanumerics). */
+  def regexTokenCount(text: Column): Column =
+    size(filter(split(text, "[^a-z0-9]+"), t => length(t) > 0)).cast("long")
+
+  /** Occurrence count of tokens from a fixed stopword list. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*))).cast("long")
+
+  /** Heuristic quality score in [0,1]: length saturation, lexical
+    * diversity, and stopword balance — the standard cheap pre-filters a
+    * training-data pipeline applies before expensive model scoring.
+    * Pure integer-ratio double arithmetic → bit-deterministic.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val nUniq = size(distinctTokens(text)).cast("double")
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val diversity = nUniq / greatest(nTok, lit(1.0))
+    val stopRatio = stopwordCount(text, stopwords).cast("double") / greatest(nTok, lit(1.0))
+    lit(0.4) * lengthScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - stopRatio)
+  }
+
+  /** Exact content fingerprint: MD5 of the UTF-8 bytes (hex). */
+  def fingerprintMd5(text: Column): Column = md5(encode(text, "UTF-8"))
+
+  /** Canonical "bag of distinct tokens" form: sorted distinct tokens
+    * re-joined — equal for any token-order permutation of the same set.
+    */
+  def canonicalTokenForm(text: Column): Column =
+    array_join(array_sort(distinctTokens(text)), " ")
+
+  /** Polynomial rolling-hash fingerprint over tokens (base/mod fixed):
+    * order-sensitive 63-bit content hash, computed distributively with
+    * `aggregate` — the cheap alternative to md5 when only equality matters.
+    */
+  def rollingTokenHash(text: Column): Column =
+    // modulus kept < 2^30 so acc * base never overflows Long (ANSI mode).
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L)))
+
+  /** Tiny n-gram language-ID heuristic: scores each candidate language by
+    * occurrences of its marker tokens and returns the argmax (or "und").
+    * Real pipelines plug in trained profiles; the mechanism — a per-row
+    * codegen'd scoring expression, no shuffle — is the point here.
+    */
+  def langIdHeuristic(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(stopwordCount(text, markers).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

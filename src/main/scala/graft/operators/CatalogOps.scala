@@ -1,7 +1,90 @@
 package graft.operators
 
-import graft.Q
+import java.nio.file.Files
 
+import graft.{Det, Q, Tables}
+import graft.sources.Catalog
+import org.apache.spark.sql.functions._
+
+/** Catalog / ingest / partition lifecycle as driver-checkable queries
+  * (SURVEY.md §2.1 S4/S6/S8/S9): round-trip the documents fixture through
+  * a warehouse table partitioned by `lang`, then query it back — results
+  * must equal querying the original fixture directly (which is what the
+  * DuckDB oracle does). Exercises create → insert (Hive-partitioned
+  * parquet) → partition-pruned read → nest.
+  */
 object CatalogOps {
-  val queries: Seq[Q] = Seq()
+
+  val queries: Seq[Q] = Seq(
+    // ---- full ingest round-trip: per-(lang) profile must survive the
+    // write/read cycle bit-for-bit ----
+    Q(
+      "catalog_roundtrip",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = Files.createTempDirectory("graft_wh_").toString
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs)
+      cat.table("docs_wh")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- partition-pruned scan: filter on the partition column reads
+    // only that directory (explain-verified in CatalogSpec) ----
+    Q(
+      "catalog_partition_prune",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, d) =>
+      val wh = Files.createTempDirectory("graft_wh_").toString
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs)
+      cat.table("docs_wh")
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), Det.davg(col("n_chars")).as("avg_chars"))
+        .orderBy("source")
+    },
+
+    // ---- partition delete: drop lang=en, remainder must equal the
+    // fixture minus that partition ----
+    Q(
+      "catalog_partition_delete",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents WHERE lang <> 'en' GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = Files.createTempDirectory("graft_wh_").toString
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs)
+      cat.deletePartition("docs_wh", "en")
+      cat.table("docs_wh")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
+    // ---- nest (materialize result as table) then re-query ----
+    Q(
+      "catalog_nest",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_long_docs
+        |FROM documents WHERE n_chars > 200 GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = Files.createTempDirectory("graft_wh_").toString
+      val cat = new Catalog(s, wh)
+      val longDocs = Tables.documents(s, d).filter(col("n_chars") > 200)
+      val nested = cat.nest("long_docs", longDocs)
+      nested.groupBy("lang").agg(count(lit(1)).as("n_long_docs")).orderBy("lang")
+    },
+  )
 }

@@ -1,7 +1,266 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators for the LLM-data-pipeline tier (SURVEY.md §2.9):
+  * exact, canonicalized-exact, MinHash+LSH near-dup, exact n-gram Jaccard,
+  * and SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on the text (or its md5 at 100 TB — group on
+  *    the 16-byte digest, not the document body).
+  *  - MinHash+LSH: per-doc signatures are a linear scan; candidate
+  *    generation is a self-join on (band, bandKey) buckets — quadratic only
+  *    inside a bucket, which banding keeps tiny. Verification joins shingle
+  *    sets only for candidate pairs. No crossJoin anywhere.
+  *  - exact Jaccard: self-join on shingle values. Hot shingles blow this up
+  *    quadratically at scale, so [[exactJaccardPairs]] takes a document-
+  *    frequency cap that drops ubiquitous shingles (standard stop-shingle
+  *    trick); at fixture scale the cap is off so the DuckDB oracle matches.
+  *  - SimHash: 64-bit signature; candidates via 4×16-bit block bucketing
+  *    (any pair at hamming ≤ 3 shares ≥ 1 exact block by pigeonhole).
+  */
 object Dedup {
-  val queries: Seq[Q] = Seq()
+
+  private val P: Long = 4294967291L // largest prime < 2^32
+
+  /** Deterministic MinHash permutation constants from a fixed-seed
+    * splitmix64 walk (no runtime randomness; identical across runs/nodes).
+    */
+  private def permConstants(n: Int): Seq[(Long, Long)] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      s += 0x2545f4914f6cdd1dL
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until n).map { _ =>
+      val a = (next() & 0x7fffffffL) % (P - 1) + 1 // in [1, P-1]
+      val b = (next() & 0x7fffffffL)               // in [0, 2^31)
+      (a, b)
+    }
+  }
+
+  /** (id, shingle) exploded pairs; empty-shingle docs drop out. */
+  private def explodedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
+    docs.select(col(id), explode(shingles).as("sh"))
+
+  /** Exact pairwise Jaccard over a shingle set, computed distributively:
+    * explode → self-equi-join on the shingle → intersection counts → join
+    * per-doc set sizes. `maxDocFreq` (None = keep all) drops shingles
+    * appearing in more than that many docs before the self-join — the
+    * scale guard against quadratic hot keys.
+    */
+  def exactJaccardPairs(
+      docs: DataFrame, id: String, shingles: Column,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh0 = explodedShingles(docs, id, shingles)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("sh").count().filter(col("count") > cap).select("sh")
+        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => sh0
+    }
+    val sz = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(id).as("doc_a"), col("sh"))
+    val b = sh.select(col(id).as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sz.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: one row per doc, `numHashes` min-hash values.
+    * Column names m0..m{n-1}. Linear scan + one groupBy(id).
+    */
+  def minHashSignatures(
+      docs: DataFrame, id: String, shingles: Column, numHashes: Int): DataFrame = {
+    val sh = explodedShingles(docs, id, shingles)
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+    val mins = permConstants(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures (bands of `r`
+    * rows): docs sharing any band bucket. P(candidate) = 1-(1-J^r)^b —
+    * with 128 hashes and r=2, recall at J≥0.8 is 1 - 3.6e-29.
+    */
+  def lshCandidatePairs(
+      docs: DataFrame, id: String, shingles: Column,
+      numHashes: Int, bandRows: Int): DataFrame = {
+    val sig = minHashSignatures(docs, id, shingles, numHashes)
+    val numBands = numHashes / bandRows
+    val bands = (0 until numBands).map { j =>
+      val cols = (0 until bandRows).map(k => col(s"m${j * bandRows + k}"))
+      struct(lit(j).as("band"), hash(cols: _*).as("key"))
+    }
+    val exploded = sig.select(col(id), explode(array(bands: _*)).as("bk"))
+      .select(col(id), col("bk.band"), col("bk.key"))
+    exploded.as("x").join(exploded.as("y"), Seq("band", "key"))
+      .filter(col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("doc_a"), col(s"y.$id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a given candidate-pair set only: the shingle join
+    * fans out per candidate pair, never across the whole corpus — this is
+    * what makes LSH + verify linear-ish at 100 TB.
+    */
+  def verifyJaccard(
+      candidates: DataFrame, docs: DataFrame, id: String, shingles: Column,
+      threshold: Double): DataFrame = {
+    val sh = explodedShingles(docs, id, shingles)
+    val sz = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col(id).as("doc_a"), col("sh"))
+    val shB = sh.select(col(id).as("doc_b"), col("sh"))
+    candidates
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sz.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sz.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Near-dup pairs: LSH candidates, then exact-Jaccard verification —
+    * output is identical to the exact O(n²) computation w.h.p., at the
+    * cost of a linear signature scan plus tiny bucket joins.
+    */
+  def minHashNearDupPairs(
+      docs: DataFrame, id: String, shingles: Column, threshold: Double,
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
+    val cand = lshCandidatePairs(docs, id, shingles, numHashes, bandRows)
+    verifyJaccard(cand, docs, id, shingles, threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset: per-bit majority vote of
+    * xxhash64(token). One explode + one groupBy(id); the 64 per-bit sums
+    * stay in a single codegen'd HashAggregate.
+    */
+  def simHash(docs: DataFrame, id: String, tokens: Column): DataFrame = {
+    val tok = docs.select(col(id), explode(tokens).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k")
+    }
+    val agg = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64)
+      .map(k => when(col(s"s$k") >= 0, lit(1L << k)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col(id), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates at hamming distance ≤ `maxHamming` (≤ 3
+    * guaranteed-recall via 4×16-bit block bucketing; higher distances are
+    * best-effort). Output: (doc_a, doc_b, hamming).
+    */
+  def simHashNearDupPairs(
+      docs: DataFrame, id: String, tokens: Column, maxHamming: Int): DataFrame = {
+    val sig = simHash(docs, id, tokens)
+    val blocks = (0 until 4).map { j =>
+      struct(lit(j).as("blk"), shiftrightunsigned(col("simhash"), j * 16)
+        .bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    val exploded = sig.select(col(id), col("simhash"), explode(array(blocks: _*)).as("bk"))
+      .select(col(id), col("simhash"), col("bk.blk"), col("bk.key"))
+    exploded.as("x").join(exploded.as("y"), Seq("blk", "key"))
+      .filter(col(s"x.$id") < col(s"y.$id"))
+      .select(
+        col(s"x.$id").as("doc_a"), col(s"y.$id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  private def shingles3(c: Column) = TextFunctions.wordShingles(c, 3)
+  private def shingles2(c: Column) = TextFunctions.wordShingles(c, 2)
+
+  /** Oracle-side exact shingle-Jaccard pair query (DuckDB list
+    * comprehension builds the same distinct word n-shingles).
+    */
+  private def jaccardOracle(n: Int, threshold: String): String = {
+    val shingle = (1 to n).map(k => s"ws[i${if (k == 1) "" else s"+${k - 1}"}]")
+      .mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct([$shingle FOR i IN range(1, len(ws)-${n - 2})])) AS s
+       |       FROM w WHERE len(ws) >= $n),
+       |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  i*1.0/(sa.n + sb.n - i) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE i*1.0/(sa.n + sb.n - i) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ---- exact dedup: keeper per identical text ----
+    Q(
+      "dedup_exact",
+      """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+
+    // ---- exact dedup on canonical token-set form (catches reorderings) ----
+    Q(
+      "dedup_exact_canonical",
+      """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id,
+        |        array_to_string(list_sort(list_distinct(string_split(text,' '))),' ') AS canon
+        |      FROM documents)
+        |GROUP BY canon HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextFunctions.canonicalTokenForm(col("text")).as("canon"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+
+    // ---- MinHash LSH near-dup (3-word shingles, J ≥ 0.8), exact-verified:
+    // oracle is the full O(n²) Jaccard — LSH recall at this threshold makes
+    // the outputs identical ----
+    Q("dedup_minhash", jaccardOracle(3, "0.8")) { (s, d) =>
+      minHashNearDupPairs(Tables.documents(s, d), "doc_id", shingles3(col("text")), 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- exact n-gram Jaccard (word bigrams, J ≥ 0.8) ----
+    Q("dedup_ngram_jaccard", jaccardOracle(2, "0.8")) { (s, d) =>
+      exactJaccardPairs(Tables.documents(s, d), "doc_id", shingles2(col("text")), 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- SimHash near-dup (hash-function-specific → rows-only check) ----
+    Q.rowsOnly("dedup_simhash") { (s, d) =>
+      simHashNearDupPairs(
+        Tables.documents(s, d), "doc_id", TextFunctions.distinctTokens(col("text")), 10)
+        .orderBy("doc_a", "doc_b")
+    },
+  )
 }

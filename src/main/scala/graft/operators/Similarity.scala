@@ -1,7 +1,138 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over embedding columns (SURVEY.md §2.9).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
+  *    against a single linear scan of the corpus (never a shuffled
+  *    crossJoin), and ranking is a per-query window — at 100 TB this is
+  *    one pass over the corpus per query batch, embarrassingly parallel.
+  *  - [[ivfTopK]]: IVF-style approximate path — corpus pre-bucketed by
+  *    nearest centroid; a query probes only `nprobe` closest buckets,
+  *    cutting the scan by ~(nprobe / nlist). Centroids here come from the
+  *    fixture's `label` column (standing in for an offline k-means); the
+  *    probing/bucketing plumbing is what carries to scale.
+  */
 object Similarity {
-  val queries: Seq[Q] = Seq()
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, sim).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Element-wise mean vectors per cluster key (the "centroid table"). */
+  def centroids(corpus: DataFrame, key: String, vec: String): DataFrame =
+    corpus
+      .select(col(key), posexplode(VectorFunctions.asDouble(col(vec))).as(Seq("pos", "x")))
+      .groupBy(col(key), col("pos")).agg(avg("x").as("m"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(key), transform(col("pm"), s => s.getField("m")).as("centroid"))
+
+  /** IVF-style ANN: probe the `nprobe` nearest centroids per query, then
+    * exact-rank only vectors in the probed buckets.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      bucket: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, bucket, vec)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col(bucket))
+    val probed = q.join(broadcast(cents))
+      .withColumn("csim", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col(bucket))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"), col(bucket))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(probed), Seq(bucket))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Seq[Q] = Seq(
+    // ---- exact brute-force cosine top-5 for 20 query vectors. Oracle
+    // recomputes cosine with the same fold shape; sim is rounded to 6dp on
+    // both sides to absorb sub-ulp summation-order differences ----
+    Q(
+      "ann_topk_bruteforce",
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |px AS (SELECT query_id, neighbor_id, unnest(q.v) x, unnest(c.v) y
+        |       FROM q, c WHERE query_id <> neighbor_id),
+        |dots AS (SELECT query_id, neighbor_id, SUM(x*y) AS dot
+        |         FROM px GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, SUM(x*x) AS n2
+        |          FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) x FROM embeddings)
+        |          GROUP BY 1),
+        |sims AS (SELECT query_id, neighbor_id,
+        |           dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS sim
+        |         FROM dots JOIN norms nq ON nq.vec_id = query_id
+        |                   JOIN norms nc ON nc.vec_id = neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+        |             ROUND(sim, 6) AS sim_r
+        |           FROM sims)
+        |SELECT query_id, neighbor_id, rank, sim_r FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- IVF approximate path: approximate by design → rows-only ----
+    Q.rowsOnly("ann_topk_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        "label", 5, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- nearest-centroid classification of every vector ----
+    Q.rowsOnly("knn_centroid_assign") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = centroids(emb, "label", "embedding")
+        .select(col("label").as("centroid_label"), col("centroid"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("centroid_label"))
+      emb.join(broadcast(cents))
+        .withColumn("sim", VectorFunctions.cosine(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("centroid_label"),
+          (col("label") === col("centroid_label")).as("correct"))
+        .orderBy("vec_id")
+    },
+  )
 }

@@ -1,7 +1,127 @@
 package graft.operators
 
-import graft.Q
+import graft.{Det, Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the documents table (SURVEY.md §2.9):
+  * per-document stats, corpus token frequencies, quality scoring,
+  * fingerprinting. All per-row expressions + one groupBy where needed —
+  * linear scans that scale with partitions.
+  */
 object TextOps {
-  val queries: Seq[Q] = Seq()
+
+  /** Fixed stopword list used by quality scoring (must match oracle SQL). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  private val stopSql = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  val queries: Seq[Q] = Seq(
+    // ---- per-document stats: token counts, lengths, fingerprints ----
+    Q(
+      "text_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+        |  CAST(length(text) AS BIGINT) AS n_chars_ck,
+        |  CAST(len(list_filter(regexp_split_to_array(text,'[^a-z0-9]+'), t -> len(t) > 0)) AS BIGINT) AS n_rx_tokens,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(TextFunctions.distinctTokens(col("text"))).cast("long").as("n_uniq"),
+        length(col("text")).cast("long").as("n_chars_ck"),
+        TextFunctions.regexTokenCount(col("text")).as("n_rx_tokens"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"),
+      ).orderBy("doc_id")
+    },
+
+    // ---- corpus-level token frequency (top 50) ----
+    Q(
+      "token_freq_top50",
+      """SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)
+    },
+
+    // ---- heuristic quality score per document ----
+    Q(
+      "quality_scores",
+      s"""SELECT doc_id, lang,
+         |  0.4 * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
+         |  + 0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |           / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0))
+         |  + 0.2 * (1.0 - CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopSql))) AS DOUBLE)
+         |           / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text"), Stopwords).as("quality"),
+      ).orderBy("doc_id")
+    },
+
+    // ---- corpus profile per (lang, source) ----
+    Q(
+      "lang_source_profile",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_chars,
+        |  CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Det.davg(col("n_chars")).as("avg_chars"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("total_tokens"))
+        .orderBy("lang", "source")
+    },
+
+    // ---- language-ID heuristic (marker profiles; deterministic argmax).
+    // The fixture's lang labels are random w.r.t. content, so this checks
+    // the mechanism (a codegen'd scoring expression), not real accuracy ----
+    Q.rowsOnly("langid_heuristic") { (s, d) =>
+      val profiles = Map(
+        "en" -> Seq("the", "a", "of"),
+        "de" -> Seq("der", "die", "das"),
+        "es" -> Seq("el", "la", "de"),
+        "fr" -> Seq("le", "la", "et"),
+        "zh" -> Seq("的", "了", "在"))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langIdHeuristic(col("text"), profiles).as("lang_pred"),
+      ).orderBy("doc_id")
+    },
+
+    // ---- order-sensitive rolling-hash fingerprint (engine-internal
+    // xxhash64 seed → rows-only) ----
+    Q.rowsOnly("doc_rolling_fingerprint") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.rollingTokenHash(col("text")).as("rolling_fp"),
+      ).orderBy("doc_id")
+    },
+
+    // ---- multimodal plumbing: opaque binary payload + byte stats (the
+    // decode itself is stubbed — see functions.Multimodal) ----
+    Q(
+      "media_byte_stats",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      ).orderBy("doc_id")
+    },
+  )
 }

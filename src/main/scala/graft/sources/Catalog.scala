@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Table catalog + append-only ingest (SURVEY.md §2.1 S4/S8/S9, §3.2/§3.3).
+  *
+  * Reference semantics (hustle public API): `Table.create(name, columns,
+  * partition)`, append-only `insert`, partition-granularity `delete`, and
+  * catalog listings. Storage here is Hive-style partitioned Parquet under a
+  * warehouse directory with the declared schema persisted in
+  * `_meta/schema.json` — so partition pruning, column pruning, and filter
+  * pushdown all come from Catalyst/Parquet for free, which is the entire
+  * point of the Spark-native design (the reference's bitmap indexes map to
+  * parquet column stats + dictionary + optional bloom filters, configured
+  * at write time, not code).
+  */
+final class Catalog(spark: SparkSession, warehouse: String) {
+
+  private def tableDir(name: String) = Paths.get(warehouse, name)
+  private def metaDir(name: String) = tableDir(name).resolve("_meta")
+  private def dataDir(name: String) = tableDir(name).resolve("data")
+
+  /** Declare a table: fixed schema + optional partition column. */
+  def create(name: String, schema: StructType, partitionBy: Option[String] = None): Unit = {
+    require(!exists(name), s"table $name already exists")
+    partitionBy.foreach(p =>
+      require(schema.fieldNames.contains(p), s"partition column $p not in schema"))
+    Files.createDirectories(metaDir(name))
+    Files.writeString(metaDir(name).resolve("schema.json"), schema.json)
+    Files.writeString(metaDir(name).resolve("partition.txt"), partitionBy.getOrElse(""))
+  }
+
+  def exists(name: String): Boolean = Files.exists(metaDir(name).resolve("schema.json"))
+
+  def schema(name: String): StructType =
+    DataType.fromJson(Files.readString(metaDir(name).resolve("schema.json")))
+      .asInstanceOf[StructType]
+
+  def partitionColumn(name: String): Option[String] = {
+    val s = Files.readString(metaDir(name).resolve("partition.txt")).trim
+    if (s.isEmpty) None else Some(s)
+  }
+
+  def tables(): Seq[String] =
+    if (!Files.exists(Paths.get(warehouse))) Seq.empty
+    else Files.list(Paths.get(warehouse)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_meta/schema.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** Append-only insert: validates + casts to the declared schema, writes
+    * Hive-partitioned parquet. The cast is strict column-name matching
+    * (missing column → error), mirroring the reference's declared-schema
+    * inserts.
+    */
+  def insert(name: String, df: DataFrame): Unit = {
+    val s = schema(name)
+    val projected = df.select(s.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val writer = projected.write.mode(SaveMode.Append)
+    partitionColumn(name)
+      .map(p => writer.partitionBy(p))
+      .getOrElse(writer)
+      .parquet(dataDir(name).toString)
+  }
+
+  /** Ingest JSON lines (the reference's `insert(phile=..., decoder=
+    * json_decoder)`): schema-directed parse, optional row preprocess.
+    */
+  def insertJson(name: String, path: String,
+      preprocess: DataFrame => DataFrame = identity): Unit = {
+    val raw = spark.read.schema(schema(name)).json(path)
+    insert(name, preprocess(raw))
+  }
+
+  /** Read a table back. Partition pruning applies when filtering on the
+    * partition column (`basePath` keeps the partition column in the
+    * schema).
+    */
+  def table(name: String): DataFrame = {
+    val dir = dataDir(name)
+    if (!Files.exists(dir) || Files.list(dir).iterator().asScala.forall(_.getFileName.toString.startsWith("_")))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema(name))
+    else
+      spark.read
+        .option("basePath", dir.toString)
+        .schema(schema(name))
+        .parquet(dir.toString)
+  }
+
+  /** List partition values present on disk. */
+  def partitions(name: String): Seq[String] = partitionColumn(name) match {
+    case None => Seq.empty
+    case Some(p) =>
+      val dir = dataDir(name)
+      if (!Files.exists(dir)) Seq.empty
+      else Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(s"$p="))
+        .map(_.stripPrefix(s"$p="))
+        .toSeq.sorted
+  }
+
+  /** Partition-granularity delete (the only delete the reference has). */
+  def deletePartition(name: String, value: String): Unit = {
+    val p = partitionColumn(name)
+      .getOrElse(throw new IllegalArgumentException(s"table $name is not partitioned"))
+    val dir = dataDir(name).resolve(s"$p=$value")
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** Drop table + data. */
+  def drop(name: String): Unit = {
+    val dir = tableDir(name)
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  /** Materialize a query result as a new table (the reference's
+    * `nest=True`): eager write, then immediately queryable.
+    */
+  def nest(name: String, df: DataFrame, partitionBy: Option[String] = None): DataFrame = {
+    create(name, df.schema, partitionBy)
+    insert(name, df)
+    table(name)
+  }
+}

@@ -1,7 +1,72 @@
 package graft.streaming
 
-import graft.Q
+import graft.{Det, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
 
+/** Structured Streaming tier (SURVEY.md §2.7): the reference's append-only
+  * event ingest generalized to real stream processing — file source,
+  * tumbling event-time windows with watermarks, AvailableNow triggers for
+  * batch-equivalent replay.
+  *
+  * The driver-checkable query runs a genuine streaming job (file source →
+  * windowed agg → memory sink, `Trigger.AvailableNow`) whose result is
+  * batch-equivalent, so the DuckDB oracle can still check it — streaming
+  * correctness verified against relational semantics.
+  */
 object StreamingOps {
-  val queries: Seq[Q] = Seq()
+
+  /** events.parquet schema as the stream source sees it (ts = INT64 nanos,
+    * read as long via nanosAsLong).
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming tumbling-window aggregation over the events fixture,
+    * executed to completion with AvailableNow. Returns the final result
+    * as a batch DataFrame.
+    */
+  def hourlyCountsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // The file stream source requires a directory; the fixture is a single
+    // file — stage it into a temp dir (in production the source would be a
+    // landing directory already).
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("event_type"), col("window.start").as("hour_start"),
+        col("n"), col("sum_value"))
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink).orderBy("event_type", "hour_start")
+  }
+
+  val queries: Seq[Q] = Seq(
+    // identical semantics to the batch events_sessionize_agg — that's the
+    // point: stream results must reconcile with batch over the same data
+    Q(
+      "stream_hourly_agg",
+      """SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+    )(hourlyCountsStreaming),
+  )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Catalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Catalog lifecycle: create/insert/read/partitions/delete/drop/nest,
+  * plus the plan-level guarantees (partition pruning) the storage layout
+  * exists to provide.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private def freshCatalog() =
+    new Catalog(spark, Files.createTempDirectory("graft_cat_test_").toString)
+
+  test("create → insert → table round-trips data and schema") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    val back = cat.table("docs")
+    assert(back.count() == docs.count())
+    assert(back.schema.fieldNames.sorted.sameElements(docs.schema.fieldNames.sorted))
+    assert(cat.tables() == Seq("docs"))
+  }
+
+  test("declared schema is enforced: missing column fails insert") {
+    val cat = freshCatalog()
+    cat.create("t", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    val bad = spark.range(3).toDF("a") // no column b
+    assertThrows[Exception] { cat.insert("t", bad) }
+  }
+
+  test("partitions() lists hive partition values; deletePartition removes one") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    assert(cat.partitions("docs").sameElements(langs))
+    cat.deletePartition("docs", langs.head)
+    assert(cat.partitions("docs").sameElements(langs.tail))
+    assert(cat.table("docs").filter(col("lang") === langs.head).count() == 0)
+  }
+
+  test("filter on partition column prunes partitions in the plan") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    val q = cat.table("docs").filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // FileSourceScan advertises partition filters; only lang=en read
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"))
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
+  test("nest materializes a result as a queryable table") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    val nested = cat.nest("long_docs", docs.filter(col("n_chars") > 200))
+    assert(nested.count() == docs.filter(col("n_chars") > 200).count())
+    assert(cat.tables().contains("long_docs"))
+  }
+
+  test("insertJson ingests JSON lines against the declared schema") {
+    val cat = freshCatalog()
+    val dir = Files.createTempDirectory("graft_json_")
+    Files.writeString(dir.resolve("part1.json"),
+      """{"a": 1, "b": "x"}
+        |{"a": 2, "b": "y"}
+        |""".stripMargin)
+    cat.create("j", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    cat.insertJson("j", dir.toString)
+    assert(cat.table("j").count() == 2)
+    assert(cat.table("j").agg(sum("a")).collect().head.getLong(0) == 3L)
+  }
+
+  test("drop removes table and data") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, None)
+    cat.insert("docs", docs)
+    cat.drop("docs")
+    assert(cat.tables().isEmpty)
+    assert(!cat.exists("docs"))
+  }
+}

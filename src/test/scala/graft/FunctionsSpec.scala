@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.{Multimodal, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Unit tier for the text/vector/multimodal functions and the dedup /
+  * similarity operator internals, on tiny inline data.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("wordShingles: n=2/3, short docs yield empty arrays") {
+    val df = Seq("a b c d", "a b", "solo", "").toDF("text")
+    val got = df.select(
+      TextFunctions.wordShingles(col("text"), 3).as("s3"),
+      TextFunctions.wordShingles(col("text"), 2).as("s2"))
+      .collect()
+    assert(got(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(got(0).getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(got(1).getSeq[String](0).isEmpty) // 2 tokens, no 3-shingle
+    assert(got(1).getSeq[String](1) == Seq("a b"))
+    assert(got(2).getSeq[String](0).isEmpty && got(2).getSeq[String](1).isEmpty)
+  }
+
+  test("charNgrams distinct and guarded") {
+    val got = Seq("abab", "ab").toDF("text")
+      .select(TextFunctions.charNgrams(col("text"), 3).as("g")).collect()
+    assert(got(0).getSeq[String](0) == Seq("aba", "bab"))
+    assert(got(1).getSeq[String](0).isEmpty)
+  }
+
+  test("qualityScore bounded in [0,1] and favors diverse text") {
+    val df = Seq(
+      ("rich", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("repeat", "the the the the the the the the")).toDF("id", "text")
+    val scores = df.select(col("id"),
+      TextFunctions.qualityScore(col("text"), operators.TextOps.Stopwords).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores("rich") > scores("repeat"))
+  }
+
+  test("langIdHeuristic picks the profile with most marker hits") {
+    val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
+    val got = Seq("the cat and the dog", "der hund und die katze", "xyz qqq")
+      .toDF("text")
+      .select(TextFunctions.langIdHeuristic(col("text"), profiles).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("rollingTokenHash: order-sensitive, deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextFunctions.rollingTokenHash(col("text")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(2) && hs(0) != hs(1))
+  }
+
+  test("cosine: known vectors") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 0.0f), math.sqrt(0.5))).toDF("a", "b", "want")
+    df.select(VectorFunctions.cosine(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("exact jaccard pairs on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"), (3L, "completely different tokens here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactJaccardPairs(
+      docs, "doc_id", TextFunctions.wordShingles(col("text"), 2), 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact jaccard (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    val sh = TextFunctions.wordShingles(col("text"), 3)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", sh, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashNearDupPairs(docs, "doc_id", sh, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // fixture plants near-dups
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups close; random far") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z zz qq rr ss tt uu vv ww")).toDF("doc_id", "text")
+    val sig = Dedup.simHash(docs, "doc_id", TextFunctions.distinctTokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) > 8)
+  }
+
+  test("bruteForceTopK self-consistent: rank 1 is the max-cosine neighbor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val topk = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 3).collect()
+    assert(topk.length == 3)
+    assert(topk.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    val sims = topk.map(_.getDouble(3))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("multimodal: extractFeatures is deterministic, batch-shaped, typed") {
+    val media = Multimodal.mediaFromText(
+      Tables.documents(spark, sf0001).limit(20), "doc_id", "text")
+    assert(media.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Multimodal.mediaSchema.map(f => (f.name, f.dataType.simpleString)))
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.length == 20)
+    assert(f1.map(_.getLong(3)).sameElements(f2.map(_.getLong(3)))) // checksum
+    assert(f1.head.getSeq[Float](4).length == 16)
+    assert(f1.map(r => (r.getLong(0), r.getSeq[Float](4))).toMap ==
+      f2.map(r => (r.getLong(0), r.getSeq[Float](4))).toMap)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the scale properties we rely on must be visible
+  * in the physical plan, not assumed — pushed filters, broadcast joins,
+  * partial aggregation, whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  test("q1: filter pushed to parquet scan, partial+final hash aggregate") {
+    val df = SparkEntry.queries("q1_scan_agg")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+    assert(plan.contains("HashAggregate"))
+    assert(plan.toLowerCase.contains("partial"))
+  }
+
+  test("q1 scan reads only referenced columns (column pruning)") {
+    val df = SparkEntry.queries("q1_scan_agg")(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("lineitem")).get
+    assert(!scan.contains("l_orderkey")) // unused by q1
+    assert(scan.contains("l_quantity"))
+  }
+
+  test("dim joins broadcast (no shuffle exchange for small side)") {
+    val df = SparkEntry.queries("q_multi_join_dims")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins compile to semi/anti physical joins") {
+    val semi = SparkEntry.queries("q_semi_join")(spark, sf0001)
+    assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    val anti = SparkEntry.queries("q_anti_join")(spark, sf0001)
+    assert(anti.queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort") {
+    val df = SparkEntry.queries("q_orderby_limit")(spark, sf0001)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the q1 pipeline") {
+    val df = SparkEntry.queries("q1_scan_agg")(spark, sf0001)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE renders codegen stages as "*(n) Op"; non-AQE as WholeStageCodegen
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("))
+  }
+
+  test("every registered query has a unique name and runs at sf0.001") {
+    val names = SparkEntry.allQ.map(_.name)
+    assert(names.distinct.size == names.size)
+    // entry() contract: flagship returns rows
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
