@@ -26,8 +26,13 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional comma-separated name filter for targeted timing.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
     // Stable ordering so per-round bench JSON diffs cleanly.
-    val results = SparkEntry.allQ.map { q =>
+    val results = SparkEntry.allQ
+      .filter(q => filter.forall(_.contains(q.name)))
+      .map { q =>
       val t =
         try {
           time(q.run(spark, sfDir).count()) // warm-up (JIT + parquet footer cache)

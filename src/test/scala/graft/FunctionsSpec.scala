@@ -90,6 +90,17 @@ class FunctionsSpec extends SparkSpec {
     assert(exact.nonEmpty) // fixture plants near-dups
   }
 
+  test("prefix-filtered jaccard equals naive exact jaccard (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    val sh = TextFunctions.wordShingles(col("text"), 2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = key(Dedup.exactJaccardPairs(docs, "doc_id", sh, 0.6))
+    val prefix = key(Dedup.prefixFilteredJaccardPairs(docs, "doc_id", sh, 0.6))
+    assert(prefix == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; near-dups close; random far") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
