@@ -26,8 +26,19 @@ object VectorFunctions {
   /** Cosine similarity = dot / (||a||·||b||), computed as
     * `dot / (sqrt(na) * sqrt(nb))` — keep this exact formula on any oracle
     * side too; `sqrt(na*nb)` differs in the last ulp.
+    *
+    * Dispatches to the native codegen'd [[graft.plans.CosineSimilarity]]
+    * expression (fused single-pass loop, no intermediate arrays); the
+    * element order and formula are identical to [[cosineFunctional]], so
+    * results are bit-equal (asserted by spec).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity.cosine(a, b)
+
+  /** Reference implementation via functions._ folds (kept for spec
+    * cross-checks and as the fallback if the native path is undesired).
+    */
+  def cosineFunctional(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
     dot(ad, bd) / (sqrt(normSq(ad)) * sqrt(normSq(bd)))

@@ -30,7 +30,7 @@ object Dedup {
   /** Deterministic MinHash permutation constants from a fixed-seed
     * splitmix64 walk (no runtime randomness; identical across runs/nodes).
     */
-  private def permConstants(n: Int): Seq[(Long, Long)] = {
+  private[graft] def permConstants(n: Int): Seq[(Long, Long)] = {
     var s = 0x9e3779b97f4a7c15L
     def next(): Long = {
       s += 0x2545f4914f6cdd1dL
@@ -95,6 +95,19 @@ object Dedup {
   def minHashSignatures(
       docs: DataFrame, id: String, shingles: Column, numHashes: Int): DataFrame =
     minHashSignaturesOn(explodedShingles(docs, id, shingles), id, numHashes)
+
+  /** Same signatures via the custom typed [[graft.functions.MinHashAggregator]]
+    * (one buffer per group instead of N planned min() aggregates) —
+    * demonstrates the reference's user-defined-Aggregation surface mapped
+    * to Spark `Aggregator[IN,BUF,OUT]`. Output: (id, sig array<long>).
+    */
+  def minHashSignaturesViaAggregator(
+      docs: DataFrame, id: String, shingles: Column, numHashes: Int): DataFrame = {
+    val sh = explodedShingles(docs, id, shingles)
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+    val agg = udaf(new graft.functions.MinHashAggregator(numHashes, permConstants(numHashes)))
+    sh.groupBy(col(id)).agg(agg(col("h")).as("sig"))
+  }
 
   private def minHashSignaturesOn(
       sh: DataFrame, id: String, numHashes: Int): DataFrame = {

@@ -134,6 +134,59 @@ object EventsOps {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- native session_window (Spark's gap-based session operator);
+    // oracle derives identical sessions via lag/cumsum SQL ----
+    Q(
+      "q_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN epoch_us(ts) -
+        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // ---- exact interpolated percentiles per group (the approx_percentile
+    // sketch is the 100 TB path — rows-only variant below) ----
+    Q(
+      "q_percentile",
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy("event_type")
+    },
+    Q.rowsOnly("q_percentile_approx") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p_approx"))
+        .orderBy("event_type")
+    },
+
     // ---- §2.6: JSON prop extraction from the events.props string ----
     Q(
       "q_json_extract",

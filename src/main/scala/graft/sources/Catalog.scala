@@ -36,6 +36,27 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     Files.writeString(metaDir(name).resolve("partition.txt"), partitionBy.getOrElse(""))
   }
 
+  /** Declare a table from hustle-style column-spec strings (see
+    * [[ColumnSpec]]): `index`-marked columns get parquet bloom filters at
+    * write time — the analog of the reference's bitmap indexes.
+    */
+  def createFromSpecs(name: String, columnSpecs: Seq[String],
+      partitionBy: Option[String] = None): Unit = {
+    val specs = ColumnSpec.parseAll(columnSpecs)
+    create(name, ColumnSpec.toSchema(specs), partitionBy)
+    Files.writeString(metaDir(name).resolve("indexed.txt"),
+      specs.filter(_.indexed).map(_.field.name).mkString("\n"))
+  }
+
+  /** Columns marked `index` at create time (empty if created from a plain
+    * schema).
+    */
+  def indexedColumns(name: String): Seq[String] = {
+    val f = metaDir(name).resolve("indexed.txt")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   def exists(name: String): Boolean = Files.exists(metaDir(name).resolve("schema.json"))
 
   def schema(name: String): StructType =
@@ -61,7 +82,11 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def insert(name: String, df: DataFrame): Unit = {
     val s = schema(name)
     val projected = df.select(s.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
-    val writer = projected.write.mode(SaveMode.Append)
+    var writer = projected.write.mode(SaveMode.Append)
+    // bloom filters for index-marked columns (reference's bitmap-index analog)
+    indexedColumns(name).foreach { c =>
+      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     partitionColumn(name)
       .map(p => writer.partitionBy(p))
       .getOrElse(writer)

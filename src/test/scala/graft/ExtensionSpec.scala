@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+import graft.plans.CosineSimilarity
+import graft.sources.ColumnSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Custom extension points: native Catalyst expression, typed Aggregator,
+  * column-spec parsing.
+  */
+class ExtensionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("native cosine expression bit-equals the functional fold") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val diffs = pairs.select(
+      (CosineSimilarity.cosine(col("va"), col("vb")) -
+        VectorFunctions.cosineFunctional(col("va"), col("vb"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diffs == 0.0)
+  }
+
+  test("native cosine registers as a SQL function") {
+    CosineSimilarity.register(spark)
+    Tables.embeddings(spark, sf0001).limit(5).createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) c FROM emb_t").collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("native cosine rejects non-array inputs at analysis") {
+    assertThrows[Exception] {
+      Tables.events(spark, sf0001)
+        .select(CosineSimilarity.cosine(col("value"), col("value"))).collect()
+    }
+  }
+
+  test("native cosine errors on length mismatch") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assertThrows[Exception] {
+      df.select(CosineSimilarity.cosine(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("MinHashAggregator signatures equal the planned-min-aggregates path") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val sh = TextFunctions.wordShingles(col("text"), 3)
+    val n = 32
+    val viaAgg = Dedup.minHashSignaturesViaAggregator(docs, "doc_id", sh, n)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaMins = Dedup.minHashSignatures(docs, "doc_id", sh, n)
+      .collect().map(r => r.getLong(0) ->
+        (0 until n).map(i => r.getLong(r.fieldIndex(s"m$i"))).toVector).toMap
+    assert(viaAgg == viaMins)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("column-spec word form parses types, index and wide flags") {
+    val specs = ColumnSpec.parseAll(Seq(
+      "wide index string token", "index trie url", "index uint32 ad_id",
+      "lz4 title", "int16 amount", "index string date", "plainname"))
+    val byName = specs.map(s => s.field.name -> s).toMap
+    assert(byName("token").field.dataType == StringType
+      && byName("token").indexed && byName("token").wide)
+    assert(byName("url").field.dataType == StringType && byName("url").indexed)
+    assert(byName("ad_id").field.dataType == LongType && byName("ad_id").indexed)
+    assert(byName("title").field.dataType == StringType && !byName("title").indexed)
+    assert(byName("amount").field.dataType == ShortType)
+    assert(byName("plainname").field.dataType == StringType)
+  }
+
+  test("column-spec sigil form: $ % * @N #N with +/= prefixes") {
+    assert(ColumnSpec.parse("+$token") ==
+      ColumnSpec.Spec(StructField("token", StringType), indexed = true, wide = false))
+    assert(ColumnSpec.parse("=@4ad_id").field.dataType == LongType)
+    assert(ColumnSpec.parse("=@4ad_id").wide)
+    assert(ColumnSpec.parse("#2amount").field.dataType == ShortType)
+    assert(ColumnSpec.parse("*blob").field.dataType == StringType)
+  }
+
+  test("catalog createFromSpecs persists indexed columns; insert applies bloom") {
+    val cat = new graft.sources.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_spec_").toString)
+    cat.createFromSpecs("imps",
+      Seq("index string token", "uint32 ad_id", "index string date"),
+      partitionBy = Some("date"))
+    assert(cat.indexedColumns("imps") == Seq("token", "date"))
+    val df = Seq(("a", 1L, "2024-01-01"), ("b", 2L, "2024-01-02"))
+      .toDF("token", "ad_id", "date")
+    cat.insert("imps", df)
+    assert(cat.table("imps").count() == 2)
+    assert(cat.partitions("imps") == Seq("2024-01-01", "2024-01-02"))
+  }
+}
