@@ -349,6 +349,22 @@ object Relational {
         .orderBy("bucket", "o_orderpriority")
     },
 
+    // ---- SQL surface: same engine, SQL text in — correlated IN subquery
+    // (beyond the reference's DSL, free via Catalyst decorrelation) ----
+    Q(
+      "q_sql_in_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.sql(s, d,
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+          |  AND o_orderstatus = 'F'
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ---- row-level computed projection (no agg): IEEE double arithmetic
     // is bit-identical across engines, so no Det needed ----
     Q(

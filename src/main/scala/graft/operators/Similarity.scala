@@ -119,6 +119,25 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // ---- per-vector array stats (array function surface over the
+    // embedding column); norms rounded to absorb summation-order ulps ----
+    Q(
+      "q_vector_stats",
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND(sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2_norm,
+        |  ROUND(list_max([CAST(x AS DOUBLE) FOR x IN embedding]), 6) AS max_elem
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    ) { (s, d) =>
+      import graft.functions.VectorFunctions
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(VectorFunctions.normSq(VectorFunctions.asDouble(col("embedding")))), 6).as("l2_norm"),
+        round(array_max(VectorFunctions.asDouble(col("embedding"))), 6).as("max_elem"),
+      ).orderBy("vec_id")
+    },
+
     // ---- nearest-centroid classification of every vector ----
     Q.rowsOnly("knn_centroid_assign") { (s, d) =>
       val emb = Tables.embeddings(s, d)

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient equi-join via key salting (the manual fallback for the
+  * cases AQE's skew-join splitting can't reach, e.g. when the skewed side
+  * feeds from an upstream cached stage).
+  *
+  * Mechanism: the skewed (large) side gets a uniform random-ish salt in
+  * [0, n) derived deterministically from its row content; the small side
+  * is replicated n times with every salt value. The join key becomes
+  * (key, salt), splitting each hot key's rows across n reducers. Result
+  * rows are identical to the unsalted join (asserted by spec).
+  *
+  * At 100 TB: pick `salts` ≈ (largest key's row count) / (target rows per
+  * task). The replicated side's size multiplies by `salts` — use only
+  * when that side is broadcast-scale or the skew is pathological.
+  */
+object SkewJoin {
+
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, largeKey: String, smallKey: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // deterministic salt from the whole row of the large side: uniform
+    // enough to split hot keys, reproducible across retries (no rand()).
+    val salted = large.withColumn(
+      "__salt", pmod(hash(large.columns.map(col).toSeq: _*), lit(salts)))
+    val saltVals = explode(sequence(lit(0), lit(salts - 1)))
+    val replicated = small.withColumn("__salt", saltVals)
+    salted.join(replicated,
+        salted(largeKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

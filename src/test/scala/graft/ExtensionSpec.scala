@@ -85,6 +85,21 @@ class ExtensionSpec extends SparkSpec {
     assert(ColumnSpec.parse("*blob").field.dataType == StringType)
   }
 
+  test("saltedJoin returns exactly the rows of the unsalted join") {
+    val orders = Tables.orders(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    val plain = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(orders, customer, "o_custkey", "c_custkey", salts = 7)
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.sameElements(plain))
+    assert(plain.nonEmpty)
+  }
+
   test("catalog createFromSpecs persists indexed columns; insert applies bloom") {
     val cat = new graft.sources.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_spec_").toString)
