@@ -48,13 +48,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .select(col("event_type"), col("window.start").as("hour_start"),
         col("n"), col("sum_value"))
-    val query = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // The state store allocates one instance per shuffle partition; for a
+    // small windowed-agg state that's pure overhead — pin it low for this
+    // job and restore the session setting afterwards. (On a cluster this
+    // is a per-job conf, sized to state volume, not core count.)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(sink).orderBy("event_type", "hour_start")
   }
 
