@@ -86,6 +86,7 @@ object Hustle {
       desc: Boolean = false,
       limit: Option[Int] = None,
       distinct: Boolean = false,
+      nest: Option[(graft.sources.Catalog, String)] = None,
   ): DataFrame = {
     require(projections.nonEmpty, "select needs at least one projection")
 
@@ -139,6 +140,11 @@ object Hustle {
       out = out.orderBy(sortCols: _*)
     }
     limit.foreach(n => out = out.limit(n))
-    out
+    // nest=: materialize the result as a new catalog table (reference
+    // semantics: the result IS a table, eagerly written)
+    nest match {
+      case Some((cat, name)) => cat.nest(name, out)
+      case None => out
+    }
   }
 }

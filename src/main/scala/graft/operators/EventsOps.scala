@@ -187,6 +187,28 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- deterministic stddev/variance: exact decimal sums of x and x²,
+    // then the closed form in IEEE double — order-independent, unlike
+    // stddev_samp's streaming accumulation ----
+    Q(
+      "q_stddev",
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  sqrt((CAST(SUM(CAST(value*value AS DECIMAL(18,6))) AS DOUBLE)
+        |        - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        |       / (COUNT(*) - 1)) AS stddev_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val s1 = Det.dsum(col("value"))
+      val s2 = Det.dsum(col("value") * col("value"))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sqrt((s2 - s1 * s1 / count(lit(1))) / (count(lit(1)) - 1)).as("stddev_v"))
+        .orderBy("event_type")
+    },
+
     // ---- §2.6: JSON prop extraction from the events.props string ----
     Q(
       "q_json_extract",

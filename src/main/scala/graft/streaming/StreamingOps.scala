@@ -68,6 +68,47 @@ object StreamingOps {
     spark.table(sink).orderBy("event_type", "hour_start")
   }
 
+  /** Stateful streaming (the §2.8/§2.7 extension surface): per-user
+    * running aggregates via `mapGroupsWithState` — arbitrary state the
+    * built-in windowed aggregates can't express. Executed with
+    * AvailableNow so the final state equals the batch per-user totals
+    * (asserted by StreamingSpec).
+    */
+  def statefulUserTotals(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sink = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val updated = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stage.toString)
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = updated.writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(sink).orderBy("user_id")
+  }
+
   val queries: Seq[Q] = Seq(
     // identical semantics to the batch events_sessionize_agg — that's the
     // point: stream results must reconcile with batch over the same data

@@ -70,6 +70,16 @@ class DslSpec extends SparkSpec {
     assert(got.columns.length == Tables.lineitem(spark, sf0001).columns.length)
   }
 
+  test("nest= materializes the result as a catalog table") {
+    val cat = new graft.sources.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_nest_").toString)
+    val got = select(lineitem("l_returnflag"), h_sum(lineitem("l_quantity")))(
+      nest = Some((cat, "flag_totals")))
+    assert(cat.tables().contains("flag_totals"))
+    assert(got.count() == 3)
+    assert(cat.table("flag_totals").count() == 3)
+  }
+
   test("where filter is pushed down to the parquet scan") {
     val got = select(lineitem("l_orderkey"))(
       where = Seq(lineitem("l_quantity") > 30.0))
