@@ -60,4 +60,13 @@ class PlanSpec extends SparkSpec {
   test("oracleSql keys are a subset of queries keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("approx_count_distinct lands within its rsd bound of the exact count") {
+    val exact = SparkEntry.queries("distinct_exact")(spark, sf0001)
+      .collect().head.getLong(0).toDouble
+    val approx = SparkEntry.queries("distinct_approx")(spark, sf0001)
+      .collect().head.getLong(0).toDouble
+    // rsd=0.05 → allow 4 sigma
+    assert(math.abs(approx - exact) / exact < 0.20)
+  }
 }
