@@ -36,16 +36,26 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Events with `ts` normalized from INT64-nanos to a microsecond
-    * timestamp; raw nanos kept as `ts_ns`. Requires the session to have
-    * `spark.sql.legacy.parquet.nanosAsLong=true`.
+    * TIMESTAMP_NTZ; raw nanos kept as `ts_ns`. Requires the session to
+    * have `spark.sql.legacy.parquet.nanosAsLong=true`.
+    *
+    * NTZ, not TimestampType: the other fixture timestamps (orders,
+    * lineitem) read as NTZ, DuckDB's TIMESTAMP is naive, and parquet
+    * written from NTZ carries isAdjustedToUTC=false — so every timestamp
+    * the engine emits compares as a naive wall-clock value, with no
+    * tz-awareness mismatch in the driver's hash compare. Time arithmetic
+    * (gaps, sessions) uses the exact integer `ts_ns` column instead of
+    * instant-only functions like unix_micros.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+          .withColumn("ts", col("ts").cast(TimestampNTZType))
     }
   }
 }

@@ -60,7 +60,7 @@ object EventsOps {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
-          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+          (expr("ts_ns div 1000") - lag(expr("ts_ns div 1000"), 1).over(w)).as("gap_us"))
         .filter(col("gap_us").isNotNull)
         .orderBy("user_id", "event_id")
     },
@@ -120,8 +120,8 @@ object EventsOps {
         |ORDER BY user_id, session_id""".stripMargin,
     ) { (s, d) =>
       val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val gapUs = unix_micros(col("ts")) -
-        lag(unix_micros(col("ts")), 1).over(order)
+      val gapUs = expr("ts_ns div 1000") -
+        lag(expr("ts_ns div 1000"), 1).over(order)
       val marked = Tables.events(s, d)
         .withColumn("new_session",
           when(gapUs > 1800000000L || lag(col("ts"), 1).over(order).isNull, 1).otherwise(0))

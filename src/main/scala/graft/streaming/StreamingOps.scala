@@ -42,11 +42,14 @@ object StreamingOps {
     val stream = spark.readStream
       .schema(eventsSchema)
       .parquet(stage.toString)
+      // watermarks require an instant TimestampType; emit NTZ only at the
+      // output edge so written results are naive like the batch tier's
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-      .select(col("event_type"), col("window.start").as("hour_start"),
+      .select(col("event_type"),
+        col("window.start").cast(TimestampNTZType).as("hour_start"),
         col("n"), col("sum_value"))
     // The state store allocates one instance per shuffle partition; for a
     // small windowed-agg state that's pure overhead — pin it low for this

@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
 
   test("streaming hourly agg equals batch aggregation over the same data") {
-    val streamed = StreamingOps.hourlyCountsStreaming(spark, sf0001)
-      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).sorted
-    val batch = Tables.events(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("hour_start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val streamed = rows(StreamingOps.hourlyCountsStreaming(spark, sf0001))
+    val batch = rows(Tables.events(spark, sf0001)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).sorted
+      .agg(count(lit(1)).as("n")))
     assert(streamed.sameElements(batch))
     assert(batch.nonEmpty)
   }
