@@ -135,13 +135,15 @@ object EventsOps {
     },
 
     // ---- native session_window (Spark's gap-based session operator);
-    // oracle derives identical sessions via lag/cumsum SQL ----
+    // oracle derives identical sessions via lag/cumsum SQL. Spark's
+    // session_window is half-open [start, start+gap): a gap of EXACTLY the
+    // configured 30 min starts a new session, hence `>=` in the oracle ----
     Q(
       "q_session_window",
       """WITH marked AS (
         |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN epoch_us(ts) -
-        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
         |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events),
@@ -180,10 +182,15 @@ object EventsOps {
           round(expr("percentile(value, 0.95)"), 6).as("p95"))
         .orderBy("event_type")
     },
+    // Scalar projections (not the raw array) so the harness can sort/compare
+    // the rows-only output deterministically.
     Q.rowsOnly("q_percentile_approx") { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p_approx"))
+        .select(col("event_type"),
+          element_at(col("p_approx"), 1).as("p50_approx"),
+          element_at(col("p_approx"), 2).as("p95_approx"))
         .orderBy("event_type")
     },
 

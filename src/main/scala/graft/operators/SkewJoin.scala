@@ -19,10 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types whose semantics survive replicating the small side: every
+    * emitted row is driven by a (unique-salted) large-side row. Right/full
+    * outer would emit each unmatched small-side row once per salt —
+    * duplicated — so they are rejected rather than silently wrong.
+    */
+  private val supportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(
       large: DataFrame, small: DataFrame, largeKey: String, smallKey: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(supportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: joinType '$joinType' not supported — replicating the " +
+        "small side duplicates its unmatched rows under right/full outer; " +
+        s"use one of ${supportedJoinTypes.toSeq.sorted.mkString(", ")}")
     // deterministic salt from the whole row of the large side: uniform
     // enough to split hot keys, reproducible across retries (no rand()).
     val salted = large.withColumn(

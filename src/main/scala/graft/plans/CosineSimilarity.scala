@@ -16,8 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * with a fused dot/norm loop, and participates in whole-stage codegen via
   * `doGenCode` — the hot path of brute-force ANN is exactly this kernel
   * times |queries|·|corpus|. Semantics: dot/(sqrt(n_a)*sqrt(n_b)); null if
-  * either side is null; error on length mismatch (mirrors zip_with's
-  * strictness about intent, not silent truncation).
+  * either side is null, or if any element of either array is null (matching
+  * the `aggregate(zip_with(...))` functional form, where a null product
+  * nulls the whole sum); error on length mismatch (mirrors zip_with's
+  * strictness about intent, not silent truncation). The per-element null
+  * check is compiled out entirely when both inputs declare
+  * `containsNull=false`.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,6 +47,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullable: Boolean =
+    super.nullable || mayHaveNullElems(left) || mayHaveNullElems(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,8 +63,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"cosine_similarity: length mismatch $n vs ${y.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     val lf = isFloat(left); val rf = isFloat(right)
+    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -72,6 +86,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      // Per-element null propagation (matches zip_with) — emitted only when
+      // the input schema admits null elements, so clean data pays nothing.
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right))
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |final int $n = $x.numElements();
          |if ($y.numElements() != $n) {
@@ -80,11 +100,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  final double $xi = $getX;
          |  final double $yi = $getY;
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Det, Q}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   * windowed agg → memory sink, `Trigger.AvailableNow`) whose result is
   * batch-equivalent, so the DuckDB oracle can still check it — streaming
   * correctness verified against relational semantics.
+  *
+  * Resource discipline: each invocation runs in a *cloned* SparkSession
+  * (own SQLConf — no thread-unsafe set/restore of session-global
+  * `spark.sql.shuffle.partitions`), materializes the memory sink, then
+  * drops the sink view and deletes the staging directory before returning.
+  * Repeated bench runs therefore accumulate no driver memory or tmp files.
   */
 object StreamingOps {
 
@@ -26,50 +32,73 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Stage the single-file events fixture into a fresh directory (the file
+    * stream source requires a directory; in production the source would be
+    * a landing directory already), run `f`, then delete the staging dir.
+    */
+  private def withStagedEvents[T](sfDir: String)(f: String => T): T = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val staged = stage.resolve("events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged)
+    try f(stage.toString)
+    finally {
+      java.nio.file.Files.deleteIfExists(staged)
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
+  /** Run a streaming query to completion in a cloned session with the
+    * state-store partition count pinned low (one state-store instance is
+    * allocated per shuffle partition; for small windowed-agg state that's
+    * pure overhead — on a cluster this is a per-job conf sized to state
+    * volume, not core count). The memory-sink view lives in the clone's
+    * catalog and is dropped after materialization; the caller gets a plain
+    * local-backed DataFrame in the *original* session.
+    */
+  private def runToBatch(
+      spark: SparkSession, sinkPrefix: String,
+      build: SparkSession => (DataFrame, org.apache.spark.sql.streaming.OutputMode))
+      : DataFrame = {
+    val session = spark.newSession() // shares SparkContext; own SQLConf/catalog
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val sink = s"${sinkPrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val (stream, mode) = build(session)
+    val query = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val result = session.table(sink)
+    val (rows, schema) = (result.collect(), result.schema)
+    session.catalog.dropTempView(sink) // free the memory sink's driver copy
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Streaming tumbling-window aggregation over the events fixture,
     * executed to completion with AvailableNow. Returns the final result
     * as a batch DataFrame.
     */
-  def hourlyCountsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    // The file stream source requires a directory; the fixture is a single
-    // file — stage it into a temp dir (in production the source would be a
-    // landing directory already).
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stage.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stage.toString)
-      // watermarks require an instant TimestampType; emit NTZ only at the
-      // output edge so written results are naive like the batch tier's
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-      .select(col("event_type"),
-        col("window.start").cast(TimestampNTZType).as("hour_start"),
-        col("n"), col("sum_value"))
-    // The state store allocates one instance per shuffle partition; for a
-    // small windowed-agg state that's pure overhead — pin it low for this
-    // job and restore the session setting afterwards. (On a cluster this
-    // is a per-job conf, sized to state volume, not core count.)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val query = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
-    spark.table(sink).orderBy("event_type", "hour_start")
-  }
+  def hourlyCountsStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToBatch(spark, "stream_hourly", { session =>
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          // watermarks require an instant TimestampType; emit NTZ only at the
+          // output edge so written results are naive like the batch tier's
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+          .select(col("event_type"),
+            col("window.start").cast(TimestampNTZType).as("hour_start"),
+            col("n"), col("sum_value"))
+        (stream, org.apache.spark.sql.streaming.OutputMode.Complete())
+      })
+    }.orderBy("event_type", "hour_start")
 
   /** Stateful streaming (the §2.8/§2.7 extension surface): per-user
     * running aggregates via `mapGroupsWithState` — arbitrary state the
@@ -77,40 +106,29 @@ object StreamingOps {
     * AvailableNow so the final state equals the batch per-user totals
     * (asserted by StreamingSpec).
     */
-  def statefulUserTotals(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val sink = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stage.resolve("events.parquet"))
-    val updated = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stage.toString)
-      .selectExpr("user_id", "value")
-      .as[(Long, Double)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var s = s0
-          rows.foreach { case (_, v) => n += 1; s += v }
-          state.update((n, s))
-          (user, n, s)
-      }
-      .toDF("user_id", "n_events", "sum_value")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = updated.writeStream
-        .outputMode(OutputMode.Update())
-        .format("memory").queryName(sink)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(sink).orderBy("user_id")
-  }
+  def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToBatch(spark, "stream_state", { session =>
+        import session.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val updated = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .selectExpr("user_id", "value")
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+              val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+              var n = n0; var s = s0
+              rows.foreach { case (_, v) => n += 1; s += v }
+              state.update((n, s))
+              (user, n, s)
+          }
+          .toDF("user_id", "n_events", "sum_value")
+        (updated, OutputMode.Update())
+      })
+    }.orderBy("user_id")
 
   val queries: Seq[Q] = Seq(
     // identical semantics to the batch events_sessionize_agg — that's the

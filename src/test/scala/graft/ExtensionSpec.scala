@@ -49,6 +49,36 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("native cosine propagates null array elements like zip_with") {
+    // containsNull=true arrays: a null element must null the result in BOTH
+    // interpreted eval and codegen paths, matching the functional fold.
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        CosineSimilarity.cosine(col("a"), col("b")).as("c_native"),
+        VectorFunctions.cosineFunctional(col("a"), col("b")).as("c_func"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(!rows(1).isNullAt(1) && math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("saltedJoin rejects join types that would duplicate small-side rows") {
+    val orders = Tables.orders(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    for (bad <- Seq("right", "full", "right_outer", "full_outer")) {
+      assertThrows[IllegalArgumentException] {
+        graft.operators.SkewJoin
+          .saltedJoin(orders, customer, "o_custkey", "c_custkey", 4, bad)
+      }
+    }
+    // left joins remain supported: unmatched LARGE-side rows appear once.
+    val left = graft.operators.SkewJoin
+      .saltedJoin(orders, customer, "o_custkey", "c_custkey", 4, "left")
+    assert(left.count() >= orders.count())
+  }
+
   test("MinHashAggregator signatures equal the planned-min-aggregates path") {
     val docs = Tables.documents(spark, sf0001).limit(100)
     val sh = TextFunctions.wordShingles(col("text"), 3)
