@@ -76,16 +76,26 @@ object TextFunctions {
   def canonicalTokenForm(text: Column): Column =
     array_join(array_sort(distinctTokens(text)), " ")
 
+  /** Per-token 60-bit hash: the first 15 hex chars of md5, as a long.
+    * md5 is engine-portable (identical hex in Spark and DuckDB/Postgres),
+    * unlike xxhash64 whose seed/variant is Spark-internal — which is what
+    * makes [[rollingTokenHash]] oracle-checkable cross-engine.
+    */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** Polynomial rolling-hash fingerprint over tokens (base/mod fixed):
-    * order-sensitive 63-bit content hash, computed distributively with
-    * `aggregate` — the cheap alternative to md5 when only equality matters.
+    * order-sensitive content hash, computed distributively with
+    * `aggregate` — the cheap alternative to md5-of-document when only
+    * equality matters but token ORDER must still distinguish documents.
     */
   def rollingTokenHash(text: Column): Column =
-    // modulus kept < 2^30 so acc * base never overflows Long (ANSI mode).
+    // modulus < 2^30 so acc * base never overflows Long (ANSI mode);
+    // acc*1e6 + tokenHash60 < 1e15 + 2^60 < Long.Max before the mod.
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L)))
+      (acc, t) => pmod(acc * lit(1000003L) + tokenHash60(t), lit(1000000007L)))
 
   /** Tiny n-gram language-ID heuristic: scores each candidate language by
     * occurrences of its marker tokens and returns the argmax (or "und").

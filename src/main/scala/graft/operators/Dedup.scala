@@ -213,33 +213,39 @@ object Dedup {
     verifyJaccardOn(cand, sh, id, threshold)
   }
 
-  /** 64-bit SimHash of the token multiset: per-bit majority vote of
-    * xxhash64(token). One explode + one groupBy(id); the 64 per-bit sums
-    * stay in a single codegen'd HashAggregate.
+  /** 60-bit SimHash of the token multiset: per-bit majority vote of
+    * [[TextFunctions.tokenHash60]] (md5-derived — engine-portable, which is
+    * what lets the DuckDB oracle recompute identical signatures; 60 bits
+    * because 15 md5 hex chars fit a signed 64-bit int on every engine).
+    * One explode + one groupBy(id); the 60 per-bit sums stay in a single
+    * codegen'd HashAggregate.
     */
+  val SimHashBits = 60
+
   def simHash(docs: DataFrame, id: String, tokens: Column): DataFrame = {
     val tok = docs.select(col(id), explode(tokens).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { k =>
+      .withColumn("h", TextFunctions.tokenHash60(col("t")))
+    val bitSums = (0 until SimHashBits).map { k =>
       sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k")
     }
     val agg = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
+    val sim = (0 until SimHashBits)
       .map(k => when(col(s"s$k") >= 0, lit(1L << k)).otherwise(0L))
       .reduce(_ + _)
     agg.select(col(id), sim.as("simhash"))
   }
 
   /** SimHash near-dup candidates at hamming distance ≤ `maxHamming` (≤ 3
-    * guaranteed-recall via 4×16-bit block bucketing; higher distances are
-    * best-effort). Output: (doc_a, doc_b, hamming).
+    * guaranteed-recall via 4×15-bit block bucketing — any pair at hamming
+    * ≤ 3 leaves one of the 4 blocks untouched by pigeonhole; higher
+    * distances are best-effort). Output: (doc_a, doc_b, hamming).
     */
   def simHashNearDupPairs(
       docs: DataFrame, id: String, tokens: Column, maxHamming: Int): DataFrame = {
     val sig = simHash(docs, id, tokens)
     val blocks = (0 until 4).map { j =>
-      struct(lit(j).as("blk"), shiftrightunsigned(col("simhash"), j * 16)
-        .bitwiseAND(lit(0xffffL)).as("key"))
+      struct(lit(j).as("blk"), shiftrightunsigned(col("simhash"), j * 15)
+        .bitwiseAND(lit(0x7fffL)).as("key"))
     }
     val exploded = sig.select(col(id), col("simhash"), explode(array(blocks: _*)).as("bk"))
       .select(col(id), col("simhash"), col("bk.blk"), col("bk.key"))
@@ -327,10 +333,30 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // ---- SimHash near-dup (hash-function-specific → rows-only check) ----
-    Q.rowsOnly("dedup_simhash") { (s, d) =>
+    // ---- SimHash near-dup at hamming ≤ 3 — the guaranteed-recall regime
+    // of the 4-block bucketing, so blocked candidates == exact all-pairs,
+    // and the oracle recomputes the full 60-bit signatures + all-pairs
+    // hamming from the same md5-derived token hash ----
+    Q(
+      "dedup_simhash",
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+        |             FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM tok),
+        |ks AS (SELECT unnest(range(0,60)) AS k),
+        |bits AS (SELECT doc_id, k,
+        |           SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM th, ks GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |          SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sh
+        |        FROM bits GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
       simHashNearDupPairs(
-        Tables.documents(s, d), "doc_id", TextFunctions.distinctTokens(col("text")), 10)
+        Tables.documents(s, d), "doc_id", TextFunctions.distinctTokens(col("text")), 3)
         .orderBy("doc_a", "doc_b")
     },
   )

@@ -31,6 +31,24 @@ object EventsOps {
         .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"))
     },
 
+    // ---- the sketch's ACCURACY CONTRACT, oracle-checked: the HLL estimate
+    // must land within 3×rsd of the exact count (which the oracle also
+    // verifies exactly). This is how an engine-specific sketch still gets a
+    // hard driver-checkable guarantee rather than a rows-only wave-through ----
+    Q(
+      "distinct_approx_check",
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS within_3rsd FROM events""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .agg(
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx"))
+        .select(col("n_users_exact"),
+          (abs(col("approx") - col("n_users_exact")).cast("double")
+            / col("n_users_exact") <= 0.15).as("within_3rsd"))
+    },
+
     // ---- W1: row_number ranking, keep top-3 per user — bench headline ----
     Q(
       "window_rank",

@@ -109,8 +109,48 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
-    // ---- IVF approximate path: approximate by design → rows-only ----
-    Q.rowsOnly("ann_topk_ivf") { (s, d) =>
+    // ---- IVF approximate path. Approximate w.r.t. exact KNN, but fully
+    // DETERMINISTIC given the data (centroids = per-label means, probing =
+    // top-3 centroids by cosine), so the oracle replays the whole probe →
+    // bucket-restricted ranking pipeline in SQL ----
+    Q(
+      "ann_topk_ivf",
+      """WITH ev AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |                   generate_subscripts(embedding, 1) AS pos
+        |            FROM embeddings),
+        |cent AS (SELECT label AS bucket, pos, AVG(x) AS m FROM ev GROUP BY 1, 2),
+        |cnorm AS (SELECT bucket, SUM(m*m) AS n2 FROM cent GROUP BY 1),
+        |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+        |qdots AS (SELECT ev.vec_id AS query_id, c.bucket, SUM(ev.x * c.m) AS dot
+        |          FROM ev JOIN cent c ON c.pos = ev.pos
+        |          WHERE ev.vec_id < 20 GROUP BY 1, 2),
+        |csims AS (SELECT q.query_id, q.bucket,
+        |            q.dot / (sqrt(vn.n2) * sqrt(cn.n2)) AS csim
+        |          FROM qdots q JOIN vnorm vn ON vn.vec_id = q.query_id
+        |                       JOIN cnorm cn ON cn.bucket = q.bucket),
+        |probed AS (SELECT query_id, bucket FROM (
+        |    SELECT query_id, bucket,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY csim DESC, bucket) AS crank
+        |    FROM csims) WHERE crank <= 3),
+        |pairs AS (SELECT p.query_id, e2.vec_id AS neighbor_id
+        |          FROM probed p JOIN embeddings e2 ON e2.label = p.bucket
+        |          WHERE e2.vec_id <> p.query_id),
+        |pdots AS (SELECT pr.query_id, pr.neighbor_id, SUM(eq.x * en.x) AS dot
+        |          FROM pairs pr
+        |          JOIN ev eq ON eq.vec_id = pr.query_id
+        |          JOIN ev en ON en.vec_id = pr.neighbor_id AND en.pos = eq.pos
+        |          GROUP BY 1, 2),
+        |sims AS (SELECT pd.query_id, pd.neighbor_id,
+        |           pd.dot / (sqrt(nq.n2) * sqrt(nn.n2)) AS sim
+        |         FROM pdots pd JOIN vnorm nq ON nq.vec_id = pd.query_id
+        |                       JOIN vnorm nn ON nn.vec_id = pd.neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+        |             ROUND(sim, 6) AS sim_r
+        |           FROM sims)
+        |SELECT query_id, neighbor_id, rank, sim_r FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
         "label", 5, 3)
@@ -138,8 +178,33 @@ object Similarity {
       ).orderBy("vec_id")
     },
 
-    // ---- nearest-centroid classification of every vector ----
-    Q.rowsOnly("knn_centroid_assign") { (s, d) =>
+    // ---- nearest-centroid classification of every vector. Deterministic
+    // (centroids = per-label elementwise means of the data itself), so the
+    // oracle recomputes centroids and the cosine argmax in SQL ----
+    Q(
+      "knn_centroid_assign",
+      """WITH ev AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |                   generate_subscripts(embedding, 1) AS pos
+        |            FROM embeddings),
+        |cent AS (SELECT label AS centroid_label, pos, AVG(x) AS m
+        |         FROM ev GROUP BY 1, 2),
+        |cnorm AS (SELECT centroid_label, SUM(m*m) AS n2 FROM cent GROUP BY 1),
+        |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+        |dots AS (SELECT ev.vec_id, c.centroid_label, SUM(ev.x * c.m) AS dot
+        |         FROM ev JOIN cent c ON c.pos = ev.pos GROUP BY 1, 2),
+        |sims AS (SELECT d.vec_id, d.centroid_label,
+        |           d.dot / (sqrt(vn.n2) * sqrt(cn.n2)) AS sim
+        |         FROM dots d JOIN vnorm vn ON vn.vec_id = d.vec_id
+        |                     JOIN cnorm cn ON cn.centroid_label = d.centroid_label),
+        |best AS (SELECT vec_id, centroid_label,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_label) AS rn
+        |         FROM sims)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |  CAST(b.centroid_label AS BIGINT) AS centroid_label,
+        |  e.label = b.centroid_label AS correct
+        |FROM embeddings e JOIN best b ON b.vec_id = e.vec_id AND b.rn = 1
+        |ORDER BY e.vec_id""".stripMargin,
+    ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val cents = centroids(emb, "label", "embedding")
         .select(col("label").as("centroid_label"), col("centroid"))
@@ -149,7 +214,8 @@ object Similarity {
         .withColumn("sim", VectorFunctions.cosine(col("embedding"), col("centroid")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("centroid_label"),
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("centroid_label").cast("long").as("centroid_label"),
           (col("label") === col("centroid_label")).as("correct"))
         .orderBy("vec_id")
     },

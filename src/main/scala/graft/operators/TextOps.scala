@@ -86,10 +86,31 @@ object TextOps {
         .orderBy("lang", "source")
     },
 
-    // ---- language-ID heuristic (marker profiles; deterministic argmax).
-    // The fixture's lang labels are random w.r.t. content, so this checks
-    // the mechanism (a codegen'd scoring expression), not real accuracy ----
-    Q.rowsOnly("langid_heuristic") { (s, d) =>
+    // ---- language-ID heuristic (marker profiles; deterministic argmax —
+    // Spark's greatest-of-structs == SQL window argmax on (score DESC,
+    // lang DESC)). The fixture's lang labels are random w.r.t. content, so
+    // this checks the mechanism, not real accuracy ----
+    Q(
+      "langid_heuristic",
+      """WITH langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der','die','das']),
+        |    ('en', ['the','a','of']),
+        |    ('es', ['el','la','de']),
+        |    ('fr', ['le','la','et']),
+        |    ('zh', ['的','了','在'])) AS t(lang_c, markers)),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, l.lang_c,
+        |    len(list_filter(string_split(d.text,' '), tk -> list_contains(l.markers, tk))) AS score
+        |  FROM documents d CROSS JOIN langs l),
+        |best AS (
+        |  SELECT doc_id, lang, lang_c, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_c DESC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, lang,
+        |  CASE WHEN score > 0 THEN lang_c ELSE 'und' END AS lang_pred
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
       val profiles = Map(
         "en" -> Seq("the", "a", "of"),
         "de" -> Seq("der", "die", "das"),
@@ -102,9 +123,18 @@ object TextOps {
       ).orderBy("doc_id")
     },
 
-    // ---- order-sensitive rolling-hash fingerprint (engine-internal
-    // xxhash64 seed → rows-only) ----
-    Q.rowsOnly("doc_rolling_fingerprint") { (s, d) =>
+    // ---- order-sensitive rolling-hash fingerprint. Token hash = first
+    // 15 md5 hex chars (portable); oracle replays the same polynomial
+    // fold with pre-modded elements ((a*b + x) mod p distributes) ----
+    Q(
+      "doc_rolling_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text,' '),
+        |      t -> ('0x' || substr(md5(t),1,15))::BIGINT % 1000000007),
+        |    (a, x) -> (a * 1000003 + x) % 1000000007) AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
         TextFunctions.rollingTokenHash(col("text")).as("rolling_fp"),
