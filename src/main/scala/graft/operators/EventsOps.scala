@@ -250,6 +250,37 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- as-of join: for each purchase, the latest view by the same user
+    // at-or-before it (the point-in-time feature-backfill primitive; see
+    // operators.AsOfJoin for the single-shuffle union-trick plan). All
+    // comparisons in integer microseconds; views pre-aggregated to one row
+    // per (user, ts) so tie resolution is identical on both sides. Oracle
+    // uses DuckDB's native ASOF LEFT JOIN ----
+    Q(
+      "q_asof_join",
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vts, CAST(MAX(event_id) AS BIGINT) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id AS purchase_id, v.view_id,
+        |  p.pts - v.vts AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.pts >= v.vts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, views, "user_id", "ts_us", "ts_us", Seq("view_id"), "v")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("v.view_id").as("view_id"),
+          (col("ts_us") - col("v.ts")).as("gap_us"))
+        .orderBy("user_id", "purchase_id")
+    },
+
     // ---- value-distribution stats per event type ----
     Q(
       "q_event_stats",

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,83 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs: every (a, b) with
+    * cosine >= threshold. All-pairs is inherently O(n²) — fine for a
+    * corpus that fits a broadcast (Spark plans this as a broadcast
+    * nested-loop over the codegen'd cosine kernel); at 100 TB the same
+    * verify step runs behind [[srpCandidatePairs]] (LSH) or [[ivfTopK]]
+    * bucketing, trading exact recall for linearity.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(id).as("vec_a"), col(vec).as("va"))
+    val b = corpus.select(col(id).as("vec_b"), col(vec).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** Deterministic Rademacher (±1) hyperplanes for signed random
+    * projections, from a fixed-seed splitmix64 walk — identical across
+    * runs/executors, no runtime randomness.
+    */
+  private[graft] def srpPlanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+    var s = 0x51_7c_c1_b7_27_22_0a_95L
+    def next(): Long = {
+      s += 0x2545f4914f6cdd1dL
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(bits)(Seq.fill(dim)(if ((next() & 1L) == 0L) 1.0 else -1.0))
+  }
+
+  /** SRP-LSH signature: bit j = sign(v · r_j) over `bits` fixed random
+    * hyperplanes, packed into a long. P[bit differs] = angle/π, so near-
+    * identical vectors collide on whole blocks w.h.p. — the linear-time
+    * candidate generator for cosine near-dup at scale.
+    */
+  def srpSignature(vec: Column, dim: Int, bits: Int): Column = {
+    require(bits <= 60, "srpSignature packs bits into a long")
+    val vd = VectorFunctions.asDouble(vec)
+    srpPlanes(bits, dim).zipWithIndex.map { case (plane, j) =>
+      val proj = aggregate(
+        zip_with(vd, typedlit(plane), (x, r) => x * r), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Candidate pairs whose SRP signatures agree on at least one of 4
+    * contiguous blocks (bits/4 bits each) — then exact-verified against
+    * `threshold`. Approximate recall (tunable via bits); exact duplicates
+    * are always found (identical vectors ⇒ identical signatures).
+    */
+  def srpNearDupPairs(
+      corpus: DataFrame, id: String, vec: String, threshold: Double,
+      dim: Int, bits: Int = 32): DataFrame = {
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
+    val sig = corpus.select(col(id), col(vec),
+      srpSignature(col(vec), dim, bits).as("__sig"))
+    val blocks = (0 until 4).map { j =>
+      struct(lit(j).as("blk"),
+        shiftrightunsigned(col("__sig"), j * blockBits).bitwiseAND(lit(mask)).as("key"))
+    }
+    val exploded = sig.select(col(id), col(vec), explode(array(blocks: _*)).as("bk"))
+      .select(col(id), col(vec), col("bk.blk"), col("bk.key"))
+    val cand = exploded.as("x").join(exploded.as("y"), Seq("blk", "key"))
+      .filter(col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("vec_a"), col(s"x.$vec").as("va"),
+        col(s"y.$id").as("vec_b"), col(s"y.$vec").as("vb"))
+      .distinct()
+    cand
+      .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
   }
 
   // ---------------------------------------------------------------- queries
@@ -176,6 +253,30 @@ object Similarity {
         round(sqrt(VectorFunctions.normSq(VectorFunctions.asDouble(col("embedding")))), 6).as("l2_norm"),
         round(array_max(VectorFunctions.asDouble(col("embedding"))), 6).as("max_elem"),
       ).orderBy("vec_id")
+    },
+
+    // ---- embedding-cosine near-dup pairs, exact all-pairs. The fixture's
+    // vectors are i.i.d. random (max pairwise cosine ≈ 0.51), so the
+    // threshold is 0.4 to exercise non-empty output; real corpora run
+    // 0.95+ behind the SRP/IVF candidate generators ----
+    Q(
+      "dedup_embedding_cosine",
+      """WITH ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |                   generate_subscripts(embedding, 1) AS pos
+        |            FROM embeddings),
+        |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+        |         FROM ev a JOIN ev b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT vec_a, vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
+        |         FROM dots JOIN vnorm na ON na.vec_id = vec_a
+        |                   JOIN vnorm nb ON nb.vec_id = vec_b)
+        |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim_r FROM sims
+        |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    ) { (s, d) =>
+      cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
+        .orderBy("vec_a", "vec_b")
     },
 
     // ---- nearest-centroid classification of every vector. Deterministic
