@@ -26,6 +26,12 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
 
+    // Full materialization via the noop sink: every projected column is
+    // computed and every sort retained (a bare .count() lets Catalyst prune
+    // projections/sorts, under-measuring real query cost).
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // Optional comma-separated name filter for targeted timing.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).toSet)
@@ -35,8 +41,8 @@ object Bench {
       .map { q =>
       val t =
         try {
-          time(q.run(spark, sfDir).count()) // warm-up (JIT + parquet footer cache)
-          (1 to runs).map(_ => time(q.run(spark, sfDir).count())).min
+          time(materialize(q.run(spark, sfDir))) // warm-up (JIT + parquet footer cache)
+          (1 to runs).map(_ => time(materialize(q.run(spark, sfDir)))).min
         } catch { case _: Throwable => -1.0 }
       q.name -> t
     }

@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.SkewJoin.queries ++
       operators.CatalogOps.queries ++
       streaming.StreamingOps.queries
 

@@ -25,8 +25,26 @@ import org.apache.spark.sql.types.StructType
   * rows at the same (key, ts) resolve to the greatest payload struct
   * (deterministic; pre-aggregate the right side if you need a different
   * rule).
+  *
+  * NULL semantics (matches DuckDB/pandas ASOF): right rows with a NULL key
+  * or NULL ts can never match and are dropped before the union; left rows
+  * with a NULL key or NULL ts are preserved with a NULL `outCol` (a NULL
+  * ts sorts before every right row in its partition, and a NULL key lands
+  * in a partition that contains no right rows — both fall out of the
+  * window pass with nothing to carry forward).
   */
 object AsOfJoin {
+
+  // Internal work columns get an unlikely fixed prefix (kept deterministic —
+  // a per-call UUID would make plans uncacheable); collisions with user
+  // columns are rejected loudly below rather than silently shadowed.
+  private val K = "__graft_asof_k"
+  private val TS = "__graft_asof_ts"
+  private val TAG = "__graft_asof_tag"
+  private val LROW = "__graft_asof_lrow"
+  private val P = "__graft_asof_p"
+  private val FILLED = "__graft_asof_filled"
+  private val internals = Seq(K, TS, TAG, LROW, P, FILLED)
 
   /** @param left      driving rows (all columns preserved)
     * @param right     payload rows
@@ -42,27 +60,38 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       payloads: Seq[String], outCol: String = "asof"): DataFrame = {
+    val clash = (left.columns ++ right.columns).toSet.intersect(internals.toSet)
+    require(clash.isEmpty, s"asOf: column names ${clash.mkString(", ")} are reserved")
+    // the window pass orders by the payload struct to break same-(key, ts)
+    // ties deterministically — every payload column must be orderable
+    val pType = StructType(
+      right.schema(rightTs).copy(name = "ts") +: payloads.map(right.schema(_)))
+    require(
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(pType),
+      s"asOf: payload struct $pType contains an unorderable type (e.g. map);" +
+        " pre-aggregate the right side to one row per (key, ts) instead")
+
     val lStruct = StructType(left.schema.fields)
     val pStruct = struct(
       (col(rightTs).as("ts") +: payloads.map(col)): _*)
-    val pType = StructType(
-      right.schema(rightTs).copy(name = "ts") +: payloads.map(right.schema(_)))
 
     val l = left.select(
-      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag"),
-      struct(left.columns.map(col): _*).as("__lrow"),
-      lit(null).cast(pType).as("__p"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag"),
-      lit(null).cast(lStruct).as("__lrow"),
-      pStruct.as("__p"))
+      col(key).as(K), col(leftTs).as(TS), lit(1).as(TAG),
+      struct(left.columns.map(col): _*).as(LROW),
+      lit(null).cast(pType).as(P))
+    val r = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull) // can never match
+      .select(
+        col(key).as(K), col(rightTs).as(TS), lit(0).as(TAG),
+        lit(null).cast(lStruct).as(LROW),
+        pStruct.as(P))
 
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__p"))
+    val w = Window.partitionBy(K).orderBy(col(TS), col(TAG), col(P))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("__filled", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
-      .select((left.columns.map(c => col(s"__lrow.$c").as(c)) :+
-        col("__filled").as(outCol)): _*)
+      .withColumn(FILLED, last(col(P), ignoreNulls = true).over(w))
+      .filter(col(TAG) === 1)
+      .select((left.columns.map(c => col(s"$LROW.$c").as(c)) :+
+        col(FILLED).as(outCol)): _*)
   }
 }

@@ -68,7 +68,7 @@ object CatalogOps {
       val docs = Tables.documents(s, d)
       cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
       cat.insert("docs_wh", docs)
-      cat.deletePartition("docs_wh", "en")
+      cat.delete("docs_wh", col("lang") === "en") // predicate form (hustle surface)
       cat.table("docs_wh")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")

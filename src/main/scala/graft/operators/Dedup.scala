@@ -50,14 +50,26 @@ object Dedup {
   private def explodedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
     docs.select(col(id), explode(shingles).as("sh"))
 
-  /** Exploded shingles, cached: the multi-pass dedup pipelines (doc-freq /
-    * prefix / signatures / verify) all reuse the same explode — without
-    * caching, the shingle expression re-evaluates once per consumer. At
-    * cluster scale this would be a checkpoint of the tokenized corpus.
+  /** Pipeline-scoped shingle cache: the multi-pass dedup pipelines
+    * (doc-freq / prefix / signatures / verify) all reuse the same explode —
+    * without caching, the shingle expression re-evaluates once per
+    * consumer. The cache must not outlive the pipeline (a bare `persist`
+    * here leaked blocks across repeated bench invocations), so `f`'s
+    * (small — pairs above threshold) result is eagerly materialized via
+    * `localCheckpoint` while the cache is alive, then the shingles are
+    * unpersisted in a finally. At cluster scale this is exactly
+    * "checkpoint the tokenized corpus, run candidate-gen + verify, drop
+    * it"; localCheckpoint keeps blocks on executors (nothing driver-side)
+    * and the ContextCleaner frees them once the result is unreferenced.
     */
-  private def cachedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
-    explodedShingles(docs, id, shingles)
+  private def withShingleCache(
+      docs: DataFrame, id: String, shingles: Column)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val sh = explodedShingles(docs, id, shingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(sh).localCheckpoint(true)
+    finally sh.unpersist(blocking = false)
+  }
 
   /** Exact pairwise Jaccard over a shingle set, computed distributively:
     * explode → self-equi-join on the shingle → intersection counts → join
@@ -155,8 +167,7 @@ object Dedup {
     */
   def prefixFilteredJaccardPairs(
       docs: DataFrame, id: String, shingles: Column,
-      threshold: Double): DataFrame = {
-    val sh = cachedShingles(docs, id, shingles)
+      threshold: Double): DataFrame = withShingleCache(docs, id, shingles) { sh =>
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("df"), col("sh"))
@@ -181,7 +192,8 @@ object Dedup {
   def verifyJaccard(
       candidates: DataFrame, docs: DataFrame, id: String, shingles: Column,
       threshold: Double): DataFrame =
-    verifyJaccardOn(candidates, cachedShingles(docs, id, shingles), id, threshold)
+    withShingleCache(docs, id, shingles)(
+      verifyJaccardOn(candidates, _, id, threshold))
 
   private def verifyJaccardOn(
       candidates: DataFrame, sh: DataFrame, id: String,
@@ -207,11 +219,10 @@ object Dedup {
     */
   def minHashNearDupPairs(
       docs: DataFrame, id: String, shingles: Column, threshold: Double,
-      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
-    val sh = cachedShingles(docs, id, shingles)
-    val cand = lshCandidatePairsOn(sh, id, numHashes, bandRows)
-    verifyJaccardOn(cand, sh, id, threshold)
-  }
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame =
+    withShingleCache(docs, id, shingles) { sh =>
+      verifyJaccardOn(lshCandidatePairsOn(sh, id, numHashes, bandRows), sh, id, threshold)
+    }
 
   /** 60-bit SimHash of the token multiset: per-bit majority vote of
     * [[TextFunctions.tokenHash60]] (md5-derived — engine-portable, which is

@@ -212,6 +212,35 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- the sketch's ACCURACY CONTRACT, oracle-checked (same pattern as
+    // distinct_approx_check): approx_percentile(accuracy=1000) guarantees
+    // rank error ≤ 1/1000; the contract asserts the estimate lies between
+    // the exact quantiles at rank ± 0.01 (10× slack), alongside exact p50/
+    // p95 the oracle recomputes — a hard driver-checkable bound on an
+    // engine-specific sketch value ----
+    Q(
+      "q_percentile_approx_check",
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  TRUE AS p50_in_eps, TRUE AS p95_in_eps
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").as("bounds"),
+          expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pa"))
+        .select(col("event_type"), col("p50"), col("p95"),
+          element_at(col("pa"), 1).between(
+            element_at(col("bounds"), 1), element_at(col("bounds"), 2)).as("p50_in_eps"),
+          element_at(col("pa"), 2).between(
+            element_at(col("bounds"), 3), element_at(col("bounds"), 4)).as("p95_in_eps"))
+        .orderBy("event_type")
+    },
+
     // ---- deterministic stddev/variance: exact decimal sums of x and x²,
     // then the closed form in IEEE double — order-independent, unlike
     // stddev_samp's streaming accumulation ----

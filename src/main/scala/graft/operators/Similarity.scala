@@ -77,7 +77,7 @@ object Similarity {
     * cosine >= threshold. All-pairs is inherently O(n²) — fine for a
     * corpus that fits a broadcast (Spark plans this as a broadcast
     * nested-loop over the codegen'd cosine kernel); at 100 TB the same
-    * verify step runs behind [[srpCandidatePairs]] (LSH) or [[ivfTopK]]
+    * verify step runs behind [[srpNearDupPairs]] (LSH) or [[ivfTopK]]
     * bucketing, trading exact recall for linearity.
     */
   def cosineNearDupPairs(
@@ -113,7 +113,13 @@ object Similarity {
     */
   def srpSignature(vec: Column, dim: Int, bits: Int): Column = {
     require(bits <= 60, "srpSignature packs bits into a long")
-    val vd = VectorFunctions.asDouble(vec)
+    // fail loudly on a dim mismatch: zip_with would otherwise null-pad and
+    // when(proj >= 0, ...) would silently emit a degenerate 0-bit signature
+    val vd = when(size(VectorFunctions.asDouble(vec)) === dim,
+      VectorFunctions.asDouble(vec))
+      .otherwise(raise_error(concat(
+        lit(s"srpSignature: expected dim $dim, got "),
+        size(VectorFunctions.asDouble(vec)).cast("string"))))
     srpPlanes(bits, dim).zipWithIndex.map { case (plane, j) =>
       val proj = aggregate(
         zip_with(vd, typedlit(plane), (x, r) => x * r), lit(0.0), (acc, x) => acc + x)
@@ -148,6 +154,49 @@ object Similarity {
       .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
+  }
+
+  /** DuckDB replay of the full SRP pipeline: the ±1 planes are fixed-seed
+    * literals, so signatures, block keys, candidates, and the exact-cosine
+    * verify are all reproducible in SQL — the LSH path gets a hash-exact
+    * oracle, not a rows-only waiver. (Sign of the projection is the only
+    * float comparison; |proj| is O(1) while cross-engine summation skew is
+    * ~1 ulp, so the bit never flips in practice.)
+    */
+  private[graft] def srpOracleSql(threshold: Double, dim: Int, bits: Int): String = {
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
+    val planeRows = srpPlanes(bits, dim).zipWithIndex.map { case (plane, j) =>
+      plane.map(v => if (v > 0) "1.0" else "-1.0").mkString(s"($j, [", ",", "])")
+    }.mkString(",\n")
+    s"""WITH planes AS (
+       |  SELECT j, generate_subscripts(r, 1) AS pos, unnest(r) AS r
+       |  FROM (VALUES
+       |$planeRows
+       |  ) pl(j, r)),
+       |ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |proj AS (SELECT vec_id, j, SUM(x * r) AS p
+       |         FROM ev JOIN planes USING (pos) GROUP BY 1, 2),
+       |sig AS (SELECT vec_id,
+       |          CAST(SUM(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s
+       |        FROM proj GROUP BY 1),
+       |blk AS (SELECT vec_id, b AS blk, (s >> CAST(b * $blockBits AS INTEGER)) & $mask AS key
+       |        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM blk x JOIN blk y
+       |           ON x.blk = y.blk AND x.key = y.key AND x.vec_id < y.vec_id),
+       |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+       |dots AS (SELECT c.vec_a, c.vec_b, SUM(a.x * b.x) AS dot
+       |         FROM cand c
+       |         JOIN ev a ON a.vec_id = c.vec_a
+       |         JOIN ev b ON b.vec_id = c.vec_b AND b.pos = a.pos
+       |         GROUP BY 1, 2),
+       |sims AS (SELECT vec_a, vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
+       |         FROM dots JOIN vnorm na ON na.vec_id = vec_a
+       |                   JOIN vnorm nb ON nb.vec_id = vec_b)
+       |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim_r FROM sims
+       |WHERE sim >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- queries
@@ -255,26 +304,17 @@ object Similarity {
       ).orderBy("vec_id")
     },
 
-    // ---- embedding-cosine near-dup pairs, exact all-pairs. The fixture's
-    // vectors are i.i.d. random (max pairwise cosine ≈ 0.51), so the
-    // threshold is 0.4 to exercise non-empty output; real corpora run
-    // 0.95+ behind the SRP/IVF candidate generators ----
-    Q(
-      "dedup_embedding_cosine",
-      """WITH ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
-        |                   generate_subscripts(embedding, 1) AS pos
-        |            FROM embeddings),
-        |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
-        |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
-        |         FROM ev a JOIN ev b ON a.pos = b.pos AND a.vec_id < b.vec_id
-        |         GROUP BY 1, 2),
-        |sims AS (SELECT vec_a, vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
-        |         FROM dots JOIN vnorm na ON na.vec_id = vec_a
-        |                   JOIN vnorm nb ON nb.vec_id = vec_b)
-        |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim_r FROM sims
-        |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
-    ) { (s, d) =>
-      cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+    // ---- embedding near-dup via SRP-LSH — the REGISTERED (scale-tier)
+    // plan: linear signature scan + block-bucketed candidate join + exact
+    // verify, no all-pairs anywhere. The fixture's vectors are i.i.d.
+    // random (max pairwise cosine ≈ 0.51) so the threshold is 0.4 to
+    // exercise non-empty output; recall vs the exact all-pairs result is
+    // the SRP collision probability (ExtensionSpec asserts the subset
+    // property and exact-duplicate recall against [[cosineNearDupPairs]],
+    // which stays as the spec-level reference implementation). The oracle
+    // replays the whole pipeline, so the check is hash-exact ----
+    Q("dedup_embedding_srp", srpOracleSql(0.4, 64, 32)) { (s, d) =>
+      srpNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4, dim = 64)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
         .orderBy("vec_a", "vec_b")
     },

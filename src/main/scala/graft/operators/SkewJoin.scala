@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -47,4 +48,26 @@ object SkewJoin {
         joinType)
       .drop("__salt")
   }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Seq[Q] = Seq(
+    // ---- salted lineitem ⋈ supplier, aggregated by nation: the oracle is
+    // the PLAIN join SQL — green means salted ≡ unsalted row-for-row, the
+    // skew-join correctness contract checked by the driver, not just spec ----
+    Q(
+      "q_skew_join",
+      """SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
+    ) { (s, d) =>
+      saltedJoin(Tables.lineitem(s, d), Tables.supplier(s, d),
+        "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("nationkey")
+    },
+  )
 }

@@ -153,5 +153,30 @@ object TextOps {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
       ).orderBy("doc_id")
     },
+
+    // ---- multimodal feature extraction end-to-end: mediaFromText builds
+    // the (payload, kind, meta) table, extractFeatures runs the batched
+    // mapPartitions decode path. n_bytes + the base-131 mod-2^55 payload
+    // checksum are deterministic polynomials the oracle replays per byte
+    // (fixture text is ASCII, so unicode(char) == byte value); the stubbed
+    // feature vector itself is excluded (decode is env-stubbed, documented
+    // in functions.Multimodal) ----
+    Q(
+      "media_features",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, x) -> (a * 131 + x) % 36028797018963968) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+    ) { (s, d) =>
+      graft.functions.Multimodal
+        .extractFeatures(graft.functions.Multimodal
+          .mediaFromText(Tables.documents(s, d), "doc_id", "text"))
+        .select("media_id", "kind", "n_bytes", "checksum")
+        .orderBy("media_id")
+    },
   )
 }

@@ -26,6 +26,17 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   private def metaDir(name: String) = tableDir(name).resolve("_meta")
   private def dataDir(name: String) = tableDir(name).resolve("data")
 
+  // Files.list/walk return streams backed by an open directory fd; drain
+  // them under try/finally so repeated catalog calls don't leak fds.
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+  private def walkAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Declare a table: fixed schema + optional partition column. */
   def create(name: String, schema: StructType, partitionBy: Option[String] = None): Unit = {
     require(!exists(name), s"table $name already exists")
@@ -70,9 +81,9 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   def tables(): Seq[String] =
     if (!Files.exists(Paths.get(warehouse))) Seq.empty
-    else Files.list(Paths.get(warehouse)).iterator().asScala
+    else listDir(Paths.get(warehouse))
       .filter(p => Files.exists(p.resolve("_meta/schema.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
 
   /** Append-only insert: validates + casts to the declared schema, writes
     * Hive-partitioned parquet. The cast is strict column-name matching
@@ -108,7 +119,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     */
   def table(name: String): DataFrame = {
     val dir = dataDir(name)
-    if (!Files.exists(dir) || Files.list(dir).iterator().asScala.forall(_.getFileName.toString.startsWith("_")))
+    if (!Files.exists(dir) || listDir(dir).forall(_.getFileName.toString.startsWith("_")))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema(name))
     else
       spark.read
@@ -123,11 +134,27 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     case Some(p) =>
       val dir = dataDir(name)
       if (!Files.exists(dir)) Seq.empty
-      else Files.list(dir).iterator().asScala
+      else listDir(dir)
         .map(_.getFileName.toString)
         .filter(_.startsWith(s"$p="))
         .map(_.stripPrefix(s"$p="))
-        .toSeq.sorted
+        .sorted
+  }
+
+  /** Predicate-form delete — the reference's `t.delete(t.date == 'x')`
+    * surface. The only delete granularity is a whole partition, so the
+    * condition must be `<partitionColumn> === <literal>`; anything else is
+    * rejected loudly (row-level deletes are not append-only semantics).
+    */
+  def delete(name: String, condition: org.apache.spark.sql.Column): Unit = {
+    val p = partitionColumn(name)
+      .getOrElse(throw new IllegalArgumentException(s"table $name is not partitioned"))
+    org.apache.spark.sql.graft.Bridge.equalityParts(condition) match {
+      case Some((col, v)) if col == p => deletePartition(name, String.valueOf(v))
+      case _ => throw new IllegalArgumentException(
+        s"delete on $name supports only `col(\"$p\") === <literal>` " +
+          s"(partition-granularity, append-only storage); got: $condition")
+    }
   }
 
   /** Partition-granularity delete (the only delete the reference has). */
@@ -136,7 +163,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .getOrElse(throw new IllegalArgumentException(s"table $name is not partitioned"))
     val dir = dataDir(name).resolve(s"$p=$value")
     if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      walkAll(dir).reverse.foreach(Files.delete)
     }
   }
 
@@ -144,7 +171,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def drop(name: String): Unit = {
     val dir = tableDir(name)
     if (Files.exists(dir))
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      walkAll(dir).reverse.foreach(Files.delete)
   }
 
   /** Materialize a query result as a new table (the reference's

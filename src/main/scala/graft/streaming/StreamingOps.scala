@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming tier (SURVEY.md §2.7): the reference's append-only
   * event ingest generalized to real stream processing — file source,
   * tumbling event-time windows with watermarks, AvailableNow triggers for
@@ -16,11 +18,14 @@ import org.apache.spark.sql.types._
   * batch-equivalent, so the DuckDB oracle can still check it — streaming
   * correctness verified against relational semantics.
   *
-  * Resource discipline: each invocation runs in a *cloned* SparkSession
-  * (own SQLConf — no thread-unsafe set/restore of session-global
-  * `spark.sql.shuffle.partitions`), materializes the memory sink, then
-  * drops the sink view and deletes the staging directory before returning.
-  * Repeated bench runs therefore accumulate no driver memory or tmp files.
+  * Resource discipline: each invocation runs in a `newSession()` (own
+  * SQLConf/catalog sharing the SparkContext — no thread-unsafe set/restore
+  * of session-global `spark.sql.shuffle.partitions`; note newSession
+  * inherits only builder-level confs, not runtime `spark.conf.set` values,
+  * which is fine here because every conf we rely on is builder-level),
+  * materializes the sink, then drops sink state and deletes the staging
+  * directory before returning. Repeated bench runs therefore accumulate no
+  * driver memory or tmp files.
   */
 object StreamingOps {
 
@@ -77,13 +82,54 @@ object StreamingOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Run a streaming query to completion writing a FILE sink — the scale
+    * path: results go executor→disk, never through the driver (the memory
+    * sink in [[runToBatch]] collects to the driver, fine for spec-scale
+    * state only). Complete-mode windowed aggs can't use the native file
+    * sink (append-only, and its watermark-gated emission would hold back
+    * the final windows of a bounded replay), so this uses `foreachBatch` +
+    * overwrite — the standard pattern: each micro-batch atomically rewrites
+    * the output with the full current aggregate; the last rewrite IS the
+    * final answer. Checkpoint + output live in a temp dir deleted after the
+    * result is re-read and localCheckpoint'ed to executor blocks (fixture
+    * hygiene — in production the output directory is the product and
+    * stays).
+    */
+  private def runToFiles(
+      spark: SparkSession, prefix: String,
+      build: SparkSession => (DataFrame, org.apache.spark.sql.streaming.OutputMode))
+      : DataFrame = {
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val work = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
+    val outDir = work.resolve("out").toString
+    try {
+      val (stream, mode) = build(session)
+      val query = stream.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.write.mode("overwrite").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      spark.read.parquet(outDir).localCheckpoint(true)
+    } finally {
+      val s = java.nio.file.Files.walk(work)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
   /** Streaming tumbling-window aggregation over the events fixture,
-    * executed to completion with AvailableNow. Returns the final result
-    * as a batch DataFrame.
+    * executed to completion with AvailableNow and materialized through the
+    * file sink (no driver-side result collection). Returns the final
+    * result as a batch DataFrame backed by executor blocks.
     */
   def hourlyCountsStreaming(spark: SparkSession, sfDir: String): DataFrame =
     withStagedEvents(sfDir) { stageDir =>
-      runToBatch(spark, "stream_hourly", { session =>
+      runToFiles(spark, "stream_hourly", { session =>
         val stream = session.readStream
           .schema(eventsSchema)
           .parquet(stageDir)

@@ -15,4 +15,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Deconstruct a `col === literal` (either operand order) Column into
+    * (columnName, literalValue) — used by predicate-form DDL (partition
+    * delete) to validate conditions WITHOUT an analyzer pass. Returns None
+    * for anything that is not a simple attribute/literal equality.
+    */
+  def equalityParts(c: Column): Option[(String, Any)] = {
+    import org.apache.spark.sql.internal.{Literal => LitNode, UnresolvedAttribute => AttrNode, UnresolvedFunction => FnNode}
+    c.node match {
+      case FnNode("=" | "==", Seq(a, b), _, _, _, _) => (a, b) match {
+        case (attr: AttrNode, l: LitNode) => Some(attr.nameParts.mkString(".") -> l.value)
+        case (l: LitNode, attr: AttrNode) => Some(attr.nameParts.mkString(".") -> l.value)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }

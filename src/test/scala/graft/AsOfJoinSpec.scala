@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** AsOfJoin contract: latest right.ts <= left.ts per key, DuckDB/pandas
+  * ASOF NULL semantics, reserved-name and orderability validation.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 10L, "l3"),
+  ).toDF("k", "ts", "ltag")
+
+  private def rightDf = Seq(
+    (1L, 5L, "r5"), (1L, 20L, "r20"), (2L, 30L, "r30"),
+  ).toDF("k", "ts", "pay")
+
+  test("asOf attaches the latest right row at-or-before each left ts") {
+    val out = AsOfJoin.asOf(leftDf, rightDf, "k", "ts", "ts", Seq("pay"))
+      .select(col("ltag"), col("asof.pay").as("pay"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map("l1" -> Some("r5"), "l2" -> Some("r20"), "l3" -> None))
+  }
+
+  test("asOf drops NULL-ts and NULL-key right rows instead of matching them") {
+    val right = Seq(
+      (Some(1L), Some(100L), "late"),         // after every left row: no match
+      (Some(1L), None: Option[Long], "nullts"), // must never be carried
+      (None: Option[Long], Some(1L), "nullkey"),
+    ).toDF("k", "ts", "pay")
+    val out = AsOfJoin.asOf(leftDf, right, "k", "ts", "ts", Seq("pay"))
+      .select(col("ltag"), col("asof.pay").as("pay")).collect()
+    assert(out.forall(_.isNullAt(1)), "NULL-ts/key right rows leaked into matches")
+  }
+
+  test("asOf preserves NULL-ts / NULL-key left rows with a NULL payload") {
+    val left = Seq(
+      (Some(1L), Some(10L), "ok"),
+      (Some(1L), None: Option[Long], "nullts"),
+      (None: Option[Long], Some(10L), "nullkey"),
+    ).toDF("k", "ts", "ltag")
+    val out = AsOfJoin.asOf(left, rightDf, "k", "ts", "ts", Seq("pay"))
+      .select(col("ltag"), col("asof.pay").as("pay"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map("ok" -> Some("r5"), "nullts" -> None, "nullkey" -> None))
+  }
+
+  test("asOf rejects reserved internal column names") {
+    val bad = leftDf.withColumn("__graft_asof_k", lit(1))
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asOf(bad, rightDf, "k", "ts", "ts", Seq("pay"))
+    }
+  }
+
+  test("asOf rejects unorderable (map) payload columns at plan time") {
+    val right = rightDf.withColumn("m", map(lit("a"), lit(1)))
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asOf(leftDf, right, "k", "ts", "ts", Seq("pay", "m"))
+    }
+  }
+}

@@ -81,6 +81,45 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("j").agg(sum("a")).collect().head.getLong(0) == 3L)
   }
 
+  test("predicate-form delete drops exactly the named partition") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    val before = cat.partitions("docs")
+    cat.delete("docs", col("lang") === "en")
+    assert(cat.partitions("docs") == before.filterNot(_ == "en"))
+    assert(cat.table("docs").filter(col("lang") === "en").isEmpty)
+    // literal-first order also accepted
+    cat.delete("docs", lit("de") === col("lang"))
+    assert(!cat.partitions("docs").contains("de"))
+  }
+
+  test("predicate-form delete rejects non-partition and non-equality conditions") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    assertThrows[IllegalArgumentException] {
+      cat.delete("docs", col("source") === "web") // not the partition column
+    }
+    assertThrows[IllegalArgumentException] {
+      cat.delete("docs", col("lang") =!= "en") // not an equality
+    }
+    assert(cat.table("docs").count() == docs.count(), "rejected deletes must not mutate")
+  }
+
+  test("dump renders an aligned bounded prefix") {
+    val out = graft.dsl.Dump.dump(
+      Tables.documents(spark, sf0001).orderBy("doc_id")
+        .select("doc_id", "lang"), n = 3)
+    val lines = out.split("\n")
+    assert(lines.length == 7, s"expected 7 lines, got:\n$out")
+    assert(lines(1).contains("doc_id") && lines(1).contains("lang"))
+    assert(lines.count(_.startsWith("+-")) == 3)
+    assert(lines.map(_.length).distinct.length == 1, "columns not aligned")
+  }
+
   test("drop removes table and data") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)

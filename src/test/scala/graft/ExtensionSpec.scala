@@ -130,6 +130,41 @@ class ExtensionSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("srpNearDupPairs is a subset of the exact all-pairs result") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = graft.operators.Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val srp = graft.operators.Similarity
+      .srpNearDupPairs(emb, "vec_id", "embedding", 0.4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(srp.nonEmpty, "SRP found no pairs on the fixture")
+    srp.foreach { case (pair, sim) =>
+      assert(exact.contains(pair), s"SRP emitted $pair not in the exact result")
+      assert(math.abs(exact(pair) - sim) < 1e-9)
+    }
+  }
+
+  test("srpNearDupPairs always finds exact duplicates (identical signatures)") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val dup = emb.withColumn("vec_id", col("vec_id") + 10000L)
+    val pairs = graft.operators.Similarity
+      .srpNearDupPairs(emb.unionByName(dup), "vec_id", "embedding", 0.999, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing exact-dup pairs: ${expected.diff(pairs).take(5)}")
+  }
+
+  test("srpSignature raises on a dim mismatch instead of degenerating") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    assertThrows[Exception] {
+      df.select(graft.operators.Similarity.srpSignature(col("v"), dim = 64, bits = 32))
+        .collect()
+    }
+  }
+
   test("catalog createFromSpecs persists indexed columns; insert applies bloom") {
     val cat = new graft.sources.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_spec_").toString)
