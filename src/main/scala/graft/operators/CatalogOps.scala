@@ -41,7 +41,7 @@ object CatalogOps {
     Q(
       "catalog_partition_prune",
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_chars
+        |  CAST(SUM(CAST(ROUND((n_chars)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_chars
         |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
     ) { (s, d) =>
       val wh = Files.createTempDirectory("graft_wh_").toString

@@ -46,7 +46,12 @@ object Dedup {
     }
   }
 
-  /** (id, shingle) exploded pairs; empty-shingle docs drop out. */
+  /** (id, shingle) exploded pairs; empty-shingle docs drop out. NOT
+    * fanned out: measured at sf0.1, repartitioning before the explode is
+    * performance-neutral for the LSH pipelines (the multi-join candidate +
+    * verify stages dominate, and they re-shuffle anyway) — see
+    * Tables.fanOut for where fan-out does pay.
+    */
   private def explodedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
     docs.select(col(id), explode(shingles).as("sh"))
 
@@ -132,7 +137,9 @@ object Dedup {
 
   /** LSH candidate pairs from banded MinHash signatures (bands of `r`
     * rows): docs sharing any band bucket. P(candidate) = 1-(1-J^r)^b —
-    * with 128 hashes and r=2, recall at J≥0.8 is 1 - 3.6e-29.
+    * with 32 hashes and r=2 (16 bands), recall at J≥0.8 is 1 − 0.36^16 ≈
+    * 1 − 8e-8; more hashes only add signature cost AND more sub-threshold
+    * junk candidates for the verify step (both scale with b).
     */
   def lshCandidatePairs(
       docs: DataFrame, id: String, shingles: Column,
@@ -219,7 +226,7 @@ object Dedup {
     */
   def minHashNearDupPairs(
       docs: DataFrame, id: String, shingles: Column, threshold: Double,
-      numHashes: Int = 128, bandRows: Int = 2): DataFrame =
+      numHashes: Int = 32, bandRows: Int = 2): DataFrame =
     withShingleCache(docs, id, shingles) { sh =>
       verifyJaccardOn(lshCandidatePairsOn(sh, id, numHashes, bandRows), sh, id, threshold)
     }

@@ -106,7 +106,7 @@ object EventsOps {
       "events_sessionize_agg",
       """SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
     ) { (s, d) =>
       Tables.events(s, d)
@@ -133,7 +133,7 @@ object EventsOps {
         |  FROM marked)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     ) { (s, d) =>
@@ -172,7 +172,7 @@ object EventsOps {
         |  FROM marked)
         |SELECT user_id, MIN(ts) AS session_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     ) { (s, d) =>
@@ -248,9 +248,9 @@ object EventsOps {
       "q_stddev",
       """SELECT event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  sqrt((CAST(SUM(CAST(value*value AS DECIMAL(18,6))) AS DOUBLE)
-        |        - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        |          * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        |  sqrt(((CAST(SUM(CAST(ROUND((value*value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0)
+        |        - (CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0)
+        |          * (CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0) / COUNT(*))
         |       / (COUNT(*) - 1)) AS stddev_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     ) { (s, d) =>
@@ -315,8 +315,8 @@ object EventsOps {
       "q_event_stats",
       """SELECT event_type,
         |  MIN(value) AS min_v, MAX(value) AS max_v,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_v,
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_v,
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_v,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     ) { (s, d) =>

@@ -28,12 +28,12 @@ object Relational {
     Q(
       "q1_scan_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST((l_extendedprice*(1-l_discount)*(1+l_tax)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  CAST(SUM(CAST(ROUND((l_quantity)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_qty,
+        |  CAST(SUM(CAST(ROUND((l_extendedprice)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_base_price,
+        |  CAST(SUM(CAST(ROUND(((l_extendedprice*(1-l_discount)))*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(ROUND(((l_extendedprice*(1-l_discount)*(1+l_tax)))*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+        |  CAST(SUM(CAST(ROUND((l_quantity)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(ROUND((l_discount)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,7 +61,7 @@ object Relational {
     Q(
       "q3_join_agg_topk",
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(ROUND(((l_extendedprice*(1-l_discount)))*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue,
         |  o_orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -121,7 +121,7 @@ object Relational {
     Q(
       "q_multi_join_dims",
       """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+        |  CAST(SUM(CAST(ROUND((c_acctbal)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -211,7 +211,7 @@ object Relational {
       """SELECT p_brand,
         |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
         |  CAST(MIN(p_size) AS BIGINT) AS min_size, CAST(MAX(p_size) AS BIGINT) AS max_size,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_price
+        |  CAST(SUM(CAST(ROUND((p_retailprice)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     ) { (s, d) =>
       Tables.part(s, d)
@@ -263,7 +263,7 @@ object Relational {
       "q_rollup",
       """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  CAST(SUM(CAST(ROUND((l_quantity)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     ) { (s, d) =>
@@ -321,7 +321,7 @@ object Relational {
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  CAST(SUM(CAST(ROUND((o_totalprice)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
     ) { (s, d) =>
       Tables.orders(s, d)

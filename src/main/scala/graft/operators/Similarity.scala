@@ -82,7 +82,7 @@ object Similarity {
     */
   def cosineNearDupPairs(
       corpus: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(id).as("vec_a"), col(vec).as("va"))
+    val a = Tables.fanOut(corpus).select(col(id).as("vec_a"), col(vec).as("va"))
     val b = corpus.select(col(id).as("vec_b"), col(vec).as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
@@ -137,7 +137,7 @@ object Similarity {
       dim: Int, bits: Int = 32): DataFrame = {
     val blockBits = bits / 4
     val mask = (1L << blockBits) - 1
-    val sig = corpus.select(col(id), col(vec),
+    val sig = Tables.fanOut(corpus).select(col(id), col(vec),
       srpSignature(col(vec), dim, bits).as("__sig"))
     val blocks = (0 until 4).map { j =>
       struct(lit(j).as("blk"),

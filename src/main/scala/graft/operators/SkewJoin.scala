@@ -59,7 +59,7 @@ object SkewJoin {
       "q_skew_join",
       """SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
-        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  CAST(SUM(CAST(ROUND((l.l_quantity)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_qty
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     ) { (s, d) =>

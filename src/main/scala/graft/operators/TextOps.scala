@@ -73,7 +73,7 @@ object TextOps {
     Q(
       "lang_source_profile",
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_chars,
+        |  CAST(SUM(CAST(ROUND((n_chars)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_chars,
         |  CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     ) { (s, d) =>

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators (SURVEY.md §2.9 extension): the steps
+  * between "near-dup pairs found" and "training corpus shipped" —
+  * duplicate-cluster resolution (connected components + keep-one),
+  * deterministic train/test splitting, and stratified sampling.
+  *
+  * Scale design:
+  *  - components: iterative min-label propagation over the (sparse) dup
+  *    edge set — O(component diameter) joins, each a key-partitioned
+  *    shuffle of the EDGE table only (never the corpus). Dup graphs in
+  *    practice are unions of tiny cliques (diameter ≤ ~3), so convergence
+  *    is a handful of rounds; for adversarially long chains switch the
+  *    inner step to large-star/small-star (same join shape, O(log n)
+  *    rounds). Each round localCheckpoints the label table — mandatory in
+  *    iterative Spark, otherwise the lineage (and thus the plan) doubles
+  *    per round; on a cluster this would be a reliable checkpoint.
+  *  - split/sample: pure per-row codegen'd hash expressions (md5-derived,
+  *    engine-portable) — no shuffle for the split, one row_number window
+  *    per stratum for the sample. Hash-of-id splitting is the standard
+  *    trick that keeps assignment stable under corpus growth: a document's
+  *    split never depends on what else is in the corpus.
+  */
+object TrainingData {
+
+  /** Connected components of an undirected edge list: (node, component)
+    * where component = min node id reachable. Nodes = every endpoint.
+    */
+  def connectedComponents(
+      edges: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
+    val adj0 = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint(true) // reused every round; fixed (edge list)
+    // size the iteration's partitioning to the EDGE count, not the session
+    // default — a dup graph is far smaller than its corpus, and per-round
+    // fixed task overhead dominates when 32 shuffle tasks carry 50 edges.
+    // (~1M edges per partition; billions of edges at 100 TB keep the
+    // session's full parallelism.) coalesce = no extra shuffle.
+    val parts = math.max(1, math.min(adj0.rdd.getNumPartitions,
+      (adj0.count() / 1000000L).toInt + 1))
+    val adj = adj0.coalesce(parts)
+    var labels = adj.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so sum(labels) strictly decreases until
+    // the fixpoint — an O(1)-result convergence probe per round (decimal:
+    // overflow-proof at any node count)
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = adj.join(labels, adj("dst") === labels("node"))
+        .groupBy(adj("src").as("nb_node")).agg(min("label").as("nb_label"))
+      val updated = labels.join(neighborMin, labels("node") === neighborMin("nb_node"), "left")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("nb_label"), labels("label"))).as("label"))
+        .localCheckpoint(true)
+      labels = updated
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Duplicate-cluster table over near-dup pairs: every doc that appears
+    * in a pair, its component id (min doc id in the cluster), cluster
+    * size, and whether it is the cluster's keeper.
+    */
+  def dupClusters(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val w = Window.partitionBy("component")
+    connectedComponents(pairs, a, b)
+      .select(col("node").as("doc_id"), col("component"),
+        count(lit(1)).over(w).as("n_members"))
+      .withColumn("is_keeper", col("doc_id") === col("component"))
+  }
+
+  /** Deterministic hash split: 'train' for trainPct% of rows, 'test'
+    * otherwise, keyed only on the row's id (stable under corpus growth,
+    * identical across engines — md5-derived, not xxhash).
+    */
+  def hashSplit(id: Column, trainPct: Int): Column =
+    when(pmod(TextFunctions.tokenHash60(id.cast("string")), lit(100)) < trainPct,
+      lit("train")).otherwise(lit("test"))
+
+  /** Deterministic stratified sample: `k` rows per stratum, chosen by
+    * hash order (uniform-at-random for a fixed corpus, reproducible
+    * everywhere). One window per stratum; no global shuffle.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratum: String, id: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(TextFunctions.tokenHash60(col(id).cast("string")), col(id))
+    df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Oracle edge set: exact 3-shingle Jaccard ≥ 0.8 pairs — proven equal to
+    * the Spark side's MinHash-LSH pairs by the dedup_minhash contract.
+    */
+  private val jaccardPairsCte =
+    """w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                                            FOR i IN range(1, len(ws)-1)])) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT da AS doc_a, db AS doc_b FROM (
+      |    SELECT a.doc_id da, b.doc_id db, count(*) i
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2) x
+      |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE i*1.0/(sa.n + sb.n - i) >= 0.8)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    // ---- duplicate-cluster resolution: connected components over MinHash
+    // near-dup pairs, min-id canonical per cluster. Oracle replays
+    // reachability with a recursive CTE over the exact-Jaccard edge set ----
+    Q(
+      "dedup_components",
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT ea AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, e.eb FROM reach JOIN edges e ON e.ea = reach.r),
+         |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, component,
+         |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+         |  doc_id = component AS is_keeper
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val pairs = Dedup.minHashNearDupPairs(
+        Tables.documents(s, d), "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
+      dupClusters(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    },
+
+    // ---- deterministic stratified train/test split (90/10 on id hash) ----
+    Q(
+      "stratified_split",
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        |    THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), hashSplit(col("doc_id"), 90).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic stratified sample: 5 docs per language ----
+    Q(
+      "q_stratified_sample",
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    ) { (s, d) =>
+      stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 5)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    },
+  )
+}

@@ -183,7 +183,7 @@ object StreamingOps {
       "stream_hourly_agg",
       """SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
     )(hourlyCountsStreaming),
   )

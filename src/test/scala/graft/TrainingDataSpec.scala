@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.TrainingData
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly: connected components, dup-cluster resolution,
+  * hash split, stratified sampling.
+  */
+class TrainingDataSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connectedComponents resolves chains, cliques and isolated pairs") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+    ).toDF("a", "b")
+    val comp = TrainingData.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters marks exactly one keeper per component with its size") {
+    val pairs = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val rows = TrainingData.dupClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSet == Set(
+      (5L, 5L, 3L, true), (7L, 5L, 3L, false), (9L, 5L, 3L, false),
+      (30L, 30L, 2L, true), (31L, 30L, 2L, false)))
+  }
+
+  test("hashSplit is deterministic and roughly respects the split fraction") {
+    val docs = Tables.documents(spark, sf0001)
+    val split1 = docs.select(col("doc_id"),
+      TrainingData.hashSplit(col("doc_id"), 90).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val split2 = docs.select(col("doc_id"),
+      TrainingData.hashSplit(col("doc_id"), 90).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split1 == split2)
+    val trainFrac = split1.values.count(_ == "train").toDouble / split1.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+  }
+
+  test("stratifiedSample returns k deterministic rows per stratum") {
+    val docs = Tables.documents(spark, sf0001)
+    val s1 = TrainingData.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = TrainingData.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    val perLang = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    val langCounts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langCounts.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(5L, n).toInt,
+        s"stratum $lang: got ${perLang.getOrElse(lang, 0)} of $n")
+    }
+  }
+}
