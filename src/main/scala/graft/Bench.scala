@@ -16,6 +16,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE size post-shuffle partitions by bytes (advisory 64MB)
+      // instead of defending the session's parallelism: at fixture scale
+      // this collapses 32 near-empty reducers into a few right-sized ones
+      // (fixed task overhead dominates small shuffles); at 100 TB the same
+      // rule yields full parallelism because partitions are byte-bound.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

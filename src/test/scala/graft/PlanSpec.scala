@@ -61,6 +61,34 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("dedup_embedding_srp plans with NO all-pairs join (the scale contract)") {
+    val df = SparkEntry.queries("dedup_embedding_srp")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "SRP near-dup must bucket-join, never all-pairs")
+  }
+
+  test("ann_topk_bruteforce broadcasts the query batch, not the corpus") {
+    val df = SparkEntry.queries("ann_topk_bruteforce")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "query batch should broadcast against the linear corpus scan")
+  }
+
+  test("q_skew_join splits the join key across salts in the plan") {
+    val df = SparkEntry.queries("q_skew_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salted join must key on (key, salt)")
+  }
+
+  test("stratified_split is a pure per-row projection (no shuffle before sort)") {
+    val df = SparkEntry.queries("stratified_split")(spark, sf0001)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Exchange"))
+    // only the final ORDER BY's range exchange is allowed
+    assert(exchanges <= 1, s"hash split must not shuffle; found $exchanges exchanges")
+  }
+
   test("approx_count_distinct lands within its rsd bound of the exact count") {
     val exact = SparkEntry.queries("distinct_exact")(spark, sf0001)
       .collect().head.getLong(0).toDouble
