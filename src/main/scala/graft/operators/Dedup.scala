@@ -55,26 +55,24 @@ object Dedup {
   private def explodedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
     docs.select(col(id), explode(shingles).as("sh"))
 
-  /** Pipeline-scoped shingle cache: the multi-pass dedup pipelines
-    * (doc-freq / prefix / signatures / verify) all reuse the same explode —
-    * without caching, the shingle expression re-evaluates once per
-    * consumer. The cache must not outlive the pipeline (a bare `persist`
-    * here leaked blocks across repeated bench invocations), so `f`'s
-    * (small — pairs above threshold) result is eagerly materialized via
-    * `localCheckpoint` while the cache is alive, then the shingles are
-    * unpersisted in a finally. At cluster scale this is exactly
-    * "checkpoint the tokenized corpus, run candidate-gen + verify, drop
-    * it"; localCheckpoint keeps blocks on executors (nothing driver-side)
-    * and the ContextCleaner frees them once the result is unreferenced.
+  /** Pipeline-scoped shingle materialization: the multi-pass dedup
+    * pipelines (doc-freq / prefix / signatures / verify) all reuse the
+    * same explode. A lazy `persist` is NOT enough: the pipeline executes
+    * as one job whose parallel branches (signatures, sizes, both verify
+    * sides) race past the cache and each recompute the explode. So the
+    * exploded shingles are eagerly `localCheckpoint`ed FIRST — one
+    * parallel (fanned-out) explode, after which every consumer reads the
+    * checkpointed blocks and downstream lineage starts there. No
+    * unpersist bookkeeping: blocks live on executors exactly as long as
+    * the returned result references them, then the ContextCleaner frees
+    * them (no growth across repeated bench invocations — the round-2
+    * leak). At cluster scale this is "checkpoint the tokenized corpus,
+    * run candidate-gen + verify, drop it".
     */
   private def withShingleCache(
       docs: DataFrame, id: String, shingles: Column)(
-      f: DataFrame => DataFrame): DataFrame = {
-    val sh = explodedShingles(Tables.fanOut(docs), id, shingles)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try f(sh).localCheckpoint(true)
-    finally sh.unpersist(blocking = false)
-  }
+      f: DataFrame => DataFrame): DataFrame =
+    f(explodedShingles(Tables.fanOut(docs), id, shingles).localCheckpoint(true))
 
   /** Exact pairwise Jaccard over a shingle set, computed distributively:
     * explode → self-equi-join on the shingle → intersection counts → join
