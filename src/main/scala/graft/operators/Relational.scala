@@ -293,6 +293,68 @@ object Relational {
         .orderBy("rf", "ls")
     },
 
+    // ---- A8: arbitrary GROUPING SETS (the general form cube/rollup are
+    // sugar for) — both engines speak the same SQL here, so the Spark side
+    // runs through the SQL surface (GraftSql) ----
+    Q(
+      "q_grouping_sets",
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND((l_quantity)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.sql(s, d,
+        """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(ROUND(l_quantity*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
+    // ---- A8: ordered array aggregation (collect_list is unordered by
+    // contract in BOTH engines; sorting inside the agg expression is what
+    // makes it deterministic and comparable) ----
+    Q(
+      "q_array_agg",
+      """SELECT lang, CAST(len(list(doc_id)) AS BIGINT) AS n_docs,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM (SELECT lang, doc_id FROM documents WHERE doc_id < 100)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .groupBy("lang")
+        .agg(
+          size(collect_list(col("doc_id"))).cast("long").as("n_docs"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("doc_ids"))
+        .orderBy("lang")
+    },
+
+    // ---- A8: pivot (wide aggregation) — fixed column domain so schema is
+    // static; oracle emulates with conditional sums; absent combinations
+    // normalized to 0 on both sides ----
+    Q(
+      "q_pivot",
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source")
+    },
+
     // ---- §2.6 extension: scalar functions (string) ----
     Q(
       "q_string_funcs",
