@@ -115,6 +115,32 @@ object EventsOps {
         .orderBy("event_type", "hour_start")
     },
 
+    // ---- W1: remaining window-function surface — ntile, dense_rank,
+    // first/last value over the full partition frame ----
+    Q(
+      "q_window_funcs_misc",
+      """SELECT user_id, event_id,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+        |  FIRST_VALUE(event_id) OVER w AS first_ev,
+        |  LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          dense_rank().over(w).cast("long").as("drank"),
+          first(col("event_id")).over(w).as("first_ev"),
+          last(col("event_id")).over(wFull).as("last_ev"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- batch sessionization: 30-min-gap sessions via window marker ----
     Q(
       "q_sessionize_gap",

@@ -156,6 +156,125 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** Deterministic Lloyd k-means assignment (the offline step that builds
+    * a REAL IVF index — upgrades the per-label-mean stand-in used by
+    * [[ivfTopK]]'s fixture queries).
+    *
+    * Determinism contract (what makes it oracle-replayable):
+    *  - seeds = the `k` smallest-id vectors, cluster label = seed id;
+    *  - FIXED `iters` Lloyd rounds, no convergence test;
+    *  - assignment = argmin of the squared-L2 distance ROUNDED to 6dp,
+    *    ties to the smallest cluster label (sub-ulp cross-engine
+    *    summation skew cannot flip a rounded argmin off a knife-edge);
+    *  - centroid update = per-dimension micros-exact mean (Det contract).
+    *
+    * Scale shape: per round, ONE linear pass assigning via a codegen'd
+    * fold against broadcast centroid literals (k·dim doubles — model
+    * state, the one sanctioned driver round-trip, exactly how MLlib's
+    * k-means iterates) + one groupBy(cluster, pos) mean. O(iters · n·k·d)
+    * compute, no shuffle of the corpus beyond the mean aggregation.
+    */
+  def kMeansAssign(
+      corpus: DataFrame, id: String, vec: String, k: Int, iters: Int): DataFrame = {
+    val vd = VectorFunctions.asDouble(col(vec))
+    def assignExpr(cs: Seq[(Long, Seq[Double])]): Column =
+      least(cs.map { case (cl, c) =>
+        val dist = round(aggregate(
+          zip_with(vd, typedlit(c), (x, m) => (x - m) * (x - m)),
+          lit(0.0), (a, x) => a + x), 6)
+        struct(dist.as("d"), lit(cl).as("cl"))
+      }: _*).getField("cl")
+
+    var cents: Seq[(Long, Seq[Double])] = corpus.filter(col(id) < k)
+      .select(col(id).cast("long"), vd.as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(vd.as("v"), assignExpr(cents).as("cl"))
+      cents = assigned
+        .select(col("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(graft.Det.davg(col("x")).as("m"))
+        .groupBy("cl")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cl"), transform(col("pm"), s => s.getField("m")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+        .sortBy(_._1).toSeq
+    }
+    corpus.select(col(id), assignExpr(cents).as("cluster")).orderBy(col(id))
+  }
+
+  /** Shared CTE chain replaying [[kMeansAssign]] in SQL: unrolled Lloyd
+    * rounds ending in `kassign(vec_id, cluster)`.
+    */
+  private def kMeansCtes(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (SELECT ev.vec_id, c.cl, ROUND(SUM((ev.x - c.m)*(ev.x - c.m)), 6) AS dist
+         |        FROM ev JOIN c${i - 1} c ON c.pos = ev.pos GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |c$i AS (SELECT a.cl, ev.pos,
+         |          CAST(SUM(CAST(ROUND((ev.x)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS m
+         |        FROM a$i a JOIN ev ON ev.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |c0 AS (SELECT vec_id AS cl, pos, x AS m FROM ev WHERE vec_id < $k),
+       |$rounds,
+       |final_d AS (SELECT ev.vec_id, c.cl, ROUND(SUM((ev.x - c.m)*(ev.x - c.m)), 6) AS dist
+       |            FROM ev JOIN c$iters c ON c.pos = ev.pos GROUP BY 1, 2),
+       |kassign AS (SELECT vec_id, cl AS cluster FROM (
+       |  SELECT vec_id, cl,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM final_d) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of [[kMeansAssign]]. */
+  private[graft] def kMeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kMeansCtes(k, iters)}
+       |SELECT vec_id, cluster FROM kassign ORDER BY vec_id""".stripMargin
+
+  /** DuckDB replay of the full real-IVF path: k-means index build →
+    * per-cluster mean centroids → probe top-`nprobe` by cosine →
+    * bucket-restricted exact ranking (same probe chain as `ann_topk_ivf`,
+    * with k-means clusters instead of fixture labels).
+    */
+  private[graft] def ivfKMeansOracleSql(k: Int, iters: Int, nprobe: Int, topK: Int): String =
+    s"""WITH ${kMeansCtes(k, iters)},
+       |cent AS (SELECT ka.cluster AS bucket, ev.pos, AVG(ev.x) AS m
+       |         FROM ev JOIN kassign ka ON ka.vec_id = ev.vec_id GROUP BY 1, 2),
+       |cnorm AS (SELECT bucket, SUM(m*m) AS n2 FROM cent GROUP BY 1),
+       |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+       |qdots AS (SELECT ev.vec_id AS query_id, c.bucket, SUM(ev.x * c.m) AS dot
+       |          FROM ev JOIN cent c ON c.pos = ev.pos
+       |          WHERE ev.vec_id < 20 GROUP BY 1, 2),
+       |csims AS (SELECT q.query_id, q.bucket,
+       |            q.dot / (sqrt(vn.n2) * sqrt(cn.n2)) AS csim
+       |          FROM qdots q JOIN vnorm vn ON vn.vec_id = q.query_id
+       |                       JOIN cnorm cn ON cn.bucket = q.bucket),
+       |probed AS (SELECT query_id, bucket FROM (
+       |    SELECT query_id, bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY csim DESC, bucket) AS crank
+       |    FROM csims) WHERE crank <= $nprobe),
+       |pairs AS (SELECT p.query_id, ka.vec_id AS neighbor_id
+       |          FROM probed p JOIN kassign ka ON ka.cluster = p.bucket
+       |          WHERE ka.vec_id <> p.query_id),
+       |pdots AS (SELECT pr.query_id, pr.neighbor_id, SUM(eq.x * en.x) AS dot
+       |          FROM pairs pr
+       |          JOIN ev eq ON eq.vec_id = pr.query_id
+       |          JOIN ev en ON en.vec_id = pr.neighbor_id AND en.pos = eq.pos
+       |          GROUP BY 1, 2),
+       |sims AS (SELECT pd.query_id, pd.neighbor_id,
+       |           pd.dot / (sqrt(nq.n2) * sqrt(nn.n2)) AS sim
+       |         FROM pdots pd JOIN vnorm nq ON nq.vec_id = pd.query_id
+       |                       JOIN vnorm nn ON nn.vec_id = pd.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       |             ROUND(sim, 6) AS sim_r
+       |           FROM sims)
+       |SELECT query_id, neighbor_id, rank, sim_r FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB replay of the full SRP pipeline: the ±1 planes are fixed-seed
     * literals, so signatures, block keys, candidates, and the exact-cosine
     * verify are all reproducible in SQL — the LSH path gets a hash-exact
@@ -317,6 +436,27 @@ object Similarity {
       srpNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4, dim = 64)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- real Lloyd k-means (k=8, 2 fixed rounds): the offline IVF index
+    // build. Oracle replays seeds → rounds → final argmin in SQL ----
+    Q("kmeans_assign", kMeansOracleSql(8, 2)) { (s, d) =>
+      kMeansAssign(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+    },
+
+    // ---- the REAL IVF path end-to-end: k-means index → probe → rank.
+    // Same probe/rank chain as ann_topk_ivf, but the buckets are the
+    // k-means clusters built above instead of the fixture's labels ----
+    Q("ann_topk_ivf_kmeans", ivfKMeansOracleSql(8, 2, 3, 5)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val indexed = emb.join(
+        kMeansAssign(emb, "vec_id", "embedding", 8, 2)
+          .select(col("vec_id"), col("cluster")), "vec_id")
+      ivfTopK(emb.filter(col("vec_id") < 20), indexed, "vec_id", "embedding",
+        "cluster", 5, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("query_id", "rank")
     },
 
     // ---- nearest-centroid classification of every vector. Deterministic

@@ -141,6 +141,65 @@ object TextOps {
       ).orderBy("doc_id")
     },
 
+    // ---- TF-IDF top terms per document: tf = in-doc token count, df =
+    // corpus doc frequency, score = tf · ln(N/df). Ranking uses the
+    // 6dp-ROUNDED score (+ term tie-break) so near-tie ordering can't flip
+    // on sub-ulp ln() differences between engines. One explode + two
+    // groupBys + a broadcast of (token, df) — the classic two-pass
+    // distributed TF-IDF, no collect ----
+    Q(
+      "tfidf_top_terms",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.t,
+        |    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq ON dfreq.t = tf.t CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, t AS term, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM ranked
+        |WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select("doc_id", "t").distinct()
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("t"))
+      tf.join(broadcast(dfreq), "t")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3 && col("doc_id") < 50)
+        .select(col("doc_id"), col("t").as("term"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // ---- edit distance (levenshtein — identical classic DP semantics in
+    // both engines): within-document drift between two fixed slices ----
+    Q(
+      "q_edit_distance",
+      """SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 20), substr(text, 21, 20)) AS BIGINT) AS lev,
+        |  CAST(levenshtein(substr(text, 1, 10), reverse(substr(text, 1, 10))) AS BIGINT) AS lev_rev
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        levenshtein(substring(col("text"), 1, 20), substring(col("text"), 21, 20))
+          .cast("long").as("lev"),
+        levenshtein(substring(col("text"), 1, 10), reverse(substring(col("text"), 1, 10)))
+          .cast("long").as("lev_rev"),
+      ).orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing: opaque binary payload + byte stats (the
     // decode itself is stubbed — see functions.Multimodal) ----
     Q(

@@ -157,6 +157,18 @@ class ExtensionSpec extends SparkSpec {
       s"missing exact-dup pairs: ${expected.diff(pairs).take(5)}")
   }
 
+  test("kMeansAssign is deterministic and assigns every vector to a seed-label cluster") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def run() = graft.operators.Similarity
+      .kMeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val a = run(); val b = run()
+    assert(a.sameElements(b), "two identical runs diverged")
+    assert(a.length == emb.count())
+    assert(a.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(a.map(_._2).distinct.length > 1, "k-means degenerated to one cluster")
+  }
+
   test("srpSignature raises on a dim mismatch instead of degenerating") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     assertThrows[Exception] {
