@@ -161,6 +161,39 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- the end-to-end corpus assembly a training pipeline actually
+    // ships: exact dedup (keep lowest id per text) → quality gate →
+    // deterministic split, one declarative query. Composes the §2.9
+    // operators; every stage is individually oracle-proven above ----
+    Q(
+      "training_corpus",
+      s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang,
+         |    0.4 * LEAST(CAST(len(string_split(d.text,' ')) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.4 * (CAST(len(list_distinct(string_split(d.text,' '))) AS DOUBLE)
+         |             / GREATEST(CAST(len(string_split(d.text,' ')) AS DOUBLE), 1.0))
+         |    + 0.2 * (1.0 - CAST(len(list_filter(string_split(d.text,' '),
+         |                 t -> t IN (${TextOps.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE)
+         |             / GREATEST(CAST(len(string_split(d.text,' ')) AS DOUBLE), 1.0)) AS quality
+         |  FROM documents d JOIN keep USING (doc_id))
+         |SELECT doc_id, lang, ROUND(quality, 6) AS quality_r,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+         |    THEN 'train' ELSE 'test' END AS split
+         |FROM scored WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+      docs.join(keep, "doc_id")
+        .withColumn("quality",
+          TextFunctions.qualityScore(col("text"), TextOps.Stopwords))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality_r"),
+          hashSplit(col("doc_id"), 90).as("split"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sample: 5 docs per language ----
     Q(
       "q_stratified_sample",
