@@ -267,6 +267,21 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- value histogram: fixed-width buckets via exact FLOOR division
+    // (bit-identical bucketing cross-engine) ----
+    Q(
+      "q_histogram",
+      """SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
+    },
+
     // ---- deterministic stddev/variance: exact decimal sums of x and x²,
     // then the closed form in IEEE double — order-independent, unlike
     // stddev_samp's streaming accumulation ----

@@ -427,6 +427,36 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // ---- correlated EXISTS (plans as a left-semi join) ----
+    Q(
+      "q_sql_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.sql(s, d,
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---- scalar subquery threshold (MAX is exact in IEEE, so the
+    // boundary is bit-identical cross-engine — an AVG threshold would
+    // drift in ulps) ----
+    Q(
+      "q_sql_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.sql(s, d,
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ---- row-level computed projection (no agg): IEEE double arithmetic
     // is bit-identical across engines, so no Det needed ----
     Q(

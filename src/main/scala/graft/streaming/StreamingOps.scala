@@ -160,16 +160,20 @@ object StreamingOps {
         val updated = session.readStream
           .schema(eventsSchema)
           .parquet(stageDir)
-          .selectExpr("user_id", "value")
-          .as[(Long, Double)]
+          // micros in the STATE (the Det contract applied to streaming):
+          // integer accumulation makes the final state independent of
+          // micro-batch boundaries and arrival order — replayable and
+          // oracle-comparable, where a double fold would drift in ulps
+          .selectExpr("user_id", "CAST(ROUND(value * 1000000.0, 0) AS LONG) AS vmic")
+          .as[(Long, Long)]
           .groupByKey(_._1)
           .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-            (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-              val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+              val (n0, s0) = state.getOption.getOrElse((0L, 0L))
               var n = n0; var s = s0
               rows.foreach { case (_, v) => n += 1; s += v }
               state.update((n, s))
-              (user, n, s)
+              (user, n, s.toDouble / 1000000.0)
           }
           .toDF("user_id", "n_events", "sum_value")
         (updated, OutputMode.Update())
@@ -186,5 +190,17 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
     )(hourlyCountsStreaming),
+
+    // ---- stateful mapGroupsWithState per-user totals, oracle-checked:
+    // integer-micros state makes the streaming fold bit-equal to the
+    // batch aggregate regardless of micro-batch boundaries. Bounded state
+    // (one (long, long) per user) through the memory sink — the sanctioned
+    // driver materialization for model-sized results ----
+    Q(
+      "stream_user_totals",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    )(statefulUserTotals),
   )
 }

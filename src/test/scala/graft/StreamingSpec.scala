@@ -20,17 +20,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
-  test("stateful mapGroupsWithState totals equal batch per-user totals") {
+  test("stateful mapGroupsWithState totals are BIT-equal to the batch Det sums") {
     val stateful = StreamingOps.statefulUserTotals(spark, sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val batch = Tables.events(spark, sf0001)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("s"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    assert(stateful.keySet == batch.keySet)
-    batch.foreach { case (u, (n, s)) =>
-      assert(stateful(u)._1 == n)
-      assert(math.abs(stateful(u)._2 - s) < 1e-9 * math.max(1.0, math.abs(s)))
-    }
+    assert(stateful == batch) // integer-micros state ⇒ exact equality
+    assert(batch.nonEmpty)
   }
 }
