@@ -352,6 +352,32 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- the stop-shingle scale guard, oracle-proven: exact Jaccard with
+    // ubiquitous shingles (doc freq > 25) dropped BEFORE the self-join.
+    // This is the knob that bounds the quadratic hot-key blowup at 100 TB;
+    // the oracle applies the same cap, so the capped semantics (Jaccard
+    // over the REDUCED shingle sets) are checked end-to-end ----
+    Q(
+      "dedup_jaccard_capped",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])) AS s
+        |        FROM w WHERE len(ws) >= 2),
+        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 25),
+        |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  i*1.0/(sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE i*1.0/(sa.n + sb.n - i) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      exactJaccardPairs(Tables.documents(s, d), "doc_id", shingles2(col("text")),
+        threshold = 0.6, maxDocFreq = Some(25))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- SimHash near-dup at hamming ≤ 3 — the guaranteed-recall regime
     // of the 4-block bucketing, so blocked candidates == exact all-pairs,
     // and the oracle recomputes the full 60-bit signatures + all-pairs

@@ -105,11 +105,16 @@ object StreamingOps {
     val outDir = work.resolve("out").toString
     try {
       val (stream, mode) = build(session)
+      // Complete re-emits the full result per batch → each rewrite is the
+      // current answer; Append emits only new rows per batch → accumulate
+      val fileMode =
+        if (mode == org.apache.spark.sql.streaming.OutputMode.Complete()) "overwrite"
+        else "append"
       val query = stream.writeStream
         .outputMode(mode)
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          df.write.mode("overwrite").parquet(outDir)
+          df.write.mode(fileMode).parquet(outDir)
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -202,5 +207,24 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     )(statefulUserTotals),
+
+    // ---- streaming exact dedup: dropDuplicates state over the stream —
+    // the streaming face of §2.9 exact dedup (state = one key per distinct
+    // user; at scale bound it with dropDuplicatesWithinWatermark) ----
+    Q(
+      "stream_distinct_users",
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    ) { (spark, sfDir) =>
+      withStagedEvents(sfDir) { stageDir =>
+        runToFiles(spark, "stream_distinct", { session =>
+          val stream = session.readStream
+            .schema(eventsSchema)
+            .parquet(stageDir)
+            .select("user_id")
+            .dropDuplicates("user_id")
+          (stream, org.apache.spark.sql.streaming.OutputMode.Append())
+        })
+      }.orderBy("user_id")
+    },
   )
 }
