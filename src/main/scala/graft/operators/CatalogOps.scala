@@ -6,6 +6,8 @@ import graft.{Det, Q, Tables}
 import graft.sources.Catalog
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Catalog / ingest / partition lifecycle as driver-checkable queries
   * (SURVEY.md §2.1 S4/S6/S8/S9): round-trip the documents fixture through
   * a warehouse table partitioned by `lang`, then query it back — results
@@ -14,6 +16,22 @@ import org.apache.spark.sql.functions._
   * parquet) → partition-pruned read → nest.
   */
 object CatalogOps {
+
+  /** Each catalog query materializes into its own temp warehouse (results
+    * stay readable until the driver's compare finishes); all of them are
+    * deleted on JVM exit so repeated Verify/Bench runs leave no tmp
+    * growth behind.
+    */
+  private def tempWarehouse(): String = {
+    val dir = Files.createTempDirectory("graft_wh_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+      finally s.close()
+    }))
+    dir.toString
+  }
 
   val queries: Seq[Q] = Seq(
     // ---- full ingest round-trip: per-(lang) profile must survive the
@@ -24,7 +42,7 @@ object CatalogOps {
         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     ) { (s, d) =>
-      val wh = Files.createTempDirectory("graft_wh_").toString
+      val wh = tempWarehouse()
       val cat = new Catalog(s, wh)
       val docs = Tables.documents(s, d)
       cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
@@ -44,7 +62,7 @@ object CatalogOps {
         |  CAST(SUM(CAST(ROUND((n_chars)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_chars
         |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
     ) { (s, d) =>
-      val wh = Files.createTempDirectory("graft_wh_").toString
+      val wh = tempWarehouse()
       val cat = new Catalog(s, wh)
       val docs = Tables.documents(s, d)
       cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
@@ -63,7 +81,7 @@ object CatalogOps {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents WHERE lang <> 'en' GROUP BY lang ORDER BY lang""".stripMargin,
     ) { (s, d) =>
-      val wh = Files.createTempDirectory("graft_wh_").toString
+      val wh = tempWarehouse()
       val cat = new Catalog(s, wh)
       val docs = Tables.documents(s, d)
       cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
@@ -80,7 +98,7 @@ object CatalogOps {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_long_docs
         |FROM documents WHERE n_chars > 200 GROUP BY lang ORDER BY lang""".stripMargin,
     ) { (s, d) =>
-      val wh = Files.createTempDirectory("graft_wh_").toString
+      val wh = tempWarehouse()
       val cat = new Catalog(s, wh)
       val longDocs = Tables.documents(s, d).filter(col("n_chars") > 200)
       val nested = cat.nest("long_docs", longDocs)
