@@ -82,8 +82,8 @@ object Dedup {
     */
   def exactJaccardPairs(
       docs: DataFrame, id: String, shingles: Column,
-      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh0 = explodedShingles(docs, id, shingles)
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
+      withShingleCache(docs, id, shingles) { sh0 =>
     val sh = maxDocFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy("sh").count().filter(col("count") > cap).select("sh")
@@ -353,16 +353,20 @@ object Dedup {
     },
 
     // ---- the stop-shingle scale guard, oracle-proven: exact Jaccard with
-    // ubiquitous shingles (doc freq > 25) dropped BEFORE the self-join.
-    // This is the knob that bounds the quadratic hot-key blowup at 100 TB;
-    // the oracle applies the same cap, so the capped semantics (Jaccard
-    // over the REDUCED shingle sets) are checked end-to-end ----
+    // ubiquitous shingles (doc freq > 5) dropped BEFORE the self-join.
+    // This is the knob that bounds the quadratic hot-key blowup at 100 TB
+    // (the self-join cost is Σ df² over KEPT shingles — the cap turns the
+    // hottest keys off); the oracle applies the same cap, so the capped
+    // semantics (Jaccard over the REDUCED shingle sets) are checked
+    // end-to-end. Cap 5 binds at every fixture SF (29 shingles dropped at
+    // sf0.01, ~25k at sf0.1) while keeping the join sparse ----
     Q(
       "dedup_jaccard_capped",
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |sh0 AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])) AS s
-        |        FROM w WHERE len(ws) >= 2),
-        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 25),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                                             FOR i IN range(1, len(ws)-1)])) AS s
+        |        FROM w WHERE len(ws) >= 3),
+        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 5),
         |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
@@ -373,8 +377,8 @@ object Dedup {
         |WHERE i*1.0/(sa.n + sb.n - i) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
-      exactJaccardPairs(Tables.documents(s, d), "doc_id", shingles2(col("text")),
-        threshold = 0.6, maxDocFreq = Some(25))
+      exactJaccardPairs(Tables.documents(s, d), "doc_id", shingles3(col("text")),
+        threshold = 0.6, maxDocFreq = Some(5))
         .orderBy("doc_a", "doc_b")
     },
 
