@@ -11,13 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
-  /** Register all fixture tables under their canonical names. */
-  def registerFixtures(spark: SparkSession, sfDir: String): Unit = {
-    Tables.tpch.foreach(n => Tables.load(spark, sfDir, n).createOrReplaceTempView(n))
-    Tables.events(spark, sfDir).createOrReplaceTempView("events")
-    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
-    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
-  }
+  // registration is idempotent per (session, dir): each re-registration
+  // re-reads 10 parquet footers, so repeated SQL-surface calls memoize it
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  /** Register all fixture tables under their canonical names (once per
+    * session + fixture dir).
+    */
+  def registerFixtures(spark: SparkSession, sfDir: String): Unit =
+    if (registered.add((System.identityHashCode(spark), sfDir))) {
+      Tables.tpch.foreach(n => Tables.load(spark, sfDir, n).createOrReplaceTempView(n))
+      Tables.events(spark, sfDir).createOrReplaceTempView("events")
+      Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+      Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    }
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     registerFixtures(spark, sfDir)
