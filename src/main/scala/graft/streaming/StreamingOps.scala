@@ -185,6 +185,35 @@ object StreamingOps {
       })
     }.orderBy("user_id")
 
+  /** flatMapGroupsWithState (the 1-to-N stateful surface): per-event
+    * running sequence numbers per user — emits one enriched record PER
+    * INPUT row (mapGroups can only emit one per group per batch). The
+    * iterator must be forced before `state.update` (rows is lazy; updating
+    * state first would number every event with the final count).
+    */
+  def runningUserSeq(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToBatch(spark, "stream_seq", { session =>
+        import session.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val out = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .selectExpr("user_id", "event_id")
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+              var n = state.getOption.getOrElse(0L)
+              val emitted = rows.map { case (_, ev) => n += 1; (user, ev, n) }.toList
+              state.update(n)
+              emitted.iterator
+          }
+          .toDF("user_id", "event_id", "seq")
+        (out, OutputMode.Append())
+      })
+    }.orderBy("user_id", "seq")
+
   val queries: Seq[Q] = Seq(
     // identical semantics to the batch events_sessionize_agg — that's the
     // point: stream results must reconcile with batch over the same data

@@ -20,6 +20,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState emits one sequenced record per input event") {
+    val out = StreamingOps.runningUserSeq(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batchCounts = Tables.events(spark, sf0001)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == batchCounts.values.sum, "must emit 1 row per input event")
+    val perUser = out.groupBy(_._1)
+    batchCounts.foreach { case (u, n) =>
+      val seqs = perUser(u).map(_._3).sorted
+      assert(seqs.sameElements(1L to n), s"user $u sequence gap: ${seqs.take(5)}")
+    }
+  }
+
   test("stateful mapGroupsWithState totals are BIT-equal to the batch Det sums") {
     val stateful = StreamingOps.statefulUserTotals(spark, sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
