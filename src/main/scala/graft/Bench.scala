@@ -41,6 +41,13 @@ object Bench {
     // Optional comma-separated name filter for targeted timing.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).toSet)
+    // Global JVM warm pass: C2-compile the scan/codegen/shuffle machinery
+    // before ANY query is timed — otherwise the first measured query pays
+    // suite-wide JIT warm-up that later ones amortize for free.
+    SparkEntry.allQ.headOption.foreach { q0 =>
+      (1 to 2).foreach(_ => try materialize(q0.run(spark, sfDir))
+      catch { case _: Throwable => () })
+    }
     // Stable ordering so per-round bench JSON diffs cleanly.
     val results = SparkEntry.allQ
       .filter(q => filter.forall(_.contains(q.name)))
@@ -50,6 +57,10 @@ object Bench {
           time(materialize(q.run(spark, sfDir))) // warm-up (JIT + parquet footer cache)
           (1 to runs).map(_ => time(materialize(q.run(spark, sfDir)))).min
         } catch { case _: Throwable => -1.0 }
+      // drop blocks the query left behind (localCheckpoints of iterative /
+      // cached pipelines) so later queries aren't timed under the
+      // accumulated memory pressure of earlier ones
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
