@@ -83,6 +83,9 @@ object Hustle {
       where: Seq[Pred] = Seq.empty,
       join: Option[(TCol, TCol)] = None,
       orderBy: Seq[TCol] = Seq.empty,
+      orderByNames: Seq[String] = Seq.empty, // result-column names (e.g. an
+      // aggregate alias like "sum_qty") — hustle's order_by accepts any
+      // projected column, not just source columns
       desc: Boolean = false,
       limit: Option[Int] = None,
       distinct: Boolean = false,
@@ -135,8 +138,9 @@ object Hustle {
 
     // 5. distinct / order_by / limit
     if (distinct) out = out.distinct()
-    if (orderBy.nonEmpty) {
-      val sortCols = orderBy.map(c => if (desc) out(c.colName).desc else out(c.colName))
+    val sortNames = orderBy.map(_.colName) ++ orderByNames
+    if (sortNames.nonEmpty) {
+      val sortCols = sortNames.map(n => if (desc) out(n).desc else out(n))
       out = out.orderBy(sortCols: _*)
     }
     limit.foreach(n => out = out.limit(n))

@@ -293,6 +293,28 @@ object Relational {
         .orderBy("rf", "ls")
     },
 
+    // ---- A8: GROUPING() disambiguation — a real NULL group key vs a
+    // super-aggregate row are indistinguishable without it ----
+    Q(
+      "q_cube_grouping",
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, g_rf, g_ls, n""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          col("g_rf"), col("g_ls"), col("n"))
+        .orderBy("rf", "g_rf", "g_ls", "n")
+    },
+
     // ---- A8: arbitrary GROUPING SETS (the general form cube/rollup are
     // sugar for) — both engines speak the same SQL here, so the Spark side
     // runs through the SQL surface (GraftSql) ----

@@ -80,6 +80,14 @@ class DslSpec extends SparkSpec {
     assert(cat.table("flag_totals").count() == 3)
   }
 
+  test("order_by accepts aggregate result columns by name (hustle semantics)") {
+    val got = select(lineitem("l_returnflag"), h_sum(lineitem("l_quantity")))(
+      orderByNames = Seq("sum_l_quantity"), desc = true)
+      .collect().map(_.getDouble(1))
+    assert(got.length == 3)
+    assert(got.sameElements(got.sortBy(-_)), "not sorted by the aggregate")
+  }
+
   test("where filter is pushed down to the parquet scan") {
     val got = select(lineitem("l_orderkey"))(
       where = Seq(lineitem("l_quantity") > 30.0))
