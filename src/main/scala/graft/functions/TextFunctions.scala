@@ -20,12 +20,22 @@ object TextFunctions {
   /** Distinct whitespace tokens. */
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
+  /** Bind `arr` to a lambda variable so `f` can reference it many times at
+    * the cost of ONE evaluation per row. Higher-order-function lambdas are
+    * interpreted (no whole-stage codegen) and get no common-subexpression
+    * elimination, so an expression referenced k times inside a lambda body
+    * is re-computed k times PER ELEMENT — [[wordShingles]] re-running
+    * `split(text)` 3× per window was ~10× the cost of the dedup pipelines'
+    * joins at sf0.1 before this bind.
+    */
+  private def bindOnce(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), ws => f(ws)), 1)
+
   /** Word n-shingles (distinct), e.g. n=3 → "a b c" for each window.
     * Empty array when the document has fewer than n tokens (guarded — an
     * unguarded `sequence(1, size-n+1)` would go descending for short docs).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  def wordShingles(text: Column, n: Int): Column = bindOnce(tokens(text)) { ws =>
     when(
       size(ws) >= n,
       array_distinct(

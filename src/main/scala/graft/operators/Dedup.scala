@@ -68,11 +68,24 @@ object Dedup {
     * them (no growth across repeated bench invocations — the round-2
     * leak). At cluster scale this is "checkpoint the tokenized corpus,
     * run candidate-gen + verify, drop it".
+    *
+    * Shingles are reduced to their 64-bit xxhash64 identity AT the
+    * explode: everything downstream (doc-freq counts, prefix ordering,
+    * candidate joins, intersection counts) needs only a consistent
+    * identity and a consistent total order, both of which the hash
+    * provides — while every shuffle/sort/broadcast moves 8-byte longs
+    * instead of multi-word strings (~3× narrower; measured −40% on the
+    * sf0.1 prefix pipeline). Set cardinalities are exact up to 64-bit
+    * collisions (P ≈ n²/2⁶⁵ ≈ 10⁻¹¹ even at 100 M distinct shingles per
+    * corpus — below any practical concern, and deterministic: the same
+    * corpus always yields the same result).
     */
   private def withShingleCache(
       docs: DataFrame, id: String, shingles: Column)(
       f: DataFrame => DataFrame): DataFrame =
-    f(explodedShingles(Tables.fanOut(docs), id, shingles).localCheckpoint(true))
+    f(explodedShingles(Tables.fanOut(docs), id, shingles)
+      .select(col(id), xxhash64(col("sh")).as("sh"))
+      .localCheckpoint(true))
 
   /** Exact pairwise Jaccard over a shingle set, computed distributively:
     * explode → self-equi-join on the shingle → intersection counts → join
@@ -160,37 +173,70 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact threshold-Jaccard with prefix filtering (PPJoin-style): order
-    * each doc's shingles by global document frequency (rarest first); a
-    * pair with J ≥ t must share at least one shingle within both docs'
+  /** Exact threshold-Jaccard with PPJoin-style filtering: order each doc's
+    * shingles by global document frequency (rarest first); a pair with
+    * J ≥ t must share at least one shingle within both docs'
     * `⌊(1-t)·n⌋+1`-length prefixes (pigeonhole: the intersection can't fit
-    * in the remaining suffix). Candidates therefore join only on the
-    * rarest ~(1-t) fraction of shingles — this is what keeps exact
-    * near-dup mining feasible at 100 TB, where the naive shingle self-join
-    * is quadratic on hot shingles. Output identical to
+    * in the remaining suffix). On top of the prefix join, two sound
+    * candidate pruners from the PPJoin literature:
+    *  - length filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|), applied
+    *    before the pair shuffle;
+    *  - positional filter: a shared shingle at sorted positions (p_a, p_b)
+    *    bounds the overlap by min(p_a,p_b)-1 common shingles before it plus
+    *    min(|a|-p_a, |b|-p_b)+1 from it onward; a pair whose tightest such
+    *    bound is below the required overlap ⌈t/(1+t)·(|a|+|b|)⌉ cannot
+    *    reach J ≥ t and is dropped before verification.
+    * Candidates therefore join only on the rarest ~(1-t) fraction of
+    * shingles and survive only if positionally feasible — this is what
+    * keeps exact near-dup mining feasible at 100 TB, where the naive
+    * shingle self-join is quadratic on hot shingles. Verification is
+    * exact, so the pruners affect cost only; output identical to
     * [[exactJaccardPairs]].
     */
   def prefixFilteredJaccardPairs(
       docs: DataFrame, id: String, shingles: Column,
       threshold: Double): DataFrame = withShingleCache(docs, id, shingles) { sh =>
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(id)).orderBy(col("df"), col("sh"))
-    // NOTE: both window functions share one hash-partition + sort on id
-    // (measured: replacing the count window with a pre-agg + join is 40%
-    // SLOWER — the extra equi-join outweighs a frame that reuses the sort)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
-    val prefix = sh.join(docFreq, "sh")
-      .withColumn("pos", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(wAll))
-      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col(id), col("sh"))
-    val cand = prefix.select(col(id).as("doc_a"), col("sh"))
-      .join(prefix.select(col(id).as("doc_b"), col("sh")), Seq("sh"))
+    // Per-doc shingle array sorted by (global df, shingle) — ONE shuffle on
+    // id (struct sort_array inside the agg) instead of the r3 join + two-
+    // window formulation, whose extra hash-partition + sort cost ~1.3s of
+    // the 5.5s sf0.1 total. Checkpointed because three consumers read it:
+    // the prefix explode and both verification sides.
+    val arr = sh.join(docFreq, "sh")
+      .groupBy(col(id))
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("sh")))),
+        s => s.getField("sh")).as("arr"))
+      .localCheckpoint(true)
+    val pref = arr
+      .select(col(id), size(col("arr")).as("sz"), col("arr"))
+      .select(col(id), col("sz"), posexplode(
+        slice(col("arr"), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")))
+        .as(Seq("pos0", "sh")))
+    // Integer-boundary guard: sizes/positions are exact ints, so comparing
+    // against t·n through doubles can mis-prune when t·n lands on an
+    // integer (0.8·10 = 8.000000000000002 in binary). The epsilon keeps
+    // every boundary pair; verification discards false keeps exactly.
+    val eps = 1e-9
+    val a = pref.select(
+      col(id).as("doc_a"), col("sh"), (col("pos0") + 1).as("pa"), col("sz").as("na"))
+    val b = pref.select(
+      col(id).as("doc_b"), col("sh"), (col("pos0") + 1).as("pb"), col("sz").as("nb"))
+    val cand = a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter( // length filter: min(|a|,|b|) ≥ t·max(|a|,|b|)
+        least(col("na"), col("nb")).cast("double")
+          >= lit(threshold) * greatest(col("na"), col("nb")) - lit(eps))
+      .groupBy("doc_a", "doc_b", "na", "nb") // na/nb are functions of the ids
+      .agg(min( // tightest positional overlap upper bound across shared prefix shingles
+        least(col("pa"), col("pb")) + least(col("na") - col("pa"), col("nb") - col("pb"))
+      ).as("ub"))
+      .filter( // required overlap α = t/(1+t)·(|a|+|b|)
+        col("ub").cast("double")
+          >= lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(eps))
       .select("doc_a", "doc_b")
-      .distinct()
-    verifyJaccardOn(cand, sh, id, threshold)
+    verifyJaccardArr(cand, arr, id, threshold)
   }
 
   /** Exact Jaccard for a given candidate-pair set only: the shingle join
@@ -205,21 +251,32 @@ object Dedup {
 
   private def verifyJaccardOn(
       candidates: DataFrame, sh: DataFrame, id: String,
-      threshold: Double): DataFrame = {
-    val sz = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col(id).as("doc_a"), col("sh"))
-    val shB = sh.select(col(id).as("doc_b"), col("sh"))
+      threshold: Double): DataFrame =
+    verifyJaccardArr(
+      candidates,
+      sh.groupBy(col(id)).agg(collect_list(col("sh")).as("arr")),
+      id, threshold)
+
+  /** Exact Jaccard over candidate pairs given a per-doc (distinct) shingle
+    * ARRAY table: two equi-joins + an `array_intersect` per pair, instead
+    * of the r3 explode-join-groupBy (3 shuffles → 2, and the pair-side
+    * shuffle carries one row per pair, not one per shared shingle). The
+    * per-doc array is bounded by document length, so carrying it through
+    * the join is safe at 100 TB.
+    */
+  private def verifyJaccardArr(
+      candidates: DataFrame, arr: DataFrame, id: String,
+      threshold: Double): DataFrame =
     candidates
-      .join(shA, Seq("doc_a"))
-      .join(shB, Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(sz.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sz.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(arr.select(col(id).as("doc_a"), col("arr").as("arr_a")), "doc_a")
+      .join(arr.select(col(id).as("doc_b"), col("arr").as("arr_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        col("n_inter").cast("double")
+          / (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Near-dup pairs: LSH candidates, then exact-Jaccard verification —
     * output is identical to the exact O(n²) computation w.h.p., at the
