@@ -4,15 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on
   * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints one JSON line.
-  * One warm-up + `SPARK_GRAFT_BENCH_RUNS` (default 2) timed runs per
-  * query; reports the fastest timed run (steady-state throughput, which
-  * is what matters at cluster scale — cold JIT/IO noise excluded).
+  * One warm-up + `SPARK_GRAFT_BENCH_RUNS` (default 3) timed runs per
+  * query; reports the MEDIAN timed run — the same statistic BASELINE.md
+  * used, so engine-vs-baseline ratios compare like with like and are not
+  * sensitive to the run count the way min-of-n is.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,7 +56,9 @@ object Bench {
       val t =
         try {
           time(materialize(q.run(spark, sfDir))) // warm-up (JIT + parquet footer cache)
-          (1 to runs).map(_ => time(materialize(q.run(spark, sfDir)))).min
+          val ts = (1 to runs).map(_ => time(materialize(q.run(spark, sfDir)))).sorted
+          if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
         } catch { case _: Throwable => -1.0 }
       // drop blocks the query left behind (localCheckpoints of iterative /
       // cached pipelines) so later queries aren't timed under the

@@ -68,12 +68,14 @@ object TextFunctions {
     * training-data pipeline applies before expensive model scoring.
     * Pure integer-ratio double arithmetic → bit-deterministic.
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val nTok = size(tokens(text)).cast("double")
-    val nUniq = size(distinctTokens(text)).cast("double")
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = bindOnce(tokens(text)) { ws =>
+    // tokens bound once: the unbound form re-ran split() 3× per row
+    val nTok = size(ws).cast("double")
+    val nUniq = size(array_distinct(ws)).cast("double")
     val lengthScore = least(nTok / lit(100.0), lit(1.0))
     val diversity = nUniq / greatest(nTok, lit(1.0))
-    val stopRatio = stopwordCount(text, stopwords).cast("double") / greatest(nTok, lit(1.0))
+    val stopRatio = size(filter(ws, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+      greatest(nTok, lit(1.0))
     lit(0.4) * lengthScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - stopRatio)
   }
 
@@ -92,6 +94,12 @@ object TextFunctions {
     * makes [[rollingTokenHash]] oracle-checkable cross-engine.
     */
   def tokenHash60(t: Column): Column =
+    graft.plans.TokenHash60.tokenHash60(t)
+
+  /** The pre-Catalyst functions-API form of [[tokenHash60]]; kept as the
+    * cross-engine equivalence witness (FunctionsSpec asserts ≡).
+    */
+  private[graft] def tokenHash60Portable(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** Polynomial rolling-hash fingerprint over tokens (base/mod fixed):
@@ -100,23 +108,33 @@ object TextFunctions {
     * equality matters but token ORDER must still distinguish documents.
     */
   def rollingTokenHash(text: Column): Column =
+    graft.plans.TokenHash60.rollingTokenHash(text)
+
+  /** The pre-Catalyst higher-order-function form of [[rollingTokenHash]];
+    * kept as the cross-engine equivalence witness (FunctionsSpec asserts ≡).
+    */
+  private[graft] def rollingTokenHashPortable(text: Column): Column =
     // modulus < 2^30 so acc * base never overflows Long (ANSI mode);
     // acc*1e6 + tokenHash60 < 1e15 + 2^60 < Long.Max before the mod.
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + tokenHash60(t), lit(1000000007L)))
+      (acc, t) => pmod(acc * lit(1000003L) + tokenHash60Portable(t), lit(1000000007L)))
 
   /** Tiny n-gram language-ID heuristic: scores each candidate language by
     * occurrences of its marker tokens and returns the argmax (or "und").
     * Real pipelines plug in trained profiles; the mechanism — a per-row
     * codegen'd scoring expression, no shuffle — is the point here.
     */
-  def langIdHeuristic(text: Column, profiles: Map[String, Seq[String]]): Column = {
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(stopwordCount(text, markers).as("score"), lit(lang).as("lang"))
+  def langIdHeuristic(text: Column, profiles: Map[String, Seq[String]]): Column =
+    bindOnce(tokens(text)) { ws =>
+      // tokens bound once: the unbound form re-ran split() once per profile
+      val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+        struct(
+          size(filter(ws, t => t.isin(markers.map(lit): _*))).cast("long").as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
 }

@@ -94,7 +94,7 @@ case class TokenHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"token_hash60 expects string, got ${child.dataType.catalogString}")
 
@@ -116,7 +116,7 @@ case class RollingTokenHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"rolling_token_hash expects string, got ${child.dataType.catalogString}")
 

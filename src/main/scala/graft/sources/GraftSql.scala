@@ -21,6 +21,7 @@ object GraftSql {
     */
   def registerFixtures(spark: SparkSession, sfDir: String): Unit =
     if (registered.add((System.identityHashCode(spark), sfDir))) {
+      graft.plans.TokenHash60.register(spark)
       Tables.tpch.foreach(n => Tables.load(spark, sfDir, n).createOrReplaceTempView(n))
       Tables.events(spark, sfDir).createOrReplaceTempView("events")
       Tables.documents(spark, sfDir).createOrReplaceTempView("documents")

@@ -51,6 +51,39 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "und"))
   }
 
+  test("TokenHash60/RollingTokenHash expressions ≡ portable functions-API forms") {
+    // edge cases: empty string, multi-byte UTF-8, leading/double/trailing
+    // spaces (split keeps the empty tokens), single token, long doc
+    val df = Seq(
+      "", " ", "a", "a b c", " a", "a ", "a  b",
+      "héllo wörld", "日本語 テスト 文字", "emoji 🎉 mix",
+      (1 to 200).map(i => s"tok$i").mkString(" ")).toDF("text")
+    val rows = df.select(
+      TextFunctions.tokenHash60(col("text")).as("h_expr"),
+      TextFunctions.tokenHash60Portable(col("text")).as("h_port"),
+      TextFunctions.rollingTokenHash(col("text")).as("r_expr"),
+      TextFunctions.rollingTokenHashPortable(col("text")).as("r_port"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"tokenHash60 mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"rollingTokenHash mismatch: $r")
+    }
+    // null propagates as null through both forms
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.tokenHash60(col("text")),
+        TextFunctions.rollingTokenHash(col("text"))).collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("token_hash60 / rolling_token_hash registered on the SQL surface") {
+    graft.plans.TokenHash60.register(spark)
+    val r = spark.sql(
+      "SELECT token_hash60('abc') = conv(substring(md5('abc'), 1, 15), 16, 10) AS a, " +
+      "rolling_token_hash('a b') AS rb").collect().head
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) >= 0L)
+  }
+
   test("rollingTokenHash: order-sensitive, deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
       .select(TextFunctions.rollingTokenHash(col("text")).as("h"))
