@@ -13,10 +13,12 @@ import scala.jdk.CollectionConverters._
   * tumbling event-time windows with watermarks, AvailableNow triggers for
   * batch-equivalent replay.
   *
-  * The driver-checkable query runs a genuine streaming job (file source →
-  * windowed agg → memory sink, `Trigger.AvailableNow`) whose result is
-  * batch-equivalent, so the DuckDB oracle can still check it — streaming
-  * correctness verified against relational semantics.
+  * The driver-checkable queries run genuine streaming jobs (file source →
+  * transform → FILE sink via foreachBatch, `Trigger.AvailableNow`) whose
+  * results are batch-equivalent, so the DuckDB oracle can still check
+  * them — streaming correctness verified against relational semantics.
+  * Every result path is executor→disk; nothing is collected through the
+  * driver.
   *
   * Resource discipline: each invocation runs in a `newSession()` (own
   * SQLConf/catalog sharing the SparkContext — no thread-unsafe set/restore
@@ -53,33 +55,50 @@ object StreamingOps {
     }
   }
 
-  /** Run a streaming query to completion in a cloned session with the
-    * state-store partition count pinned low (one state-store instance is
-    * allocated per shuffle partition; for small windowed-agg state that's
-    * pure overhead — on a cluster this is a per-job conf sized to state
-    * volume, not core count). The memory-sink view lives in the clone's
-    * catalog and is dropped after materialization; the caller gets a plain
-    * local-backed DataFrame in the *original* session.
+  /** [[runToFiles]] for UPDATE-mode stateful streams: an Update stream
+    * emits the CURRENT value of every key touched in a micro-batch, so
+    * persisting batches to an append-only file sink is an upsert problem.
+    * Without a mutable sink we append each batch tagged with its batch id
+    * and resolve last-writer-wins per key at read time — the standard
+    * `foreachBatch` pattern for idempotent Update-mode file output. In
+    * production the sink would be a key-value store or a MERGE-capable
+    * table format; here the tag-and-resolve keeps the entire result path
+    * executor-side (no driver collect), which is what matters at corpus-
+    * sized state (per-user running totals at 100 TB are data-sized, not
+    * model-sized).
     */
-  private def runToBatch(
-      spark: SparkSession, sinkPrefix: String,
-      build: SparkSession => (DataFrame, org.apache.spark.sql.streaming.OutputMode))
-      : DataFrame = {
-    val session = spark.newSession() // shares SparkContext; own SQLConf/catalog
+  private def runToFilesUpsert(
+      spark: SparkSession, prefix: String, keys: Seq[String],
+      build: SparkSession => DataFrame): DataFrame = {
+    val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", "4")
-    val sink = s"${sinkPrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val (stream, mode) = build(session)
-    val query = stream.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    val result = session.table(sink)
-    val (rows, schema) = (result.collect(), result.schema)
-    session.catalog.dropTempView(sink) // free the memory sink's driver copy
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val work = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
+    val outDir = work.resolve("out").toString
+    try {
+      val stream = build(session)
+      val query = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          df.withColumn("_batch_id", lit(batchId)).write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      // last-writer-wins: a (map|flatMap)GroupsWithState group emits at most
+      // once per batch, so (keys, _batch_id) is unique and rn=1 is total
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("_batch_id").desc)
+      spark.read.parquet(outDir)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_batch_id")
+        .localCheckpoint(true)
+    } finally {
+      val s = java.nio.file.Files.walk(work)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 
   /** Run a streaming query to completion writing a FILE sink — the scale
@@ -159,9 +178,9 @@ object StreamingOps {
     */
   def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame =
     withStagedEvents(sfDir) { stageDir =>
-      runToBatch(spark, "stream_state", { session =>
+      runToFilesUpsert(spark, "stream_state", Seq("user_id"), { session =>
         import session.implicits._
-        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
         val updated = session.readStream
           .schema(eventsSchema)
           .parquet(stageDir)
@@ -181,7 +200,7 @@ object StreamingOps {
               (user, n, s.toDouble / 1000000.0)
           }
           .toDF("user_id", "n_events", "sum_value")
-        (updated, OutputMode.Update())
+        updated
       })
     }.orderBy("user_id")
 
@@ -193,7 +212,9 @@ object StreamingOps {
     */
   def runningUserSeq(spark: SparkSession, sfDir: String): DataFrame =
     withStagedEvents(sfDir) { stageDir =>
-      runToBatch(spark, "stream_seq", { session =>
+      // Append-mode 1-to-N stateful output: every event is emitted exactly
+      // once, so the plain append file path is already upsert-free
+      runToFiles(spark, "stream_seq", { session =>
         import session.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         val out = session.readStream
@@ -227,9 +248,9 @@ object StreamingOps {
 
     // ---- stateful mapGroupsWithState per-user totals, oracle-checked:
     // integer-micros state makes the streaming fold bit-equal to the
-    // batch aggregate regardless of micro-batch boundaries. Bounded state
-    // (one (long, long) per user) through the memory sink — the sanctioned
-    // driver materialization for model-sized results ----
+    // batch aggregate regardless of micro-batch boundaries. Update-mode
+    // output lands in files via the tag-and-resolve upsert — corpus-sized
+    // per-user state never transits the driver ----
     Q(
       "stream_user_totals",
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
