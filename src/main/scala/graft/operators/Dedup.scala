@@ -208,17 +208,20 @@ object Dedup {
         sort_array(collect_list(struct(col("df"), col("sh")))),
         s => s.getField("sh")).as("arr"))
       .localCheckpoint(true)
+    // Integer-boundary guard: sizes/positions are exact ints, so comparing
+    // against t·n through doubles can mis-prune when t·n lands on an
+    // integer and the double product carries representation error above
+    // half-ulp (0.8·10 is exactly 8.0, but e.g. 0.57·100 is 57.000000...01,
+    // whose ceil would overshoot). Subtracting the epsilon before every
+    // ceil/compare rounds DOWN only — which lengthens the prefix and keeps
+    // boundary pairs; verification discards false keeps exactly.
+    val eps = 1e-9
     val pref = arr
       .select(col(id), size(col("arr")).as("sz"), col("arr"))
       .select(col(id), col("sz"), posexplode(
         slice(col("arr"), lit(1),
-          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")))
+          (col("sz") - ceil(lit(threshold) * col("sz") - lit(eps)) + 1).cast("int")))
         .as(Seq("pos0", "sh")))
-    // Integer-boundary guard: sizes/positions are exact ints, so comparing
-    // against t·n through doubles can mis-prune when t·n lands on an
-    // integer (0.8·10 = 8.000000000000002 in binary). The epsilon keeps
-    // every boundary pair; verification discards false keeps exactly.
-    val eps = 1e-9
     val a = pref.select(
       col(id).as("doc_a"), col("sh"), (col("pos0") + 1).as("pa"), col("sz").as("na"))
     val b = pref.select(
@@ -254,7 +257,12 @@ object Dedup {
       threshold: Double): DataFrame =
     verifyJaccardArr(
       candidates,
-      sh.groupBy(col(id)).agg(collect_list(col("sh")).as("arr")),
+      // collect_set, not collect_list: [[verifyJaccardArr]] sizes the union
+      // from size(arr) but intersects with array_intersect (which dedups) —
+      // duplicate shingles from a caller would inflate denominators only.
+      // Internal callers pass distinct shingles already; this keeps the
+      // public verifyJaccard exact for any input.
+      sh.groupBy(col(id)).agg(collect_set(col("sh")).as("arr")),
       id, threshold)
 
   /** Exact Jaccard over candidate pairs given a per-doc (distinct) shingle

@@ -128,10 +128,15 @@ class FunctionsSpec extends SparkSpec {
     val sh = TextFunctions.wordShingles(col("text"), 2)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val naive = key(Dedup.exactJaccardPairs(docs, "doc_id", sh, 0.6))
-    val prefix = key(Dedup.prefixFilteredJaccardPairs(docs, "doc_id", sh, 0.6))
-    assert(prefix == naive)
-    assert(naive.nonEmpty)
+    // 0.57 exercises the float-boundary guard on the prefix length: its
+    // double product carries representation error above half-ulp, so an
+    // unguarded ceil(t*n) shortens the prefix and silently drops pairs
+    for (t <- Seq(0.6, 0.57)) {
+      val naive = key(Dedup.exactJaccardPairs(docs, "doc_id", sh, t))
+      val prefix = key(Dedup.prefixFilteredJaccardPairs(docs, "doc_id", sh, t))
+      assert(prefix == naive, s"threshold $t")
+      assert(naive.nonEmpty)
+    }
   }
 
   test("simhash: identical docs at hamming 0; near-dups close; random far") {
