@@ -8,12 +8,18 @@ import org.apache.spark.sql.types._
   * as opaque `binary` payloads with a typed metadata struct; decode /
   * feature-extraction runs as a batched per-partition transform.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic fake features from
-  * the payload bytes. Everything around it — the schema contract, the
-  * `mapPartitions`-style batch shape (one iterator per partition, no
-  * per-row JVM↔native churn), partition sizing — is the real, tested
-  * scale path; swap `decodeStub` for a JNI/ONNX call in production.
+  * Two tiers:
+  *  - REAL pure-JVM codecs for BMP (24-bit uncompressed, bottom-up rows
+  *    padded to 4 bytes) and WAV (RIFF/PCM 16-bit mono): [[decodeMedia]]
+  *    parses headers and samples genuinely — dimensions, sample rate and
+  *    sample statistics come off the bytes, and the oracle replays the
+  *    same arithmetic from the synthesis formulas, so a decoder that
+  *    didn't actually invert the container format could not pass.
+  *  - The learned-embedding step stays STUBBED ([[decodeStub]] — no
+  *    image/audio ML libraries in this environment); swap it for a
+  *    JNI/ONNX call in production. The `mapPartitions` batch shape (one
+  *    iterator per partition, decoder init amortized per partition, no
+  *    per-row JVM↔native churn) is the real, tested scale path for both.
   */
 object Multimodal {
 
@@ -72,6 +78,174 @@ object Multimodal {
         payload.foreach(b => checksum = (checksum * 131 + (b & 0xff)) & 0x7fffffffffffffL)
         Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
           payload.length.toLong, checksum, decodeStub(payload, dim).toSeq)
+      }
+    }(enc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Real codecs (pure JVM, zero dependencies)
+  // ---------------------------------------------------------------------
+
+  /** Schema of a binary media table carrying real container payloads. */
+  val binaryMediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+  ))
+
+  /** Schema of genuinely-decoded container features. Zero (not null) for
+    * fields the container kind lacks, keeping the compare total-typed.
+    */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_sum", LongType, nullable = false),
+  ))
+
+  /** Deterministic 24-bit BMP: width 4+id%5, height 3+id%4; pixel byte at
+    * (x, y, channel c∈{0,1,2}) = (id + 3x + 5y + 11c) mod 256. Stored
+    * bottom-up with rows padded to 4 bytes, like any real BMP writer.
+    */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val off = 54
+    val bb = java.nio.ByteBuffer.allocate(off + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(off + dataSize)
+      .putShort(0).putShort(0).putInt(off)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row // bottom-up storage
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          bb.put(((id + 3 * x + 5 * y + 11 * c) % 256).toByte)
+          c += 1
+        }
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { bb.put(0.toByte); p += 1 }
+      row += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic RIFF/WAV, PCM 16-bit mono: sample rate 8000+(id%5)·2000,
+    * 32+(id%13)·4 samples, sample i = (id·31 + i·7) mod 4096 − 2048.
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val sr = (8000 + (id % 5) * 2000).toInt
+    val n = (32 + (id % 13) * 4).toInt
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      bb.putShort(((id * 31 + i * 7) % 4096 - 2048).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Genuine container decode: dispatches on magic bytes, parses the BMP
+    * info header (pixel offset, dimensions, bpp, row padding) or walks the
+    * RIFF chunk list (fmt → sample rate/bits/channels, data → samples).
+    * Returns (width, height, sampleRate, nSamples, sampleSum) where
+    * nSamples counts pixel bytes (BMP, padding excluded) or PCM samples
+    * (WAV) and sampleSum is their integer sum — statistics a decoder can
+    * only produce by actually reading the payload it is handed.
+    */
+  def decodeMedia(p: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    require(p.length >= 12, s"payload too short: ${p.length}")
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (p(0) == 'B' && p(1) == 'M') {
+      val pixelOff = bb.getInt(10)
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      val bpp = bb.getShort(28).toInt
+      require(bpp == 24, s"unsupported BMP bpp: $bpp")
+      val rowBytes = w * 3
+      val stride = (rowBytes + 3) / 4 * 4
+      var sum = 0L
+      var row = 0
+      while (row < h) {
+        var i = 0
+        while (i < rowBytes) {
+          sum += p(pixelOff + row * stride + i) & 0xff
+          i += 1
+        }
+        row += 1
+      }
+      (w.toLong, h.toLong, 0L, rowBytes.toLong * h, sum)
+    } else if (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') {
+      var off = 12 // past RIFF<size>WAVE
+      var sr = 0L; var bits = 0; var channels = 0
+      var nSamples = 0L; var sum = 0L
+      while (off + 8 <= p.length) {
+        val tag = new String(p, off, 4, "US-ASCII")
+        val sz = bb.getInt(off + 4)
+        if (tag == "fmt ") {
+          channels = bb.getShort(off + 10).toInt
+          sr = bb.getInt(off + 12).toLong
+          bits = bb.getShort(off + 22).toInt
+        } else if (tag == "data") {
+          require(bits == 16 && channels == 1, s"unsupported WAV: $bits-bit x$channels")
+          nSamples = sz / 2L
+          var i = 0
+          while (i < nSamples) {
+            sum += bb.getShort(off + 8 + i * 2).toLong
+            i += 1
+          }
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      (0L, 0L, sr, nSamples, sum)
+    } else sys.error("unknown container (not BMP or RIFF/WAV)")
+  }
+
+  /** Synthesize the binary media table: BMP for image/video ids (a video
+    * here is its single poster frame), WAV for audio ids. Runs in
+    * `mapPartitions` like a real ingest-side transcoder would.
+    */
+  def mediaBinaryFromIds(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(binaryMediaSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = id % 3 match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        val payload = if (id % 3 == 1) encodeWav(id) else encodeBmp(id)
+        Row(id, kind, payload)
+      }
+    }(enc)
+  }
+
+  /** Batched genuine decode of a binary media table (see [[decodeMedia]]). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      // positional getters: upstream mapPartitions rows carry no schema
+      rows.map { r =>
+        val (w, h, sr, n, sum) = decodeMedia(r.getAs[Array[Byte]](2))
+        Row(r.getLong(0), r.getString(1), w, h, sr, n, sum)
       }
     }(enc)
   }

@@ -237,5 +237,38 @@ object TextOps {
         .select("media_id", "kind", "n_bytes", "checksum")
         .orderBy("media_id")
     },
+
+    // ---- GENUINE multimodal decode: BMP/WAV containers are synthesized
+    // from doc_id (deterministic pixel/sample formulas), then parsed back
+    // by the pure-JVM decoder — dimensions, sample rate and sample sums
+    // come off the BYTES (headers, strides, chunk walks), while the oracle
+    // replays the synthesis formulas in closed form. They can only agree
+    // if the decoder truly inverts the container format ----
+    Q(
+      "media_decode",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 4 + doc_id % 5 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 3 + doc_id % 4 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 32 + (doc_id % 13) * 4
+        |       ELSE (4 + doc_id % 5) * (3 + doc_id % 4) * 3 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST(32 + (doc_id % 13) * 4 AS BIGINT) - 1),
+        |      i -> (doc_id * 31 + i * 7) % 4096 - 2048))
+        |  ELSE
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS BIGINT) - 1),
+        |      i -> (doc_id + 3 * ((i // 3) % (4 + doc_id % 5))
+        |            + 5 * (i // (3 * (4 + doc_id % 5))) + 11 * (i % 3)) % 256))
+        |  END AS BIGINT) AS sample_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
+    ) { (s, d) =>
+      graft.functions.Multimodal
+        .decodeFeatures(graft.functions.Multimodal
+          .mediaBinaryFromIds(Tables.documents(s, d), "doc_id"))
+        .orderBy("media_id")
+    },
   )
 }

@@ -159,6 +159,29 @@ class FunctionsSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
+  test("multimodal: BMP/WAV decode inverts the codec for every id shape") {
+    // ids cover every (width, height, padding) BMP shape and WAV length
+    for (id <- 0L until 60L) {
+      val isWav = id % 3 == 1
+      val payload = if (isWav) Multimodal.encodeWav(id) else Multimodal.encodeBmp(id)
+      val (w, h, sr, n, sum) = Multimodal.decodeMedia(payload)
+      if (isWav) {
+        val nWant = 32 + (id % 13) * 4
+        assert((w, h, sr, n) == (0L, 0L, 8000 + (id % 5) * 2000, nWant))
+        assert(sum == (0L until nWant).map(i => (id * 31 + i * 7) % 4096 - 2048).sum)
+      } else {
+        val (wWant, hWant) = (4 + id % 5, 3 + id % 4)
+        assert((w, h, sr, n) == (wWant, hWant, 0L, wWant * hWant * 3))
+        val want = (for {
+          y <- 0L until hWant; x <- 0L until wWant; c <- 0L until 3L
+        } yield (id + 3 * x + 5 * y + 11 * c) % 256).sum
+        assert(sum == want, s"id=$id")
+      }
+    }
+    // decoder rejects garbage rather than fabricating features
+    intercept[RuntimeException](Multimodal.decodeMedia("notacontainer".getBytes))
+  }
+
   test("multimodal: extractFeatures is deterministic, batch-shaped, typed") {
     val media = Multimodal.mediaFromText(
       Tables.documents(spark, sf0001).limit(20), "doc_id", "text")
