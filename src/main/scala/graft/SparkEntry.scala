@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.SkewJoin.queries ++
       operators.CatalogOps.queries ++
-      streaming.StreamingOps.queries
+      streaming.StreamingOps.queries ++
+      streaming.KafkaOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

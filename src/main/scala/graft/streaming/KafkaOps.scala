@@ -71,4 +71,66 @@ object KafkaOps {
       .select(
         (Seq(col("topic"), col("partition"), col("offset")) ++
           eventSchema.fieldNames.map(n => col(s"__e.$n"))): _*)
+
+  /** Typed payload schema of the fixture events on the wire. */
+  private val wireEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  /** Dress the events fixture in the exact Kafka wire shape
+    * ([[kafkaWireSchema]]): JSON-encoded binary `value`, key = user id
+    * bytes, topic/partition/offset/timestamp provenance with offsets
+    * monotone per partition — what the connector would present for a
+    * 4-partition topic keyed by user. (The offset window is fixture
+    * dressing only: real Kafka assigns offsets at the broker, the engine
+    * never computes them.)
+    */
+  def wireFromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("user_id"), lit(4))).orderBy(col("event_id"))
+    graft.Tables.events(spark, sfDir).select(
+      encode(col("user_id").cast("string"), "UTF-8").as("key"),
+      to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value")))
+        .cast("binary").as("value"),
+      lit("events").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      (row_number().over(w) - 1).cast("long").as("offset"),
+      // fixture ts is already normalized to TIMESTAMP_NTZ by Tables.events;
+      // the wire field is instant-typed (UTC session → same wall time)
+      col("ts").cast("timestamp").as("timestamp"),
+      lit(0).as("timestampType"))
+  }
+
+  /** S5 end-to-end with a file-backed wire source: stage the wire-shaped
+    * records, `readStream` them under [[kafkaWireSchema]], run the same
+    * [[parseJsonEvents]] layer a live Kafka topic would get, and land the
+    * typed rows through the executor-side file sink. Everything except the
+    * socket to a broker — the connector swap is one `format("kafka")`.
+    */
+  def wireParseFileBacked(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_kafka_wire_")
+    try {
+      wireFromEvents(spark, sfDir).write.mode("overwrite").parquet(stage.toString)
+      StreamingOps.runToFiles(spark, "kafka_parse", { session =>
+        val stream = session.readStream.schema(kafkaWireSchema).parquet(stage.toString)
+        (parseJsonEvents(stream, wireEventSchema),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      })
+    } finally StreamingOps.deleteRecursively(stage)
+  }.orderBy("partition", "offset")
+
+  val queries: Seq[graft.Q] = Seq(
+    // ---- S5: the Kafka ingest path minus only the broker socket. The
+    // oracle replays the provenance assignment and field extraction
+    // relationally; the JSON encode→decode roundtrip is exercised on the
+    // Spark side (binary wire value → from_json typed columns) ----
+    graft.Q(
+      "kafka_wire_parse",
+      """SELECT 'events' AS topic,
+        |  CAST(user_id % 4 AS INTEGER) AS "partition",
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+        |  event_id, user_id, event_type, value
+        |FROM events ORDER BY "partition", "offset"""".stripMargin,
+    )(wireParseFileBacked),
+  )
 }

@@ -94,11 +94,7 @@ object StreamingOps {
         .filter(col("_rn") === 1)
         .drop("_rn", "_batch_id")
         .localCheckpoint(true)
-    } finally {
-      val s = java.nio.file.Files.walk(work)
-      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally s.close()
-    }
+    } finally deleteRecursively(work)
   }
 
   /** Run a streaming query to completion writing a FILE sink — the scale
@@ -114,7 +110,7 @@ object StreamingOps {
     * hygiene — in production the output directory is the product and
     * stays).
     */
-  private def runToFiles(
+  private[streaming] def runToFiles(
       spark: SparkSession, prefix: String,
       build: SparkSession => (DataFrame, org.apache.spark.sql.streaming.OutputMode))
       : DataFrame = {
@@ -139,11 +135,13 @@ object StreamingOps {
         .start()
       query.awaitTermination()
       spark.read.parquet(outDir).localCheckpoint(true)
-    } finally {
-      val s = java.nio.file.Files.walk(work)
-      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally s.close()
-    }
+    } finally deleteRecursively(work)
+  }
+
+  private[streaming] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally s.close()
   }
 
   /** Streaming tumbling-window aggregation over the events fixture,
