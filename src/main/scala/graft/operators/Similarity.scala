@@ -177,13 +177,12 @@ object Similarity {
   def kMeansAssign(
       corpus: DataFrame, id: String, vec: String, k: Int, iters: Int): DataFrame = {
     val vd = VectorFunctions.asDouble(col(vec))
+    // one codegen'd argmin kernel over the raw array column per pass —
+    // see plans.L2ArgMin for why this beats the least(round(aggregate(
+    // zip_with(...)))) functional form it replaced (k interpreted lambda
+    // chains per row, outside whole-stage codegen)
     def assignExpr(cs: Seq[(Long, Seq[Double])]): Column =
-      least(cs.map { case (cl, c) =>
-        val dist = round(aggregate(
-          zip_with(vd, typedlit(c), (x, m) => (x - m) * (x - m)),
-          lit(0.0), (a, x) => a + x), 6)
-        struct(dist.as("d"), lit(cl).as("cl"))
-      }: _*).getField("cl")
+      graft.plans.VectorKernels.l2ArgMin(col(vec), cs)
 
     var cents: Seq[(Long, Seq[Double])] = corpus.filter(col(id) < k)
       .select(col(id).cast("long"), vd.as("v")).collect()

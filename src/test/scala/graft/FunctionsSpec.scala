@@ -159,6 +159,31 @@ class FunctionsSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
+  test("L2ArgMin kernel ≡ least/round/aggregate functional form (sf0.001)") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector.toSeq)
+      .sortBy(_._1).toSeq
+    val vd = VectorFunctions.asDouble(col("embedding"))
+    val functional = least(cents.map { case (cl, c) =>
+      struct(
+        round(aggregate(
+          zip_with(vd, typedlit(c), (x, m) => (x - m) * (x - m)),
+          lit(0.0), (a, x) => a + x), 6).as("d"),
+        lit(cl).as("cl"))
+    }: _*).getField("cl")
+    val got = emb.select(col("vec_id"),
+      graft.plans.VectorKernels.l2ArgMin(col("embedding"), cents).as("k"),
+      functional.as("f")).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+    // round6 matches Spark round(x, 6) on a half-up knife edge
+    assert(graft.plans.VectorKernels.round6(0.1234565) ==
+      spark.sql("SELECT round(0.1234565d, 6)").collect().head.getDouble(0))
+  }
+
   test("multimodal: BMP/WAV decode inverts the codec for every id shape") {
     // ids cover every (width, height, padding) BMP shape and WAV length
     for (id <- 0L until 60L) {
