@@ -25,6 +25,31 @@ class TrainingDataSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("star CC ≡ min-label CC on chain / clique / random graphs") {
+    // deterministic xorshift edge generator (no runtime randomness)
+    def rng(seed: Long): Iterator[Long] = Iterator.iterate(seed) { s =>
+      var z = s; z ^= z << 13; z ^= z >>> 7; z ^= z << 17; z
+    }.drop(1)
+    val chain = (1L to 64L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val clique = for (i <- 1L to 12L; j <- (i + 1) to 12L) yield (i, j)
+    val random = rng(42L).take(200).grouped(2).collect {
+      case Seq(x, y) => (math.floorMod(x, 80).toLong, math.floorMod(y, 80).toLong)
+    }.filter(p => p._1 != p._2).toSeq
+    for ((name, es) <- Seq("chain" -> chain, "clique" -> clique, "random" -> random)) {
+      val edges = es.toDF("a", "b")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = key(TrainingData.connectedComponentsStar(edges, "a", "b"))
+      val label = key(TrainingData.connectedComponentsMinLabel(edges, "a", "b", 80))
+      assert(star == label, s"graph $name")
+    }
+    // a 64-chain converges in far fewer star rounds than its diameter
+    // (the require(converged) inside would throw at maxIter otherwise)
+    val comp = TrainingData.connectedComponentsStar(chain.toDF("a", "b"), "a", "b", 8)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(comp sameElements Array(1L))
+  }
+
   test("dupClusters marks exactly one keeper per component with its size") {
     val pairs = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("doc_a", "doc_b")
     val rows = TrainingData.dupClusters(pairs, "doc_a", "doc_b")
