@@ -81,6 +81,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), "salted join must key on (key, salt)")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (no salting needed)") {
+    // Documents the division of labor with SkewJoin.saltedJoin: when the
+    // skewed side arrives through a regular shuffle, AQE's runtime skew
+    // split handles it — salting is only for the cases AQE can't reach
+    // (skew feeding from a cached/checkpointed stage, or non-shuffle
+    // children). Thresholds lowered so fixture-scale skew trips the rule.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val large = s.range(1000000).select(
+      when(col("id") < 990000, 0L).otherwise(pmod(col("id"), lit(64))).as("key"),
+      concat(lit("pad-pad-pad-pad-"), col("id").cast("string")).as("payload"))
+    val small = s.range(64).select(col("id").as("key"), (col("id") * 2).as("v"))
+    val joined = large.join(small, "key")
+    // drive THIS Dataset's execution so its adaptive plan finalizes (a
+    // write/count action would spawn a separate QueryExecution)
+    joined.queryExecution.executedPlan.execute().count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE skew-split SMJ; got:\n${plan.take(1500)}")
+  }
+
   test("stratified_split is a pure per-row projection (no shuffle before sort)") {
     val df = SparkEntry.queries("stratified_split")(spark, sf0001)
     val exchanges = df.queryExecution.executedPlan.toString
