@@ -25,12 +25,42 @@ object Dump {
     (Seq(rule, line(header), rule) ++ rows.map(line) :+ rule).mkString("\n")
   }
 
-  /** One-shot CLI: `runMain graft.dsl.Dump "<sql>" [sfDir] [n]` — registers
-    * the fixture tables and dumps the query result.
+  /** Interactive REPL over the SQL surface: one statement per line
+    * (trailing `;` optional), meta commands `\d` (list tables),
+    * `\d <table>` (schema), `\q` (quit). I/O is injected so specs can
+    * drive it; [[main]] wires stdin/stdout.
+    */
+  def repl(
+      spark: SparkSession, sfDir: String,
+      lines: Iterator[String], out: String => Unit, limit: Int = 20): Unit = {
+    graft.sources.GraftSql.registerFixtures(spark, sfDir)
+    out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, \\q quits")
+    var done = false
+    while (!done && lines.hasNext) {
+      val line = lines.next().trim.stripSuffix(";").trim
+      if (line.nonEmpty) {
+        if (line == "\\q") done = true
+        else if (line == "\\d")
+          out(spark.catalog.listTables().collect().map(_.name).sorted.mkString("\n"))
+        else if (line.startsWith("\\d "))
+          try out(spark.table(line.drop(3).trim).schema.treeString.stripLineEnd)
+          catch { case e: Exception => out(s"error: ${e.getMessage}") }
+        else
+          try out(dump(spark.sql(line), limit))
+          catch { case e: Exception => out(s"error: ${e.getMessage}") }
+      }
+    }
+  }
+
+  /** CLI: with a SQL argument, one-shot dump
+    * (`runMain graft.dsl.Dump "<sql>" [sfDir] [n]`); with no arguments,
+    * the interactive [[repl]] on stdin
+    * (`sfDir` via SPARK_GRAFT_SF_DIR, default sf0.001).
     */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Dump <sql> [sfDir] [limit]")
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val sfDir =
+      if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val n = if (args.length > 2) args(2).toInt else 20
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -40,7 +70,14 @@ object Dump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(dump(graft.sources.GraftSql.sql(spark, sfDir, args(0)), n))
-    finally spark.stop()
+    try {
+      if (args.nonEmpty)
+        println(dump(graft.sources.GraftSql.sql(spark, sfDir, args(0)), n))
+      else
+        repl(spark, sfDir,
+          Iterator.continually(scala.io.StdIn.readLine("graft> "))
+            .takeWhile(_ != null),
+          println(_), n)
+    } finally spark.stop()
   }
 }

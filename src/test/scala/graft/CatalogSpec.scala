@@ -120,6 +120,25 @@ class CatalogSpec extends SparkSpec {
     assert(lines.map(_.length).distinct.length == 1, "columns not aligned")
   }
 
+  test("repl drives meta commands, SQL, errors and quit through one loop") {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        "\\d",
+        "\\d lineitem",
+        "SELECT COUNT(*) AS n FROM region;",
+        "SELECT definitely not sql",
+        "\\q",
+        "SELECT 1 AS never_reached"),
+      out += _)
+    assert(out.length == 5) // banner + 4 commands, nothing after \q
+    assert(out(1).split("\n").toSeq.contains("lineitem")) // \d lists fixtures
+    assert(out(2).contains("l_quantity")) // \d <t> shows schema
+    assert(out(3).contains("| 5 ")) // region has 5 rows, dumped as a table
+    assert(out(4).startsWith("error:")) // bad SQL reports, doesn't throw
+  }
+
   test("drop removes table and data") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
