@@ -45,6 +45,50 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word n-shingles with duplicates KEPT, in document order — the input
+    * for repetition statistics, where multiplicity is the signal that
+    * [[wordShingles]]' distinct form deliberately erases.
+    */
+  def wordShinglesAll(text: Column, n: Int): Column = bindOnce(tokens(text)) { ws =>
+    when(
+      size(ws) >= n,
+      transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03): hash every
+    * word k-gram, slide a window of `w` consecutive gram hashes, keep the
+    * minimum of each window, dedupe. Guarantees every shared substring of
+    * ≥ w+k−1 tokens contributes at least one shared fingerprint, while
+    * storing ~2/(w+1) of the grams — the sublinear sketch that lets
+    * substring-level near-dup detection run on a 100 TB corpus without
+    * carrying every shingle. Fewer grams than `w` → a single whole-doc
+    * minimum (standard short-input convention).
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    bindOnce(tokens(text)) { ws =>
+      val grams = when(
+        size(ws) >= k,
+        transform(
+          sequence(lit(1), size(ws) - (k - 1)),
+          i => tokenHash60(
+            concat_ws(" ", (0 until k).map(off => element_at(ws, i + lit(off))): _*))))
+        .otherwise(array().cast("array<bigint>"))
+      bindOnce(grams) { hs =>
+        when(
+          size(hs) >= w,
+          array_distinct(transform(
+            sequence(lit(1), size(hs) - (w - 1)),
+            j => array_min(slice(hs, j, lit(w))))))
+          .otherwise(
+            when(size(hs) >= 1, array(array_min(hs)))
+              .otherwise(array().cast("array<bigint>")))
+      }
+    }
+
   /** Distinct character n-grams of the raw text. */
   def charNgrams(text: Column, n: Int): Column =
     when(

@@ -200,6 +200,61 @@ object TextOps {
       ).orderBy("doc_id")
     },
 
+    // ---- winnowing fingerprints (MOSS): hash 3-gram shingles, keep each
+    // 4-window's minimum — the sublinear substring-dedup sketch. Oracle
+    // replays gram hashing (md5-top-60, the TokenHash60 contract) and the
+    // window-min selection with nested list lambdas ----
+    Q(
+      "doc_winnow_fingerprints",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT)
+        |  ELSE [] END AS hs FROM t),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+        |      j -> list_min(list_slice(hs, j, j + 3))))
+        |  WHEN len(hs) >= 1 THEN [list_min(hs)]
+        |  ELSE [] END AS fps FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"), 3, 4)).as("fp"),
+      ).orderBy("doc_id", "fp")
+    },
+
+    // ---- repetition quality filters (the Gopher/C4-style pre-filters):
+    // duplicate 2-gram fraction and top-2-gram fraction per document.
+    // One explode + two groupBys — linear, shuffles bounded by gram count ----
+    Q(
+      "quality_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram FROM t),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |        CAST(MAX(c) AS BIGINT) AS top_c, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_grams,
+        |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_frac,
+        |  CAST(top_c AS DOUBLE) / n_grams AS top_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.wordShinglesAll(col("text"), 2)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_grams"), max("c").as("top_c"), count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"),
+          ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams")).as("dup_frac"),
+          (col("top_c").cast("double") / col("n_grams")).as("top_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing: opaque binary payload + byte stats (the
     // decode itself is stubbed — see functions.Multimodal) ----
     Q(

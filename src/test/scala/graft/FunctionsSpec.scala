@@ -159,6 +159,24 @@ class FunctionsSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
+  test("winnowFingerprints: window minima, short-doc fallback, empty guard") {
+    val df = Seq("a b c d e f g", "a b c", "xy").toDF("text")
+    val rows = df.select(
+      TextFunctions.winnowFingerprints(col("text"), 3, 4).as("fps"),
+      transform(TextFunctions.wordShinglesAll(col("text"), 3),
+        g => TextFunctions.tokenHash60(g)).as("hs"))
+      .collect()
+    // 7 tokens → 5 gram hashes → two 4-windows; replicate the min rule
+    val hs0 = rows(0).getSeq[Long](1)
+    assert(hs0.length == 5)
+    val want0 = Seq(hs0.slice(0, 4).min, hs0.slice(1, 5).min).distinct
+    assert(rows(0).getSeq[Long](0) == want0)
+    // 3 tokens → 1 gram < w → single whole-doc minimum
+    assert(rows(1).getSeq[Long](0) == Seq(rows(1).getSeq[Long](1).min))
+    // < k tokens → no grams → empty
+    assert(rows(2).getSeq[Long](0).isEmpty)
+  }
+
   test("L2ArgMin kernel ≡ least/round/aggregate functional form (sf0.001)") {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(spark, sf0001)
