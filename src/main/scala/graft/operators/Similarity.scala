@@ -73,6 +73,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Per-vector symmetric int8 scalar quantization: scale = max|x|/127
+    * (floored to avoid zero-vectors dividing by zero), q_i = round(x_i /
+    * scale). The 100 TB embedding-store trick — 4× less memory and
+    * shuffle width than float32 with ~1% cosine error — and cosine is
+    * SCALE-INVARIANT, so ranking quantized vectors needs no dequantize:
+    * cosine(q_a, q_b) ≈ cosine(a, b) directly on the int values.
+    * Quantized values stay integer-valued doubles here so the codegen'd
+    * cosine kernel applies unchanged; a production store would pack them
+    * as `array<tinyint>` bytes at rest.
+    */
+  def int8Quantize(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id), VectorFunctions.asDouble(col(vec)).as("v"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))) / lit(127.0), lit(1e-30)))
+      .withColumn("qv", transform(col("v"), x => round(x / col("scale"))))
+
+  /** Brute-force top-k over int8-quantized vectors: same broadcast-query
+    * linear-scan shape as the float path, at a quarter of the memory
+    * bandwidth at rest. Exactly replayable: quantization is deterministic
+    * arithmetic and integer-valued dot/norm sums are exact in doubles
+    * (|q| ≤ 127, so Σq² ≤ d·16129 ≪ 2⁵³).
+    */
+  def int8QuantizedTopK(
+      queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    val q = int8Quantize(queries, id, vec)
+      .select(col(id).as("query_id"), col("qv").as("qa"))
+    val c = int8Quantize(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("qv").as("qb"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("qa"), col("qb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (a, b) with
     * cosine >= threshold. All-pairs is inherently O(n²) — fine for a
     * corpus that fits a broadcast (Spark plans this as a broadcast
@@ -453,6 +490,40 @@ object Similarity {
           .select(col("vec_id"), col("cluster")), "vec_id")
       ivfTopK(emb.filter(col("vec_id") < 20), indexed, "vec_id", "embedding",
         "cluster", 5, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- int8 scalar quantization + quantized brute-force top-k: the
+    // memory-bound scale path for embedding search (4× narrower vectors;
+    // cosine is scale-invariant so the quantized ints rank directly).
+    // Oracle replays scale/round/dot/norm — all exact integer-valued
+    // double arithmetic ----
+    Q(
+      "ann_topk_int8",
+      """WITH ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |sc AS (SELECT vec_id, GREATEST(MAX(ABS(x)) / 127.0, 1e-30) AS s FROM ev GROUP BY 1),
+        |qv AS (SELECT ev.vec_id, ev.pos, ROUND(ev.x / sc.s) AS q
+        |       FROM ev JOIN sc ON sc.vec_id = ev.vec_id),
+        |nrm AS (SELECT vec_id, SUM(q*q) AS n2 FROM qv GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q * b.q) AS dot
+        |         FROM qv a JOIN qv b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+        |         WHERE a.vec_id < 20 GROUP BY 1, 2),
+        |sims AS (SELECT d.query_id, d.neighbor_id,
+        |           d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
+        |         FROM dots d JOIN nrm na ON na.vec_id = d.query_id
+        |                     JOIN nrm nb ON nb.vec_id = d.neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+        |             ROUND(sim, 6) AS sim_r
+        |           FROM sims)
+        |SELECT query_id, neighbor_id, rank, sim_r FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      int8QuantizedTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim"), 6).as("sim_r"))
         .orderBy("query_id", "rank")

@@ -149,6 +149,22 @@ class FunctionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) > 8)
   }
 
+  test("int8-quantized topk recalls most of the exact float topk (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id"))
+    val quant = topSets(Similarity.int8QuantizedTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id"))
+    val recalls = exact.map { case (qid, ex) =>
+      (quant.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 $mean") // int8 error ~1% of cosine
+  }
+
   test("bruteForceTopK self-consistent: rank 1 is the max-cosine neighbor") {
     val emb = Tables.embeddings(spark, sf0001)
     val topk = Similarity.bruteForceTopK(
