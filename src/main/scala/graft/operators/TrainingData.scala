@@ -164,6 +164,30 @@ object TrainingData {
       .withColumn("is_keeper", col("doc_id") === col("component"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram with a benchmark/eval set — the standard pre-training
+    * contamination check (the reason eval numbers stay meaningful). Grams
+    * are 60-bit-hashed so the join key is 8 bytes, and the benchmark gram
+    * set is broadcast: eval suites are tiny next to a 100 TB corpus, so
+    * the check is one linear scan of the training side, no shuffle of it.
+    */
+  def decontaminate(
+      docs: DataFrame, benchmark: DataFrame, id: String, text: Column,
+      n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(
+      col(id),
+      explode(TextFunctions.wordShingles(text, n)).as("g"))
+      .select(col(id), TextFunctions.tokenHash60(col("g")).as("h"))
+    val benchGrams = grams(benchmark).select("h").distinct()
+    val hits = grams(docs)
+      .join(broadcast(benchGrams), "h")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hits")) // per-doc grams distinct
+    docs.select(col(id))
+      .join(hits, Seq(id), "left")
+      .select(col(id), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic hash split: 'train' for trainPct% of rows, 'test'
     * otherwise, keyed only on the row's id (stable under corpus growth,
     * identical across engines — md5-derived, not xxhash).
@@ -224,6 +248,34 @@ object TrainingData {
       val pairs = Dedup.minHashNearDupPairs(
         Tables.documents(s, d), "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
       dupClusters(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    },
+
+    // ---- benchmark decontamination: every 50th doc plays the eval set;
+    // training docs sharing any 5-gram with it are flagged. Broadcast
+    // semi-join on hashed grams — the training side is scanned once ----
+    Q(
+      "decontaminate_benchmark",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(toks) >= 5 THEN
+        |           list_transform(generate_series(1, len(toks) - 4),
+        |             i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        |         ELSE [] END)) AS g FROM t),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM sh s JOIN bench b ON b.g = s.g
+        |         WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", col("text"), 5)
+        .orderBy("doc_id")
     },
 
     // ---- deterministic stratified train/test split (90/10 on id hash) ----

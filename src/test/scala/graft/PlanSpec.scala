@@ -81,6 +81,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), "salted join must key on (key, salt)")
   }
 
+  test("decontaminate broadcasts the benchmark gram set (training side scanned once)") {
+    val df = SparkEntry.queries("decontaminate_benchmark")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast — shuffling the corpus for a tiny eval set is the scale bug")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (no salting needed)") {
     // Documents the division of labor with SkewJoin.saltedJoin: when the
     // skewed side arrives through a regular shuffle, AQE's runtime skew
