@@ -274,5 +274,30 @@ object StreamingOps {
         })
       }.orderBy("user_id")
     },
+
+    // ---- the BOUNDED-state form: dropDuplicatesWithinWatermark evicts
+    // dedup state older than the watermark, which is what makes streaming
+    // dedup run forever at 100 TB/day (plain dropDuplicates state grows
+    // without bound). With a delay covering the fixture's whole time span
+    // nothing evicts, so the bounded operator provably equals exact
+    // DISTINCT here — the eviction bound is a retention policy, not an
+    // accuracy loss, for any key re-seen within the delay ----
+    Q(
+      "stream_distinct_users_wm",
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    ) { (spark, sfDir) =>
+      withStagedEvents(sfDir) { stageDir =>
+        runToFiles(spark, "stream_distinct_wm", { session =>
+          val stream = session.readStream
+            .schema(eventsSchema)
+            .parquet(stageDir)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark("user_id")
+            .select("user_id")
+          (stream, org.apache.spark.sql.streaming.OutputMode.Append())
+        })
+      }.orderBy("user_id")
+    },
   )
 }
