@@ -16,6 +16,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Apply the function injections of a built-up `SparkSessionExtensions`
+    * to an existing session's registry (`registerFunctions` is
+    * `private[sql]`) — lets specs exercise `graft.GraftExtensions` exactly
+    * as session construction would, without tearing down the shared
+    * test session.
+    */
+  def applyExtensions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+
   /** Deconstruct a `col === literal` (either operand order) Column into
     * (columnName, literalValue) — used by predicate-form DDL (partition
     * delete) to validate conditions WITHOUT an analyzer pass. Returns None

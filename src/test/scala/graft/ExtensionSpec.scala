@@ -27,6 +27,19 @@ class ExtensionSpec extends SparkSpec {
     assert(diffs == 0.0)
   }
 
+  test("GraftExtensions injects all SQL functions the way spark.sql.extensions would") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val s = spark.newSession() // fresh registry, no temp-function fallback
+    org.apache.spark.sql.graft.Bridge.applyExtensions(ext, s)
+    val r = s.sql(
+      "SELECT token_hash60('abc') = conv(substring(md5('abc'), 1, 15), 16, 10) AS h, " +
+      "rolling_token_hash('a b') >= 0 AS rt, " +
+      "abs(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) - 1.0) < 1e-12 AS c")
+      .collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("native cosine registers as a SQL function") {
     CosineSimilarity.register(spark)
     Tables.embeddings(spark, sf0001).limit(5).createOrReplaceTempView("emb_t")
