@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TrainingData.queries ++
       operators.Similarity.queries ++
       operators.SkewJoin.queries ++
+      operators.RangeJoin.queries ++
       operators.CatalogOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.KafkaOps.queries

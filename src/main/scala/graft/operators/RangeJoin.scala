@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed range join (SURVEY.md §2.4 J2 extension): match points to
+  * intervals (`start ≤ p < end`) WITHOUT an equi key.
+  *
+  * The naive plan for a pure range predicate is a broadcast nested loop —
+  * O(|points|·|intervals|) comparisons, the classic 100 TB cliff. The
+  * bucketed form discretizes both sides at a chosen granularity: each
+  * point lands in one bucket, each interval explodes into the buckets it
+  * covers, and the join becomes an EQUI join on bucket id followed by the
+  * exact range filter. Cost O(|points| + |intervals|·span/width + matches)
+  * — linear when the bucket width is chosen near the typical interval
+  * span (each interval explodes into O(1) buckets). This is the same
+  * binning strategy Databricks' range-join optimization and KDB's window
+  * joins use under the hood.
+  *
+  * Every (point, interval) match is produced exactly once: a matching
+  * point's bucket is always inside the interval's covered bucket list, and
+  * the pair only joins on THAT bucket — no post-dedup needed.
+  */
+object RangeJoin {
+
+  /** Join `points` (long column `pCol`) to `intervals` (long columns
+    * `startCol` inclusive, `endCol` exclusive) on containment, equi-joined
+    * through buckets of `bucketWidth`. Returns the matched rows with all
+    * columns from both sides.
+    */
+  def rangeJoin(
+      points: DataFrame, pCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", floor(col(pCol) / bucketWidth))
+    val iv = intervals
+      .withColumn("__bucket", explode(sequence(
+        floor(col(startCol) / bucketWidth),
+        // end is exclusive: the last covered bucket holds end-1
+        floor((col(endCol) - 1) / bucketWidth))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pCol) >= col(startCol) && col(pCol) < col(endCol))
+      .drop("__bucket")
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ---- pure range join, no equi key: count ALL users' events landing
+    // in each user's first-2-hours window. Epoch-second integers on both
+    // sides (exact arithmetic, no float/precision edges); oracle is the
+    // naive theta join ----
+    Q(
+      "q_range_join",
+      """WITH ev AS (SELECT user_id,
+        |              date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+        |            FROM events),
+        |iv AS (SELECT user_id AS iv_user, MIN(sec) AS start, MIN(sec) + 7200 AS fin
+        |       FROM ev GROUP BY 1)
+        |SELECT iv.iv_user, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM iv JOIN ev e ON e.sec >= iv.start AND e.sec < iv.fin
+        |GROUP BY 1 ORDER BY iv_user""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        // NTZ → instant (UTC session: same wall time) → floor epoch seconds
+        .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("sec"))
+      val iv = ev.groupBy(col("user_id").as("iv_user"))
+        .agg(min("sec").as("start"))
+        .withColumn("fin", col("start") + lit(7200L))
+      rangeJoin(ev, "sec", iv, "start", "fin", bucketWidth = 3600L)
+        .groupBy("iv_user").agg(count(lit(1)).as("n_events"))
+        .orderBy("iv_user")
+    },
+  )
+}

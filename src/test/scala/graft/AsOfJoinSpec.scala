@@ -61,4 +61,20 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.asOf(leftDf, right, "k", "ts", "ts", Seq("pay", "m"))
     }
   }
+
+  test("rangeJoin: inclusive start, exclusive end, multi-bucket spans, no dupes") {
+    import graft.operators.RangeJoin
+    val points = Seq(0L, 10L, 99L, 100L, 250L, 399L, 400L).toDF("p")
+    val intervals = Seq(
+      (1L, 10L, 100L),  // within one bucket (width 100)
+      (2L, 100L, 400L), // spans 3 buckets
+      (3L, 0L, 1L),     // single-point interval
+    ).toDF("iv", "s", "e")
+    val got = RangeJoin.rangeJoin(points, "p", intervals, "s", "e", 100L)
+      .select("iv", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // each match exactly once; 10 in [10,100), 99 in [10,100), 100/250/399
+    // in [100,400), 400 excluded (end-exclusive), 0 in [0,1)
+    assert(got.sorted == Seq((1L, 10L), (1L, 99L), (2L, 100L), (2L, 250L),
+      (2L, 399L), (3L, 0L)))
+  }
 }

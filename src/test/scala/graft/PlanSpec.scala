@@ -81,6 +81,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), "salted join must key on (key, salt)")
   }
 
+  test("q_range_join plans as an equi join on buckets, not a nested loop") {
+    val df = SparkEntry.queries("q_range_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join must bucket into an equi join — a nested loop is the O(n·m) cliff")
+    assert(plan.contains("__bucket"), "bucket key missing from join")
+  }
+
   test("decontaminate broadcasts the benchmark gram set (training side scanned once)") {
     val df = SparkEntry.queries("decontaminate_benchmark")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
