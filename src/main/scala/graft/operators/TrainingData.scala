@@ -324,6 +324,70 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- the FULL modern assembly: exact dedup → benchmark
+    // decontamination → repetition gate → quality gate → deterministic
+    // split, one declarative query (every stage individually
+    // oracle-proven above; this proves they COMPOSE — Catalyst fuses the
+    // gates into one pipeline over a single corpus scan plus the bounded
+    // gram aggregations) ----
+    Q(
+      "training_corpus_v2",
+      s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM train GROUP BY text),
+         |kept AS (SELECT d.* FROM train d JOIN keep USING (doc_id)),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
+         |         list_transform(generate_series(1, len(toks) - 4),
+         |           i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+         |       ELSE [] END)) AS g FROM tk),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+         |contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON b.g = s.g
+         |                 WHERE s.doc_id % 50 <> 0),
+         |g2 AS (SELECT k.doc_id, unnest(list_transform(generate_series(1, len(t.toks) - 1),
+         |         i -> array_to_string(list_slice(t.toks, i, i + 1), ' '))) AS gram
+         |       FROM kept k JOIN tk t ON t.doc_id = k.doc_id),
+         |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         |rep AS (SELECT doc_id FROM (
+         |          SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM gc GROUP BY 1)
+         |        WHERE CAST(n - nd AS DOUBLE) / n <= 0.06),
+         |scored AS (
+         |  SELECT k.doc_id, k.lang,
+         |    0.4 * LEAST(CAST(len(string_split(k.text,' ')) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.4 * (CAST(len(list_distinct(string_split(k.text,' '))) AS DOUBLE)
+         |             / GREATEST(CAST(len(string_split(k.text,' ')) AS DOUBLE), 1.0))
+         |    + 0.2 * (1.0 - CAST(len(list_filter(string_split(k.text,' '),
+         |                 t -> t IN (${TextOps.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE)
+         |             / GREATEST(CAST(len(string_split(k.text,' ')) AS DOUBLE), 1.0)) AS quality
+         |  FROM kept k
+         |  JOIN rep USING (doc_id)
+         |  LEFT JOIN contaminated c ON c.doc_id = k.doc_id
+         |  WHERE c.doc_id IS NULL)
+         |SELECT doc_id, lang, ROUND(quality, 6) AS quality_r,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+         |    THEN 'train' ELSE 'test' END AS split
+         |FROM scored WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val keep = train.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val kept = train.join(keep, "doc_id")
+      val clean = decontaminate(kept, bench, "doc_id", col("text"), 5)
+        .filter(!col("contaminated")).select("doc_id")
+      val lowRep = kept
+        .select(col("doc_id"), explode(TextFunctions.wordShinglesAll(col("text"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("nd"))
+        .filter((col("n") - col("nd")).cast("double") / col("n") <= 0.06)
+        .select("doc_id")
+      kept.join(clean, "doc_id").join(lowRep, "doc_id")
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), TextOps.Stopwords))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality_r"),
+          hashSplit(col("doc_id"), 90).as("split"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sample: 5 docs per language ----
     Q(
       "q_stratified_sample",
