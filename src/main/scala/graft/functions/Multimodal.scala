@@ -220,6 +220,88 @@ object Multimodal {
     } else sys.error("unknown container (not BMP or RIFF/WAV)")
   }
 
+  /** Nearest-neighbor half-resolution resize (BMP) / decimate-by-2
+    * resample (WAV), decode → transform → RE-ENCODE: the output is a
+    * valid container again, so resizes chain and downstream decoders
+    * need no special casing. The BMP path must invert bottom-up row
+    * storage to sample LOGICAL even rows (a decoder that sampled storage
+    * rows would pick the wrong pixels whenever the height changes
+    * parity) and re-pad rows to 4 bytes; the WAV path halves the sample
+    * rate and keeps even-index samples.
+    */
+  def resizeHalf(p: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (p(0) == 'B' && p(1) == 'M') {
+      val pixelOff = bb.getInt(10)
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      require(bb.getShort(28) == 24, "resizeHalf: 24-bit BMP only")
+      val stride = (w * 3 + 3) / 4 * 4
+      val w2 = (w + 1) / 2
+      val h2 = (h + 1) / 2
+      // logical pixel (x, y): stored bottom-up at row h-1-y
+      def px(x: Int, y: Int, c: Int): Byte = p(pixelOff + (h - 1 - y) * stride + x * 3 + c)
+      val rowBytes2 = w2 * 3
+      val pad2 = (4 - rowBytes2 % 4) % 4
+      val out = java.nio.ByteBuffer.allocate(54 + (rowBytes2 + pad2) * h2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + (rowBytes2 + pad2) * h2)
+        .putShort(0).putShort(0).putInt(54)
+      out.putInt(40).putInt(w2).putInt(h2).putShort(1).putShort(24)
+        .putInt(0).putInt((rowBytes2 + pad2) * h2).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var row = 0
+      while (row < h2) {
+        val y2 = h2 - 1 - row // write bottom-up
+        var x2 = 0
+        while (x2 < w2) {
+          var c = 0
+          while (c < 3) { out.put(px(2 * x2, 2 * y2, c)); c += 1 }
+          x2 += 1
+        }
+        var q = 0
+        while (q < pad2) { out.put(0.toByte); q += 1 }
+        row += 1
+      }
+      out.array()
+    } else if (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') {
+      var off = 12
+      var sr = 0; var dataOff = -1; var dataSz = 0
+      while (off + 8 <= p.length) {
+        val tag = new String(p, off, 4, "US-ASCII")
+        val sz = bb.getInt(off + 4)
+        if (tag == "fmt ") {
+          require(bb.getShort(off + 22) == 16 && bb.getShort(off + 10) == 1,
+            "resizeHalf: 16-bit mono WAV only")
+          sr = bb.getInt(off + 12)
+        } else if (tag == "data") { dataOff = off + 8; dataSz = sz }
+        off += 8 + sz + (sz & 1)
+      }
+      require(dataOff >= 0, "resizeHalf: no data chunk")
+      val n = dataSz / 2
+      val n2 = (n + 1) / 2 // even indices 0, 2, ...
+      val out = java.nio.ByteBuffer.allocate(44 + n2 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n2 * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr / 2).putInt(sr).putShort(2).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(n2 * 2)
+      var j = 0
+      while (j < n2) { out.putShort(bb.getShort(dataOff + 4 * j)); j += 1 }
+      out.array()
+    } else sys.error("unknown container (not BMP or RIFF/WAV)")
+  }
+
+  /** Batched resize/resample of a binary media table (see [[resizeHalf]]). */
+  def resizeMedia(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(binaryMediaSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), r.getString(1), resizeHalf(r.getAs[Array[Byte]](2))))
+    }(enc)
+  }
+
   /** Synthesize the binary media table: BMP for image/video ids (a video
     * here is its single poster frame), WAV for audio ids. Runs in
     * `mapPartitions` like a real ingest-side transcoder would.

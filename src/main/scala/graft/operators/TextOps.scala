@@ -325,5 +325,39 @@ object TextOps {
           .mediaBinaryFromIds(Tables.documents(s, d), "doc_id"))
         .orderBy("media_id")
     },
+
+    // ---- decode → resize/resample → RE-ENCODE → decode: BMPs drop to
+    // half resolution by nearest-neighbor on LOGICAL rows (the transform
+    // must invert bottom-up storage or it samples wrong pixels whenever
+    // height parity changes), WAVs decimate by 2 at half the sample rate.
+    // The oracle replays the strided sampling in closed form over the
+    // synthesis formulas — agreement requires the full container loop ----
+    Q(
+      "media_resize",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE (4 + doc_id % 5 + 1) // 2 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE (3 + doc_id % 4 + 1) // 2 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN (8000 + (doc_id % 5) * 2000) // 2 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN (32 + (doc_id % 13) * 4) // 2
+        |       ELSE ((4 + doc_id % 5 + 1) // 2) * ((3 + doc_id % 4 + 1) // 2) * 3 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST((32 + (doc_id % 13) * 4) // 2 AS BIGINT) - 1),
+        |      j -> (doc_id * 31 + j * 14) % 4096 - 2048))
+        |  ELSE
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST(((4 + doc_id % 5 + 1) // 2) * ((3 + doc_id % 4 + 1) // 2) * 3 AS BIGINT) - 1),
+        |      i -> (doc_id + 6 * ((i // 3) % ((4 + doc_id % 5 + 1) // 2))
+        |            + 10 * (i // (3 * ((4 + doc_id % 5 + 1) // 2))) + 11 * (i % 3)) % 256))
+        |  END AS BIGINT) AS sample_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
+    ) { (s, d) =>
+      graft.functions.Multimodal
+        .decodeFeatures(graft.functions.Multimodal
+          .resizeMedia(graft.functions.Multimodal
+            .mediaBinaryFromIds(Tables.documents(s, d), "doc_id")))
+        .orderBy("media_id")
+    },
   )
 }

@@ -241,6 +241,31 @@ class FunctionsSpec extends SparkSpec {
     intercept[RuntimeException](Multimodal.decodeMedia("notacontainer".getBytes))
   }
 
+  test("multimodal: resizeHalf samples logical even rows/samples across parities") {
+    for (id <- 0L until 40L) {
+      val isWav = id % 3 == 1
+      val payload = if (isWav) Multimodal.encodeWav(id) else Multimodal.encodeBmp(id)
+      val (w, h, sr, n, sum) = Multimodal.decodeMedia(Multimodal.resizeHalf(payload))
+      if (isWav) {
+        val n0 = 32 + (id % 13) * 4
+        assert((sr, n) == ((8000 + (id % 5) * 2000) / 2, (n0 + 1) / 2))
+        assert(sum == (0L until (n0 + 1) / 2).map(j => (id * 31 + 14 * j) % 4096 - 2048).sum)
+      } else {
+        val (w0, h0) = (4 + id % 5, 3 + id % 4)
+        val (w2, h2) = ((w0 + 1) / 2, (h0 + 1) / 2)
+        assert((w, h, n) == (w2, h2, w2 * h2 * 3))
+        // logical pixel (2x, 2y): parity-sensitive through bottom-up storage
+        val want = (for {
+          y <- 0L until h2; x <- 0L until w2; c <- 0L until 3L
+        } yield (id + 6 * x + 10 * y + 11 * c) % 256).sum
+        assert(sum == want, s"id=$id (h0=$h0 parity)")
+      }
+    }
+    // resize chains: output is a valid container again
+    val twice = Multimodal.resizeHalf(Multimodal.resizeHalf(Multimodal.encodeBmp(7L)))
+    assert(Multimodal.decodeMedia(twice)._1 == 2L) // w: 6 → 3 → 2 (ceil halving)
+  }
+
   test("multimodal: extractFeatures is deterministic, batch-shaped, typed") {
     val media = Multimodal.mediaFromText(
       Tables.documents(spark, sf0001).limit(20), "doc_id", "text")
