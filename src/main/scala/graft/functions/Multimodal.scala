@@ -110,9 +110,32 @@ object Multimodal {
     * (x, y, channel c∈{0,1,2}) = (id + 3x + 5y + 11c) mod 256. Stored
     * bottom-up with rows padded to 4 bytes, like any real BMP writer.
     */
-  def encodeBmp(id: Long): Array[Byte] = {
-    val w = (4 + id % 5).toInt
-    val h = (3 + id % 4).toInt
+  def encodeBmp(id: Long): Array[Byte] = encodeBmpBase(id, id)
+
+  /** Deterministic multi-frame "video": a minimal container (`GVID`,
+    * int32 frame count, then length-prefixed 24-bit BMP frames). Frame f
+    * of id has pixel (x,y,c) = (id + 7f + 3x + 5y + 11c) mod 256 at the
+    * id's BMP dimensions; 2 + id%3 frames. Real pipelines carry mp4/webm
+    * here — the container walk, stride sampling and per-frame decode are
+    * the same shape.
+    */
+  def encodeVideo(id: Long): Array[Byte] = {
+    val nFrames = (2 + id % 3).toInt
+    val frames = (0 until nFrames).map(f => encodeBmpBase(id + 7L * f, id))
+    val total = 8 + frames.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(nFrames)
+    frames.foreach { fr => bb.putInt(fr.length); bb.put(fr) }
+    bb.array()
+  }
+
+  /** BMP with pixel base offset decoupled from the dimension id (frame
+    * synthesis); [[encodeBmp]] is the base == id case.
+    */
+  private def encodeBmpBase(base: Long, dimId: Long): Array[Byte] = {
+    val w = (4 + dimId % 5).toInt
+    val h = (3 + dimId % 4).toInt
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
     val dataSize = (rowBytes + pad) * h
@@ -125,21 +148,79 @@ object Multimodal {
       .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
     var row = 0
     while (row < h) {
-      val y = h - 1 - row // bottom-up storage
+      val y = h - 1 - row
       var x = 0
       while (x < w) {
         var c = 0
         while (c < 3) {
-          bb.put(((id + 3 * x + 5 * y + 11 * c) % 256).toByte)
+          bb.put(((base + 3 * x + 5 * y + 11 * c) % 256).toByte)
           c += 1
         }
         x += 1
       }
-      var p = 0
-      while (p < pad) { bb.put(0.toByte); p += 1 }
+      var q = 0
+      while (q < pad) { bb.put(0.toByte); q += 1 }
       row += 1
     }
     bb.array()
+  }
+
+  /** Walk a GVID container and return every `stride`-th frame's bytes
+    * with its index — genuine container parsing (frame count + length
+    * prefixes), no knowledge of the synthesis formulas.
+    */
+  def sampleFrames(p: Array[Byte], stride: Int): Seq[(Int, Array[Byte])] = {
+    require(p.length >= 8 && new String(p, 0, 4, "US-ASCII") == "GVID",
+      "not a GVID container")
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(4)
+    var off = 8
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var f = 0
+    while (f < n) {
+      val len = bb.getInt(off)
+      if (f % stride == 0) out += (f -> java.util.Arrays.copyOfRange(p, off + 4, off + 4 + len))
+      off += 4 + len
+      f += 1
+    }
+    out.result()
+  }
+
+  /** Schema of per-frame decoded stats from [[frameSample]]. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_sum", LongType, nullable = false),
+  ))
+
+  /** Synthesize a video table (every id gets a GVID container). */
+  def videoFromIds(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(binaryMediaSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), "video", encodeVideo(r.getLong(0))))
+    }(enc)
+  }
+
+  /** Batched frame sampling + per-frame decode: one output row per
+    * sampled frame — the 1-to-N `mapPartitions` shape a real frame
+    * extractor (ffmpeg behind JNI) would use.
+    */
+  def frameSample(media: DataFrame, stride: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        sampleFrames(r.getAs[Array[Byte]](1), stride).map { case (f, bytes) =>
+          val (w, h, _, n, sum) = decodeMedia(bytes)
+          Row(id, f.toLong, w, h, n, sum)
+        }
+      }
+    }(enc)
   }
 
   /** Deterministic RIFF/WAV, PCM 16-bit mono: sample rate 8000+(id%5)·2000,

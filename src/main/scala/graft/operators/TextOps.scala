@@ -359,5 +359,30 @@ object TextOps {
             .mediaBinaryFromIds(Tables.documents(s, d), "doc_id")))
         .orderBy("media_id")
     },
+
+    // ---- frame sampling: every id gets a multi-frame GVID container
+    // (2 + id%3 length-prefixed BMP frames); every 2nd frame is walked
+    // out of the container and decoded — the 1-to-N batched shape a real
+    // ffmpeg-behind-JNI extractor uses. Oracle replays the per-frame
+    // pixel formula for exactly the sampled frame indices ----
+    Q(
+      "media_frame_sample",
+      """WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+        |             4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS frame FROM v)
+        |SELECT doc_id AS media_id, frame AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, CAST(w * h * 3 AS BIGINT) - 1),
+        |    i -> (doc_id + 7 * frame + 3 * ((i // 3) % w) + 5 * (i // (3 * w)) + 11 * (i % 3)) % 256))
+        |  AS BIGINT) AS sample_sum
+        |FROM f WHERE frame % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+    ) { (s, d) =>
+      graft.functions.Multimodal
+        .frameSample(graft.functions.Multimodal
+          .videoFromIds(Tables.documents(s, d), "doc_id"), stride = 2)
+        .orderBy("media_id", "frame_idx")
+    },
   )
 }
