@@ -35,28 +35,40 @@ object TextFunctions {
     * Empty array when the document has fewer than n tokens (guarded — an
     * unguarded `sequence(1, size-n+1)` would go descending for short docs).
     */
-  def wordShingles(text: Column, n: Int): Column = bindOnce(tokens(text)) { ws =>
-    when(
-      size(ws) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.plans.WordShingles.wordShingles(text, n)
+
+  /** The pre-Catalyst functional form of [[wordShingles]]; kept as the
+    * equivalence witness (FunctionsSpec asserts ≡).
+    */
+  private[graft] def wordShinglesPortable(text: Column, n: Int): Column =
+    bindOnce(tokens(text)) { ws =>
+      when(
+        size(ws) >= n,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Word n-shingles with duplicates KEPT, in document order — the input
     * for repetition statistics, where multiplicity is the signal that
     * [[wordShingles]]' distinct form deliberately erases.
     */
-  def wordShinglesAll(text: Column, n: Int): Column = bindOnce(tokens(text)) { ws =>
-    when(
-      size(ws) >= n,
-      transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShinglesAll(text: Column, n: Int): Column =
+    graft.plans.WordShingles.wordShinglesAll(text, n)
+
+  /** Functional-form witness for [[wordShinglesAll]] (FunctionsSpec ≡). */
+  private[graft] def wordShinglesAllPortable(text: Column, n: Int): Column =
+    bindOnce(tokens(text)) { ws =>
+      when(
+        size(ws) >= n,
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD'03): hash every

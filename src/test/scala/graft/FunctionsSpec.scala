@@ -175,6 +175,28 @@ class FunctionsSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
+  test("WordShingles expression ≡ functional forms (edge cases + sf0.001 corpus)") {
+    val edge = Seq("", " ", "a", "a b", "a  b", " a b ", "a b a b c",
+      "héllo wörld mix", "日本語 テスト 文字 と emoji 🎉").toDF("text")
+    val corpus = Tables.documents(spark, sf0001).select("text")
+    for (df <- Seq(edge, corpus); n <- Seq(2, 3)) {
+      val rows = df.select(
+        TextFunctions.wordShingles(col("text"), n).as("d_expr"),
+        TextFunctions.wordShinglesPortable(col("text"), n).as("d_port"),
+        TextFunctions.wordShinglesAll(col("text"), n).as("a_expr"),
+        TextFunctions.wordShinglesAllPortable(col("text"), n).as("a_port"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"distinct n=$n: $r")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"all n=$n: $r")
+      }
+    }
+    // null text propagates
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 2)).collect().head
+    assert(nr.isNullAt(0))
+  }
+
   test("winnowFingerprints: window minima, short-doc fallback, empty guard") {
     val df = Seq("a b c d e f g", "a b c", "xy").toDF("text")
     val rows = df.select(
