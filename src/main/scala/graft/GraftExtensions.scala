@@ -21,21 +21,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def fn(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+    // arity-checked at resolution so a wrong-arity call surfaces as an
+    // analysis error, not an IndexOutOfBoundsException from the builder
+    def fn(name: String, arity: Int, usage: String)
+        (builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
-        builder))
+        exprs => {
+          if (exprs.length != arity)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name, "expectedNum" -> arity.toString,
+                "actualNum" -> exprs.length.toString, "docroot" -> ""))
+          builder(exprs)
+        }))
 
-    fn("cosine_similarity",
+    fn("cosine_similarity", 2,
       "cosine_similarity(a, b) - cosine of two array<float|double> vectors") {
       exprs => plans.CosineSimilarity(exprs(0), exprs(1))
     }
-    fn("token_hash60",
+    fn("token_hash60", 1,
       "token_hash60(s) - first 60 bits of md5(s) as a bigint (engine-portable)") {
       exprs => plans.TokenHash60(exprs.head)
     }
-    fn("rolling_token_hash",
+    fn("rolling_token_hash", 1,
       "rolling_token_hash(s) - polynomial rolling hash over space-split tokens") {
       exprs => plans.RollingTokenHash(exprs.head)
     }

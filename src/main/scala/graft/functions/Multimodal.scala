@@ -262,6 +262,9 @@ object Multimodal {
       val h = bb.getInt(22)
       val bpp = bb.getShort(28).toInt
       require(bpp == 24, s"unsupported BMP bpp: $bpp")
+      // negative height = top-down row order; reject rather than silently
+      // returning empty stats (this codec writes bottom-up only)
+      require(w > 0 && h > 0, s"unsupported BMP dims: ${w}x$h (top-down?)")
       val rowBytes = w * 3
       val stride = (rowBytes + 3) / 4 * 4
       var sum = 0L
@@ -317,6 +320,7 @@ object Multimodal {
       val w = bb.getInt(18)
       val h = bb.getInt(22)
       require(bb.getShort(28) == 24, "resizeHalf: 24-bit BMP only")
+      require(w > 0 && h > 0, s"resizeHalf: unsupported BMP dims ${w}x$h (top-down?)")
       val stride = (w * 3 + 3) / 4 * 4
       val w2 = (w + 1) / 2
       val h2 = (h + 1) / 2

@@ -115,9 +115,16 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     size(filter(split(text, "[^a-z0-9]+"), t => length(t) > 0)).cast("long")
 
+  /** Count of stopword tokens in an already-bound token ARRAY — shared by
+    * [[stopwordCount]], [[qualityScore]] and [[langIdHeuristic]] so the
+    * expression exists once.
+    */
+  private def stopCountOn(ws: Column, stopwords: Seq[String]): Column =
+    size(filter(ws, t => t.isin(stopwords.map(lit): _*))).cast("long")
+
   /** Occurrence count of tokens from a fixed stopword list. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*))).cast("long")
+    stopCountOn(tokens(text), stopwords)
 
   /** Heuristic quality score in [0,1]: length saturation, lexical
     * diversity, and stopword balance — the standard cheap pre-filters a
@@ -130,7 +137,7 @@ object TextFunctions {
     val nUniq = size(array_distinct(ws)).cast("double")
     val lengthScore = least(nTok / lit(100.0), lit(1.0))
     val diversity = nUniq / greatest(nTok, lit(1.0))
-    val stopRatio = size(filter(ws, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+    val stopRatio = stopCountOn(ws, stopwords).cast("double") /
       greatest(nTok, lit(1.0))
     lit(0.4) * lengthScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - stopRatio)
   }
@@ -186,9 +193,7 @@ object TextFunctions {
     bindOnce(tokens(text)) { ws =>
       // tokens bound once: the unbound form re-ran split() once per profile
       val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
-        struct(
-          size(filter(ws, t => t.isin(markers.map(lit): _*))).cast("long").as("score"),
-          lit(lang).as("lang"))
+        struct(stopCountOn(ws, markers).as("score"), lit(lang).as("lang"))
       }
       val best = greatest(scored: _*)
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -36,6 +36,11 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__bucket", floor(col(pCol) / bucketWidth))
     val iv = intervals
+      // empty/inverted intervals can match nothing — and must be dropped
+      // BEFORE the explode: sequence(a, b) steps DOWNWARD when a > b, so
+      // one corrupt interval row would otherwise fan out into a huge
+      // descending bucket list instead of zero buckets
+      .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
         floor(col(startCol) / bucketWidth),
         // end is exclusive: the last covered bucket holds end-1

@@ -97,18 +97,11 @@ object Similarity {
     */
   def int8QuantizedTopK(
       queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      k: Int): DataFrame = {
-    val q = int8Quantize(queries, id, vec)
-      .select(col(id).as("query_id"), col("qv").as("qa"))
-    val c = int8Quantize(corpus, id, vec)
-      .select(col(id).as("neighbor_id"), col("qv").as("qb"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", VectorFunctions.cosine(col("qa"), col("qb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
-  }
+      k: Int): DataFrame =
+    bruteForceTopK(
+      int8Quantize(queries, id, vec).select(col(id), col("qv")),
+      int8Quantize(corpus, id, vec).select(col(id), col("qv")),
+      id, "qv", k)
 
   /** Exact embedding-cosine near-duplicate pairs: every (a, b) with
     * cosine >= threshold. All-pairs is inherently O(n²) — fine for a

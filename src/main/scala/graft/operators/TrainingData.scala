@@ -347,9 +347,9 @@ object TrainingData {
          |         i -> array_to_string(list_slice(t.toks, i, i + 1), ' '))) AS gram
          |       FROM kept k JOIN tk t ON t.doc_id = k.doc_id),
          |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
-         |rep AS (SELECT doc_id FROM (
+         |highrep AS (SELECT doc_id FROM (
          |          SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM gc GROUP BY 1)
-         |        WHERE CAST(n - nd AS DOUBLE) / n <= 0.06),
+         |        WHERE CAST(n - nd AS DOUBLE) / n > 0.06),
          |scored AS (
          |  SELECT k.doc_id, k.lang,
          |    0.4 * LEAST(CAST(len(string_split(k.text,' ')) AS DOUBLE) / 100.0, 1.0)
@@ -359,9 +359,9 @@ object TrainingData {
          |                 t -> t IN (${TextOps.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE)
          |             / GREATEST(CAST(len(string_split(k.text,' ')) AS DOUBLE), 1.0)) AS quality
          |  FROM kept k
-         |  JOIN rep USING (doc_id)
+         |  LEFT JOIN highrep r ON r.doc_id = k.doc_id
          |  LEFT JOIN contaminated c ON c.doc_id = k.doc_id
-         |  WHERE c.doc_id IS NULL)
+         |  WHERE r.doc_id IS NULL AND c.doc_id IS NULL)
          |SELECT doc_id, lang, ROUND(quality, 6) AS quality_r,
          |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
          |    THEN 'train' ELSE 'test' END AS split
@@ -374,13 +374,16 @@ object TrainingData {
       val kept = train.join(keep, "doc_id")
       val clean = decontaminate(kept, bench, "doc_id", col("text"), 5)
         .filter(!col("contaminated")).select("doc_id")
-      val lowRep = kept
+      // gate by anti-join on the HIGH-repetition set: a doc too short to
+      // have 2-grams has zero repetition and must PASS (an inner join on
+      // the low-rep side would silently delete gram-less docs)
+      val highRep = kept
         .select(col("doc_id"), explode(TextFunctions.wordShinglesAll(col("text"), 2)).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("nd"))
-        .filter((col("n") - col("nd")).cast("double") / col("n") <= 0.06)
+        .filter((col("n") - col("nd")).cast("double") / col("n") > 0.06)
         .select("doc_id")
-      kept.join(clean, "doc_id").join(lowRep, "doc_id")
+      kept.join(clean, "doc_id").join(highRep, Seq("doc_id"), "left_anti")
         .withColumn("quality", TextFunctions.qualityScore(col("text"), TextOps.Stopwords))
         .filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality_r"),

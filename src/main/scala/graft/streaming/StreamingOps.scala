@@ -98,9 +98,9 @@ object StreamingOps {
   }
 
   /** Run a streaming query to completion writing a FILE sink — the scale
-    * path: results go executor→disk, never through the driver (the memory
-    * sink in [[runToBatch]] collects to the driver, fine for spec-scale
-    * state only). Complete-mode windowed aggs can't use the native file
+    * path: results go executor→disk, never through the driver (a memory
+    * sink would collect results driver-side, capping at driver memory).
+    * Complete-mode windowed aggs can't use the native file
     * sink (append-only, and its watermark-gated emission would hold back
     * the final windows of a bounded replay), so this uses `foreachBatch` +
     * overwrite — the standard pattern: each micro-batch atomically rewrites

@@ -69,6 +69,8 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 10L, 100L),  // within one bucket (width 100)
       (2L, 100L, 400L), // spans 3 buckets
       (3L, 0L, 1L),     // single-point interval
+      (4L, 50L, 50L),   // empty interval: matches nothing
+      (5L, 900L, 0L),   // inverted: must be dropped, not exploded descending
     ).toDF("iv", "s", "e")
     val got = RangeJoin.rangeJoin(points, "p", intervals, "s", "e", 100L)
       .select("iv", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

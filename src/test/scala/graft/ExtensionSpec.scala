@@ -38,6 +38,11 @@ class ExtensionSpec extends SparkSpec {
       "abs(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) - 1.0) < 1e-12 AS c")
       .collect().head
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    // wrong arity surfaces as an analysis error, not an index exception
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT cosine_similarity(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("cosine_similarity"))
   }
 
   test("native cosine registers as a SQL function") {
