@@ -81,6 +81,10 @@ object TextFunctions {
     * minimum (standard short-input convention).
     */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    graft.plans.WinnowedFingerprints.winnowFingerprints(text, k, w)
+
+  /** Functional-form witness for [[winnowFingerprints]] (FunctionsSpec ≡). */
+  private[graft] def winnowFingerprintsPortable(text: Column, k: Int, w: Int): Column =
     bindOnce(tokens(text)) { ws =>
       val grams = when(
         size(ws) >= k,

@@ -42,7 +42,7 @@ object TextHash {
   /** Top 60 bits of md5(bytes[from, until)) — identical to interpreting the
     * first 15 hex chars of the digest as a base-16 number.
     */
-  private def md5Top60(bytes: Array[Byte], from: Int, until: Int): Long = {
+  private[plans] def md5Top60(bytes: Array[Byte], from: Int, until: Int): Long = {
     val d = mdLocal.get()
     d.reset()
     d.update(bytes, from, until - from)

@@ -197,6 +197,16 @@ class FunctionsSpec extends SparkSpec {
     assert(nr.isNullAt(0))
   }
 
+  test("WinnowedFingerprints kernel ≡ functional pipeline (sf0.001 corpus)") {
+    val corpus = Tables.documents(spark, sf0001).select("text")
+      .union(Seq("", " ", "a", "a b c", "a  b c d e", "x y x y x y x y").toDF("text"))
+    val rows = corpus.select(
+      TextFunctions.winnowFingerprints(col("text"), 3, 4).as("expr"),
+      TextFunctions.winnowFingerprintsPortable(col("text"), 3, 4).as("port"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"$r"))
+  }
+
   test("winnowFingerprints: window minima, short-doc fallback, empty guard") {
     val df = Seq("a b c d e f g", "a b c", "xy").toDF("text")
     val rows = df.select(
