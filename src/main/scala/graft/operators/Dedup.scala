@@ -301,12 +301,24 @@ object Dedup {
     * [[TextFunctions.tokenHash60]] (md5-derived — engine-portable, which is
     * what lets the DuckDB oracle recompute identical signatures; 60 bits
     * because 15 md5 hex chars fit a signed 64-bit int on every engine).
-    * One explode + one groupBy(id); the 60 per-bit sums stay in a single
-    * codegen'd HashAggregate.
+    * Computed per ROW by the fused [[graft.plans.SimHash60]] kernel — a
+    * signature is a pure per-document function, so no token table is
+    * exploded and NO shuffle happens until LSH bucketing of the (id,
+    * signature) pairs. The empty/null-array filter reproduces the
+    * aggregate formulation's explode row-dropping ([[simHashAgg]], kept
+    * as the equivalence witness).
     */
   val SimHashBits = 60
 
-  def simHash(docs: DataFrame, id: String, tokens: Column): DataFrame = {
+  def simHash(docs: DataFrame, id: String, tokens: Column): DataFrame =
+    docs.select(col(id), tokens.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id), graft.plans.SimHash60.simHash60(col("__toks")).as("simhash"))
+
+  /** The explode + 60-sum groupBy formulation (one shuffle of the token
+    * table) — retained as the spec witness for the fused kernel.
+    */
+  private[graft] def simHashAgg(docs: DataFrame, id: String, tokens: Column): DataFrame = {
     val tok = docs.select(col(id), explode(tokens).as("t"))
       .withColumn("h", TextFunctions.tokenHash60(col("t")))
     val bitSums = (0 until SimHashBits).map { k =>

@@ -139,6 +139,18 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SimHash60 kernel ≡ explode/groupBy aggregate form (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    def sigs(f: (org.apache.spark.sql.DataFrame, String, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", TextFunctions.distinctTokens(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = sigs(Dedup.simHash)
+    val agg = sigs(Dedup.simHashAgg)
+    assert(fused == agg)
+    assert(fused.nonEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; near-dups close; random far") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
