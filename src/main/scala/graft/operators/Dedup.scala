@@ -289,13 +289,36 @@ object Dedup {
   /** Near-dup pairs: LSH candidates, then exact-Jaccard verification —
     * output is identical to the exact O(n²) computation w.h.p., at the
     * cost of a linear signature scan plus tiny bucket joins.
+    *
+    * Shape: the shingle table is NEVER exploded. One cached per-doc array
+    * of 8-byte hashed shingle identities feeds (a) the per-row
+    * [[graft.plans.MinHashSig]] signature kernel (bit-identical values to
+    * the aggregate formulation — spec-asserted), (b) both sides of the
+    * candidate-only array verification. The only shuffles left are the
+    * tiny band-bucket join and the per-pair verify.
     */
   def minHashNearDupPairs(
       docs: DataFrame, id: String, shingles: Column, threshold: Double,
-      numHashes: Int = 32, bandRows: Int = 2): DataFrame =
-    withShingleCache(docs, id, shingles) { sh =>
-      verifyJaccardOn(lshCandidatePairsOn(sh, id, numHashes, bandRows), sh, id, threshold)
+      numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    val arr = Tables.fanOut(docs)
+      .select(col(id), array_distinct(transform(shingles, s => xxhash64(s))).as("arr"))
+      .filter(size(col("arr")) > 0)
+      .localCheckpoint(true) // reused: signatures + both verification sides
+    val sig = arr.select(col(id),
+      graft.plans.MinHashSig.minHashSig(col("arr"), permConstants(numHashes)).as("sig"))
+    val numBands = numHashes / bandRows
+    val bands = (0 until numBands).map { j =>
+      val elems = (0 until bandRows).map(k => element_at(col("sig"), j * bandRows + k + 1))
+      struct(lit(j).as("band"), hash(elems: _*).as("key"))
     }
+    val exploded = sig.select(col(id), explode(array(bands: _*)).as("bk"))
+      .select(col(id), col("bk.band"), col("bk.key"))
+    val cand = exploded.as("x").join(exploded.as("y"), Seq("band", "key"))
+      .filter(col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("doc_a"), col(s"y.$id").as("doc_b"))
+      .distinct()
+    verifyJaccardArr(cand, arr, id, threshold)
+  }
 
   /** 60-bit SimHash of the token multiset: per-bit majority vote of
     * [[TextFunctions.tokenHash60]] (md5-derived — engine-portable, which is
