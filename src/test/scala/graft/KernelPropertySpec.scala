@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tier: every fused text kernel must equal its functional-form
+  * witness on GENERATED adversarial strings, not just handpicked edges —
+  * empty tokens, runs of spaces, multi-byte UTF-8, single chars, long
+  * repeats. Deterministic: scalacheck generators are driven by fixed
+  * seeds, so the corpus (and thus the assertion) is identical every run.
+  */
+class KernelPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val token: Gen[String] = Gen.frequency(
+    5 -> Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar)),
+    2 -> Gen.const(""), // split(, -1) keeps empty tokens
+    1 -> Gen.oneOf("日本語", "héllo", "🎉", "ß", "ẞ", "İ"),
+    1 -> Gen.stringOfN(40, Gen.oneOf('x', 'y')), // long repetitive token
+  )
+  private val text: Gen[String] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+
+  // 300 deterministic samples (fixed seeds) — includes "" via n=0
+  private lazy val corpus: Seq[String] =
+    (0 until 300).flatMap(i => text(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("hash + shingle + winnow kernels ≡ witnesses on generated strings") {
+    assert(corpus.size > 250, s"generator drought: ${corpus.size}")
+    val df = corpus.toDF("text")
+    val rows = df.select(
+      TextFunctions.tokenHash60(col("text")) === TextFunctions.tokenHash60Portable(col("text")),
+      TextFunctions.rollingTokenHash(col("text")) === TextFunctions.rollingTokenHashPortable(col("text")),
+      TextFunctions.wordShingles(col("text"), 2) === TextFunctions.wordShinglesPortable(col("text"), 2),
+      TextFunctions.wordShingles(col("text"), 4) === TextFunctions.wordShinglesPortable(col("text"), 4),
+      TextFunctions.wordShinglesAll(col("text"), 3) === TextFunctions.wordShinglesAllPortable(col("text"), 3),
+      TextFunctions.winnowFingerprints(col("text"), 3, 4) === TextFunctions.winnowFingerprintsPortable(col("text"), 3, 4),
+      TextFunctions.winnowFingerprints(col("text"), 2, 7) === TextFunctions.winnowFingerprintsPortable(col("text"), 2, 7),
+      col("text"))
+      .collect()
+    rows.foreach { r =>
+      (0 until 7).foreach(i =>
+        assert(r.getBoolean(i), s"kernel $i diverged on: '${r.getString(7)}'"))
+    }
+  }
+
+  test("SimHash60 + MinHashSig kernels ≡ aggregate forms on generated corpus") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = TextFunctions.distinctTokens(col("text"))
+    def sigs(f: (org.apache.spark.sql.DataFrame, String, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", toks).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(Dedup.simHash) == sigs(Dedup.simHashAgg))
+
+    val P = 4294967291L
+    val perms = Dedup.permConstants(8)
+    val arr = docs.select(col("doc_id"),
+      array_distinct(transform(TextFunctions.wordShingles(col("text"), 2),
+        s => xxhash64(s))).as("arr"))
+      .filter(size(col("arr")) > 0)
+    val kernel = arr.select(col("doc_id"),
+      graft.plans.MinHashSig.minHashSig(col("arr"), perms).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    val agg = arr.select(col("doc_id"), explode(col("arr")).as("e"))
+      .withColumn("h", pmod(xxhash64(col("e")), lit(P)))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(kernel == agg)
+    assert(kernel.nonEmpty)
+  }
+}
