@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val P: Long = 4294967291L // largest prime < 2^32
+  private[graft] val P: Long = 4294967291L // largest prime < 2^32 (shared: MinHashSig, MinHashAggregator, specs)
 
   /** Deterministic MinHash permutation constants from a fixed-seed
     * splitmix64 walk (no runtime randomness; identical across runs/nodes).
@@ -144,6 +144,21 @@ object Dedup {
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
     hashed.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** The explode + min() aggregate signature formulation over a per-doc
+    * hashed-shingle ARRAY column named `arr` — retained as the spec
+    * witness for the fused [[graft.plans.MinHashSig]] kernel, sharing
+    * THIS object's P and permutation family so the two paths cannot
+    * silently diverge. Output columns m0..m{n-1}.
+    */
+  private[graft] def minHashSigAgg(arr: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val mins = permConstants(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    arr.select(col(id), explode(col("arr")).as("e"))
+      .withColumn("h", pmod(xxhash64(col("e")), lit(P)))
+      .groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs from banded MinHash signatures (bands of `r`

@@ -81,7 +81,10 @@ object MinHashSig {
         if (h < 0) h += P // pmod
         var j = 0
         while (j < k) {
-          val v = (as(j) * h + bs(j)) % P // h < P < 2^32, a < 2^31: no overflow
+          // no overflow: a ≤ 2^31, h ≤ P−1 < 2^32, b ≤ 2^31 ⇒
+          // a·h + b ≤ 2^31·(2^32−6) + 2^31 < 2^63−1 (≈1.3e10 headroom only —
+          // widening a/b or P requires re-deriving this bound)
+          val v = (as(j) * h + bs(j)) % P
           if (v < mins(j)) mins(j) = v
           j += 1
         }

@@ -56,21 +56,14 @@ class KernelPropertySpec extends SparkSpec {
       f(docs, "doc_id", toks).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(Dedup.simHash) == sigs(Dedup.simHashAgg))
 
-    val P = 4294967291L
-    val perms = Dedup.permConstants(8)
     val arr = docs.select(col("doc_id"),
       array_distinct(transform(TextFunctions.wordShingles(col("text"), 2),
         s => xxhash64(s))).as("arr"))
       .filter(size(col("arr")) > 0)
     val kernel = arr.select(col("doc_id"),
-      graft.plans.MinHashSig.minHashSig(col("arr"), perms).as("sig"))
+      graft.plans.MinHashSig.minHashSig(col("arr"), Dedup.permConstants(8)).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
-    }
-    val agg = arr.select(col("doc_id"), explode(col("arr")).as("e"))
-      .withColumn("h", pmod(xxhash64(col("e")), lit(P)))
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val agg = Dedup.minHashSigAgg(arr, "doc_id", 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
     assert(kernel == agg)
     assert(kernel.nonEmpty)
