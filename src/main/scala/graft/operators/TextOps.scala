@@ -172,7 +172,11 @@ object TextOps {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("t"))
-      tf.join(broadcast(dfreq), "t")
+      // dfreq is vocabulary-sized — a 100 TB corpus's distinct-term table
+      // can exceed broadcast limits, so no broadcast hint: AQE picks
+      // broadcast when the measured size allows and shuffles otherwise.
+      // The 1-row corpus count `n` stays an explicit broadcast.
+      tf.join(dfreq, "t")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))

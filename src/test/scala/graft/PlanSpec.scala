@@ -130,6 +130,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"hash split must not shuffle; found $exchanges exchanges")
   }
 
+  test("NO registered query plans a cartesian product or an unsanctioned nested loop") {
+    // The scale contract, enforced suite-wide: a CartesianProduct or a
+    // BroadcastNestedLoopJoin in a registered plan is an O(n·m) cliff at
+    // 100 TB unless one side is provably model-sized. Allowlist = the
+    // documented model-sized-broadcast tier:
+    //  - ann_topk_* / kmeans / knn: the query batch or centroid table is
+    //    broadcast against a linear corpus scan (k·dim rows, by design);
+    //  - tfidf_top_terms: crossJoin(broadcast(n)) of a 1-row corpus-count
+    //    scalar (the dfreq join itself must stay an equi join).
+    val nestedLoopOk = Set(
+      "ann_topk_bruteforce", "ann_topk_int8", "ann_topk_ivf",
+      "ann_topk_ivf_kmeans", "knn_centroid_assign", "kmeans_assign",
+      "tfidf_top_terms")
+    val violations = SparkEntry.allQ.flatMap { q =>
+      val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !nestedLoopOk(q.name)
+      if (cart || bnlj)
+        Some(s"${q.name}: ${if (cart) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+      else None
+    }
+    assert(violations.isEmpty, s"scale-killer plans:\n${violations.mkString("\n")}")
+  }
+
+  test("tfidf dfreq join is an equi join chosen by AQE, not a forced broadcast") {
+    val df = SparkEntry.queries("tfidf_top_terms")(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the only broadcast HINT left in the logical plan is the 1-row scalar
+    assert(plan.split("\n").count(_.contains("ResolvedHint")) <= 1)
+  }
+
   test("approx_count_distinct lands within its rsd bound of the exact count") {
     val exact = SparkEntry.queries("distinct_exact")(spark, sf0001)
       .collect().head.getLong(0).toDouble
