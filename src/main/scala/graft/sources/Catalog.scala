@@ -50,10 +50,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   /** Declare a table from hustle-style column-spec strings (see
     * [[ColumnSpec]]): `index`-marked columns get parquet bloom filters at
     * write time — the analog of the reference's bitmap indexes.
+    * `uint64AsDecimal` opts `uint64` columns into full-range
+    * `DecimalType(20,0)` semantics (values in [2^63, 2^64) round-trip).
     */
   def createFromSpecs(name: String, columnSpecs: Seq[String],
-      partitionBy: Option[String] = None): Unit = {
-    val specs = ColumnSpec.parseAll(columnSpecs)
+      partitionBy: Option[String] = None,
+      uint64AsDecimal: Boolean = false): Unit = {
+    val specs = ColumnSpec.parseAll(columnSpecs, uint64AsDecimal)
     create(name, ColumnSpec.toSchema(specs), partitionBy)
     Files.writeString(metaDir(name).resolve("indexed.txt"),
       specs.filter(_.indexed).map(_.field.name).mkString("\n"))

@@ -34,6 +34,31 @@ class CatalogSpec extends SparkSpec {
     assertThrows[Exception] { cat.insert("t", bad) }
   }
 
+  test("uint64AsDecimal round-trips full-range values above 2^63") {
+    val cat = freshCatalog()
+    // default mapping stays LongType (the fast path)
+    cat.createFromSpecs("narrow", Seq("uint64 ctr", "string k"))
+    assert(cat.schema("narrow")("ctr").dataType == LongType)
+    // opt-in: DecimalType(20,0) holds all of [0, 2^64)
+    cat.createFromSpecs("wide64", Seq("index uint64 ctr", "string k"),
+      uint64AsDecimal = true)
+    assert(cat.schema("wide64")("ctr").dataType == DecimalType(20, 0))
+    val maxU64 = "18446744073709551615" // 2^64 - 1, > Long.MaxValue
+    val rows = spark.createDataFrame(Seq(
+      (maxU64, "max"), ("9223372036854775808", "2^63"), ("0", "zero")))
+      .toDF("ctr", "k") // strings; insert casts to the declared decimal
+    cat.insert("wide64", rows)
+    val back = cat.table("wide64").orderBy("k")
+      .select(col("ctr").cast("string"), col("k")).collect()
+    assert(back.map(_.getString(0)).sameElements(
+      Array("9223372036854775808", maxU64, "0")))
+    // aggregates stay exact in the full range (no silent wraparound)
+    val sum = cat.table("wide64").agg(org.apache.spark.sql.functions.sum("ctr"))
+      .collect().head.getDecimal(0)
+    assert(sum == new java.math.BigDecimal(maxU64)
+      .add(new java.math.BigDecimal("9223372036854775808")))
+  }
+
   test("partitions() lists hive partition values; deletePartition removes one") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
