@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 stress tier: derive a 10×-sf0.1 corpus and check that the bucketed
+  * dedup/ANN pipelines' candidate-pair counts grow LINEARLY with corpus
+  * size — the first empirical test of the quadratic-blowup guards beyond
+  * fixture scale.
+  *
+  * Scaling recipe (`gen`): union `replicas` copies of the sf0.1
+  * `documents`/`embeddings` tables with disjoint id ranges. Replica 0 is
+  * the original; replica k > 0 is perturbed so that NO cross-replica
+  * near-duplicate structure is introduced — each replica then contributes
+  * an isomorphic copy of sf0.1's planted duplicate clusters, and a
+  * correctly-bucketed pipeline must show ~`replicas`× the candidates and
+  * pairs (a quadratic candidate generator would show ~`replicas`²×):
+  *  - documents: every whitespace token gets a replica-specific suffix —
+  *    a vocabulary bijection, so within-replica shingle-set relations
+  *    (hence Jaccard values) are EXACTLY sf0.1's, while cross-replica
+  *    shingle sets are disjoint (Jaccard 0).
+  *  - embeddings: coordinates are circularly shifted by a
+  *    replica-specific offset — an orthogonal transform, so
+  *    within-replica cosines are EXACTLY sf0.1's, while cross-replica
+  *    cosine falls to the vectors' (low) autocorrelation, far below the
+  *    0.4 near-dup threshold.
+  *
+  * `cand <dir>` prints one JSON line of candidate-pair and verified-pair
+  * counts for the MinHash-LSH, SimHash, PPJoin and SRP pipelines over
+  * the tables in `<dir>` — run it at sf0.1 and at the generated sf1 and
+  * compare (see NOTES_r8.md for the recorded table).
+  */
+object StressScale {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Perturbed replica k of the documents table (k = 0 → identity). */
+  private[graft] def documentReplica(docs: DataFrame, k: Int, idStride: Long): DataFrame = {
+    val text =
+      if (k == 0) col("text")
+      else regexp_replace(col("text"), "(\\S+)", "$1" + s"r$k")
+    docs.select(
+      (col("doc_id") + lit(k * idStride)).as("doc_id"),
+      text.as("text"), col("lang"), col("source"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  /** Perturbed replica k of the embeddings table: circular coordinate
+    * shift by 7k positions (orthogonal — within-replica cosines exact).
+    */
+  private[graft] def embeddingReplica(
+      emb: DataFrame, k: Int, idStride: Long, dim: Int): DataFrame = {
+    val shift = (7 * k) % dim
+    val rotated =
+      if (shift == 0) col("embedding")
+      else concat(
+        slice(col("embedding"), shift + 1, dim - shift),
+        slice(col("embedding"), 1, shift))
+    emb.select(
+      (col("vec_id") + lit(k * idStride)).as("vec_id"),
+      rotated.as("embedding"), col("label"))
+  }
+
+  private def gen(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
+    val out = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(out)
+    val docs = Tables.documents(spark, srcDir)
+    val emb = Tables.embeddings(spark, srcDir)
+    // id stride larger than any fixture id keeps replica ranges disjoint
+    val stride = 10000000L
+    (0 until replicas).map(documentReplica(docs, _, stride))
+      .reduce(_.unionAll(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(out.resolve("documents.parquet").toString)
+    (0 until replicas).map(embeddingReplica(emb, _, stride, dim = 64))
+      .reduce(_.unionAll(_))
+      .repartition(8).write.mode("overwrite")
+      .parquet(out.resolve("embeddings.parquet").toString)
+    println(s"""{"gen":"$outDir","replicas":$replicas}""")
+  }
+
+  private def cand(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val sh3 = graft.functions.TextFunctions.wordShingles(col("text"), 3)
+    val toks = graft.functions.TextFunctions.distinctTokens(col("text"))
+    val counts = Seq(
+      "docs" -> docs.count(),
+      "vecs" -> emb.count(),
+      // LSH band-bucket candidates vs verified J>=0.8 pairs
+      "minhash_candidates" ->
+        Dedup.lshCandidatePairs(docs, "doc_id", sh3, 32, 2).count(),
+      "minhash_pairs" ->
+        Dedup.minHashNearDupPairs(docs, "doc_id", sh3, 0.8).count(),
+      // SimHash block-bucket candidates (hamming cap 60 = no filter) vs <=3
+      "simhash_candidates" ->
+        Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60).count(),
+      "simhash_pairs" ->
+        Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3).count(),
+      // PPJoin survivors are already post-prune; exact verified J>=0.8
+      "ppjoin_pairs" ->
+        Dedup.prefixFilteredJaccardPairs(docs, "doc_id", sh3, 0.8).count(),
+      // SRP verified pairs at the registered 0.4 threshold (low — admits
+      // heavy-tail accidental pairs as the cross-pair count grows) and at
+      // 0.9 (true near-dup regime: only planted duplicate structure)
+      "srp_pairs_04" ->
+        Similarity.srpNearDupPairs(emb, "vec_id", "embedding", 0.4, dim = 64).count(),
+      "srp_pairs_09" ->
+        Similarity.srpNearDupPairs(emb, "vec_id", "embedding", 0.9, dim = 64).count())
+    println(counts.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"dir":"$dir",""", ",", "}"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    args.toList match {
+      case "gen" :: src :: out :: n :: Nil => gen(spark, src, out, n.toInt)
+      case "cand" :: dir :: Nil => cand(spark, dir)
+      case other => sys.error(
+        s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir>; got $other")
+    }
+    spark.stop()
+  }
+}

@@ -25,31 +25,70 @@ object Dump {
     (Seq(rule, line(header), rule) ++ rows.map(line) :+ rule).mkString("\n")
   }
 
-  /** Interactive REPL over the SQL surface: one statement per line
-    * (trailing `;` optional), meta commands `\d` (list tables),
-    * `\d <table>` (schema), `\q` (quit). I/O is injected so specs can
-    * drive it; [[main]] wires stdin/stdout.
+  /** True when `sql` is an INCOMPLETE statement — parseable only by
+    * reading past end of input (e.g. an unclosed parenthesis or a
+    * trailing comma). Distinct from invalid SQL, which fails mid-input
+    * and should execute-and-report rather than buffer.
+    */
+  private def incompleteSql(spark: SparkSession, sql: String): Boolean =
+    try { spark.sessionState.sqlParser.parsePlan(sql); false }
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        Option(e.getMessage).exists(_.contains("end of input"))
+      case _: Exception => false
+    }
+
+  /** Interactive REPL over the SQL surface. Statements may span lines: a
+    * line is executed immediately when it is complete on its own (a
+    * trailing `;` always completes); a line that parses as incomplete
+    * (unclosed paren, trailing operator, ...) opens a buffer that
+    * accumulates until a `;`-terminated or otherwise-complete line.
+    * Meta commands, recognized between statements only: `\d` (list
+    * tables), `\d <table>` (schema), `\timing` (toggle per-statement
+    * wall-clock), `\q` (quit). I/O is injected so specs can drive it;
+    * [[main]] wires stdin/stdout.
     */
   def repl(
       spark: SparkSession, sfDir: String,
       lines: Iterator[String], out: String => Unit, limit: Int = 20): Unit = {
     graft.sources.GraftSql.registerFixtures(spark, sfDir)
-    out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, \\q quits")
+    out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, " +
+      "\\timing toggles timing, \\q quits")
     var done = false
+    var timing = false
+    val buf = new StringBuilder
+    def exec(sql: String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val rendered = dump(spark.sql(sql), limit)
+        val dt = (System.nanoTime() - t0) / 1e9
+        out(if (timing) rendered + f"\nTime: $dt%.3f s" else rendered)
+      } catch { case e: Exception => out(s"error: ${e.getMessage}") }
+    }
     while (!done && lines.hasNext) {
-      val line = lines.next().trim.stripSuffix(";").trim
-      if (line.nonEmpty) {
+      val raw = lines.next().trim
+      val terminated = raw.endsWith(";")
+      val line = raw.stripSuffix(";").trim
+      if (buf.nonEmpty) { // mid-statement: accumulate until complete
+        buf.append('\n').append(line)
+        val stmt = buf.toString
+        if (terminated || !incompleteSql(spark, stmt)) { buf.clear(); exec(stmt) }
+      } else if (line.nonEmpty) {
         if (line == "\\q") done = true
-        else if (line == "\\d")
+        else if (line == "\\timing") {
+          timing = !timing
+          out(s"Timing is ${if (timing) "on" else "off"}.")
+        } else if (line == "\\d")
           out(spark.catalog.listTables().collect().map(_.name).sorted.mkString("\n"))
         else if (line.startsWith("\\d "))
           try out(spark.table(line.drop(3).trim).schema.treeString.stripLineEnd)
           catch { case e: Exception => out(s"error: ${e.getMessage}") }
-        else
-          try out(dump(spark.sql(line), limit))
-          catch { case e: Exception => out(s"error: ${e.getMessage}") }
+        else if (!terminated && incompleteSql(spark, line))
+          buf.append(line) // open a multi-line statement
+        else exec(line)
       }
     }
+    if (!done && buf.nonEmpty) exec(buf.toString) // EOF flushes a pending statement
   }
 
   /** CLI: with a SQL argument, one-shot dump

@@ -164,6 +164,25 @@ class CatalogSpec extends SparkSpec {
     assert(out(4).startsWith("error:")) // bad SQL reports, doesn't throw
   }
 
+  test("repl buffers multi-line statements and toggles \\timing") {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        "\\timing",
+        "SELECT COUNT(*) AS n FROM (", // incomplete → opens the buffer
+        "  SELECT * FROM region",      // still unclosed → accumulates
+        ");",                          // terminator → executes the whole statement
+        "\\timing",
+        "SELECT 1 AS one"),            // single-line statements still run directly
+      out += _)
+    assert(out.length == 5) // banner + timing-on + result + timing-off + result
+    assert(out(1) == "Timing is on.")
+    assert(out(2).contains("| 5 ") && out(2).contains("\nTime: "))
+    assert(out(3) == "Timing is off.")
+    assert(out(4).contains("| 1 ") && !out(4).contains("Time: "))
+  }
+
   test("drop removes table and data") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
