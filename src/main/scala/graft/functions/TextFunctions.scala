@@ -146,6 +146,30 @@ object TextFunctions {
     lit(0.4) * lengthScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - stopRatio)
   }
 
+  /** PII patterns shared by [[redactPii]] and [[piiCount]] — restricted
+    * to the regex subset with identical semantics in Java regex and RE2
+    * (no lookaround, no backreferences), so a SQL oracle can replay the
+    * redaction byte-for-byte. Order matters only for overlapping hits;
+    * these three are disjoint by construction (@ / dotted quad / dash).
+    */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{3}-[0-9]{4}\\b" -> "<PHONE>")
+
+  /** Redact emails, IPv4 addresses and phone-shaped numbers to typed
+    * placeholders — the per-row scrub a training pipeline runs before
+    * anything else sees the text. Pure codegen'd `regexp_replace` chain:
+    * linear scan, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** Number of PII hits [[redactPii]] would replace. */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (re, _) => regexp_count(text, lit(re)) }
+      .reduce(_ + _).cast("long")
+
   /** Exact content fingerprint: MD5 of the UTF-8 bytes (hex). */
   def fingerprintMd5(text: Column): Column = md5(encode(text, "UTF-8"))
 

@@ -207,6 +207,58 @@ object TrainingData {
     df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
+  /** Deterministic sequence packing: assign each document a training-
+    * sequence id such that consecutive documents (in stable hash order)
+    * fill a fixed token budget — the batch-assembly step between a
+    * filtered corpus and a trainer. `shards` bounds every window to a
+    * hash shard (at 100 TB, raise shards so a shard's documents fit one
+    * task; the global total-order window a naive cumsum needs does NOT
+    * scale, which is why the shard key is part of the output identity).
+    * A document belongs to the sequence its START offset falls in, so
+    * every sequence except a shard's last holds ≥ budget tokens.
+    * Output: (id, shard, n_tok, seq_id).
+    */
+  def packSequences(
+      df: DataFrame, id: String, tokens: Column, budget: Int,
+      shards: Int): DataFrame = {
+    val h = TextFunctions.tokenHash60(col(id).cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(id))
+    df.select(col(id), tokens.as("__toks"), h.as("__h"))
+      .select(col(id), pmod(col("__h"), lit(shards)).as("shard"),
+        col("__h"), size(col("__toks")).cast("long").as("n_tok"))
+      .withColumn("seq_id",
+        ((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget))
+          .cast("long"))
+      .drop("__h")
+  }
+
+  /** Deterministic corpus-mixture sampling: keep, per source, documents
+    * in stable hash order until the source's share of the total token
+    * budget is filled (a document is admitted if its START offset is
+    * inside the quota — so the mixture overshoots by at most one
+    * document per source). The standard way a training corpus hits a
+    * declared source mixture (web 60% / books 30% / ...) regardless of
+    * how skewed the raw crawl is. One window per source; the weight
+    * table is model-sized and broadcast.
+    */
+  def mixtureSample(
+      df: DataFrame, source: String, id: String, tokens: Column,
+      weights: Map[String, Double], totalTokenBudget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wtab = broadcast(
+      weights.toSeq.toDF(source, "__w")
+        .select(col(source), (col("__w") * totalTokenBudget).as("__quota")))
+    val w = Window.partitionBy(source)
+      .orderBy(TextFunctions.tokenHash60(col(id).cast("string")), col(id))
+    df.select(col(id), col(source), tokens.as("__toks"))
+      .select(col(id), col(source), size(col("__toks")).cast("long").as("n_tok"))
+      .withColumn("__start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .join(wtab, source)
+      .filter(col("__start") < col("__quota"))
+      .select(col(id), col(source), col("n_tok"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Oracle edge set: exact 3-shingle Jaccard ≥ 0.8 pairs — proven equal to
@@ -388,6 +440,85 @@ object TrainingData {
         .filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality_r"),
           hashSplit(col("doc_id"), 90).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // ---- sequence packing: fixed 256-token training sequences, 8 hash
+    // shards (shard-local windows — the scale contract; a global-order
+    // cumsum would be a single-task sort at 100 TB) ----
+    Q(
+      "seq_pack",
+      """SELECT doc_id, shard, n_tok, seq_id FROM (
+        |  SELECT doc_id, h % 8 AS shard, n_tok,
+        |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |                - n_tok) / 256.0) AS BIGINT) AS seq_id
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      packSequences(
+        Tables.documents(s, d), "doc_id", TextFunctions.tokens(col("text")),
+        budget = 256, shards = 8)
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus-mixture sampling: per-source token quotas from declared
+    // weights (srcN gets (N%4+1)/50 of a 3000-token budget) ----
+    Q(
+      "corpus_mixture",
+      """WITH t AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) - n_tok AS strt
+        |  FROM t)
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE strt < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / 50.0 * 3000
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap
+      mixtureSample(
+        Tables.documents(s, d), "source", "doc_id",
+        TextFunctions.tokens(col("text")), weights, totalTokenBudget = 3000)
+        .orderBy("doc_id")
+    },
+
+    // ---- PII scrub: emails / IPv4s / phone-shaped numbers → typed
+    // placeholders. The fixture text carries no PII, so the query plants
+    // one of each deterministically per row and the oracle replays the
+    // identical construction + redaction (patterns restricted to the
+    // Java-regex ∩ RE2 subset so both engines substitute identically) ----
+    Q(
+      "pii_redact",
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact ' || source || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     + len(regexp_extract_all(txt, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS red
+        |FROM p ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val txt = concat(
+        col("text"),
+        lit(" contact "), col("source"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit(" tel 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), txt.as("__txt"))
+        .select(col("doc_id"),
+          TextFunctions.piiCount(col("__txt")).as("n_pii"),
+          TextFunctions.redactPii(col("__txt")).as("red"))
         .orderBy("doc_id")
     },
 

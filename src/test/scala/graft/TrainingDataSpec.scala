@@ -72,6 +72,70 @@ class TrainingDataSpec extends SparkSpec {
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
   }
 
+  test("packSequences fills every non-final sequence to >= budget tokens") {
+    val docs = Tables.documents(spark, sf0001)
+    val packed = TrainingData.packSequences(
+      docs, "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+      budget = 256, shards = 8)
+    assert(packed.count() == docs.count()) // every doc lands in a sequence
+    // start-offset rule: a single long doc may straddle past a boundary
+    // and leave the NEXT sequence short, but coverage is contiguous —
+    // through any non-final sequence k the shard has packed at least
+    // (k+1)*budget tokens
+    val perSeq = packed.groupBy("shard", "seq_id").agg(sum("n_tok").as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("seq_id")
+    val cum = perSeq.withColumn("cum", sum("toks").over(w))
+    val lastPerShard = packed.groupBy("shard").agg(max("seq_id").as("last"))
+    val short = cum.join(lastPerShard, "shard")
+      .filter(col("seq_id") < col("last") && col("cum") < (col("seq_id") + 1) * 256)
+    assert(short.count() == 0)
+    // determinism: same input → identical assignment
+    val again = TrainingData.packSequences(
+      docs, "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+      budget = 256, shards = 8)
+    assert(packed.exceptAll(again).count() == 0)
+  }
+
+  test("mixtureSample respects per-source token quotas within one document") {
+    val docs = Tables.documents(spark, sf0001)
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap
+    val kept = TrainingData.mixtureSample(
+      docs, "source", "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+      weights, totalTokenBudget = 3000)
+    val perSource = kept.groupBy("source")
+      .agg(sum("n_tok").as("toks"), max("n_tok").as("maxDoc"))
+      .collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      val quota = weights(r.getString(0)) * 3000
+      // admitted-by-start-offset ⇒ overshoot is bounded by the last doc
+      assert(r.getLong(1) < quota + r.getLong(2),
+        s"${r.getString(0)}: ${r.getLong(1)} tokens vs quota $quota")
+    }
+  }
+
+  test("redactPii removes every match and is idempotent") {
+    val df = Seq(
+      "mail a.b+c@sub.example.org here",
+      "host 192.168.0.1 and tel 555-0147",
+      "already <EMAIL> clean",
+      "no pii at all").toDF("t")
+      .select(col("t"),
+        graft.functions.TextFunctions.redactPii(col("t")).as("red"),
+        graft.functions.TextFunctions.piiCount(col("t")).as("n"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows(0)._2 == "mail <EMAIL> here" && rows(0)._3 == 1)
+    assert(rows(1)._2 == "host <IP> and tel <PHONE>" && rows(1)._3 == 2)
+    assert(rows(2)._2 == "already <EMAIL> clean" && rows(2)._3 == 0)
+    assert(rows(3)._2 == "no pii at all" && rows(3)._3 == 0)
+    // idempotence: redacting redacted text changes nothing
+    val twice = df.select(
+      graft.functions.TextFunctions.redactPii(col("red")).as("r2"), col("red"))
+      .filter(col("r2") =!= col("red"))
+    assert(twice.count() == 0)
+  }
+
   test("stratifiedSample returns k deterministic rows per stratum") {
     val docs = Tables.documents(spark, sf0001)
     val s1 = TrainingData.stratifiedSample(docs, "lang", "doc_id", 5)
