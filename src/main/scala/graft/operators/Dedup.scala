@@ -388,8 +388,12 @@ object Dedup {
       .select(
         col(s"x.$id").as("doc_a"), col(s"y.$id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // distinct is semantics-preserving — and it keeps the up-to-4×
+      // block-collision copies of every sub-threshold pair out of the
+      // distinct's shuffle (the dominant cost on dense corpora)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ---------------------------------------------------------------- queries
