@@ -315,24 +315,68 @@ object Dedup {
   def minHashNearDupPairs(
       docs: DataFrame, id: String, shingles: Column, threshold: Double,
       numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
-    val arr = Tables.fanOut(docs)
-      .select(col(id), array_distinct(transform(shingles, s => xxhash64(s))).as("arr"))
-      .filter(size(col("arr")) > 0)
-      .localCheckpoint(true) // reused: signatures + both verification sides
-    val sig = arr.select(col(id),
-      graft.plans.MinHashSig.minHashSig(col("arr"), permConstants(numHashes)).as("sig"))
-    val numBands = numHashes / bandRows
-    val bands = (0 until numBands).map { j =>
-      val elems = (0 until bandRows).map(k => element_at(col("sig"), j * bandRows + k + 1))
-      struct(lit(j).as("band"), hash(elems: _*).as("key"))
-    }
-    val exploded = sig.select(col(id), explode(array(bands: _*)).as("bk"))
-      .select(col(id), col("bk.band"), col("bk.key"))
+    // reused: signatures + both verification sides
+    val arr = hashedShingleArr(docs, id, shingles)
+    val exploded = bandKeys(arr, id, numHashes, bandRows)
     val cand = exploded.as("x").join(exploded.as("y"), Seq("band", "key"))
       .filter(col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("doc_a"), col(s"y.$id").as("doc_b"))
       .distinct()
     verifyJaccardArr(cand, arr, id, threshold)
+  }
+
+  /** Per-doc distinct hashed-shingle arrays, eagerly checkpointed (each
+    * LSH pipeline reads them ≥ 2×: signatures + verification sides).
+    */
+  private def hashedShingleArr(docs: DataFrame, id: String, shingles: Column): DataFrame =
+    Tables.fanOut(docs)
+      .select(col(id), array_distinct(transform(shingles, s => xxhash64(s))).as("arr"))
+      .filter(size(col("arr")) > 0)
+      .localCheckpoint(true)
+
+  /** (id, band, key) LSH bucket keys from banded per-row MinHash
+    * signatures over a hashed-shingle array table.
+    */
+  private def bandKeys(
+      arr: DataFrame, id: String, numHashes: Int, bandRows: Int): DataFrame = {
+    val sig = arr.select(col(id),
+      graft.plans.MinHashSig.minHashSig(col("arr"), permConstants(numHashes)).as("sig"))
+    val bands = (0 until numHashes / bandRows).map { j =>
+      val elems = (0 until bandRows).map(k => element_at(col("sig"), j * bandRows + k + 1))
+      struct(lit(j).as("band"), hash(elems: _*).as("key"))
+    }
+    sig.select(col(id), explode(array(bands: _*)).as("bk"))
+      .select(col(id), col("bk.band"), col("bk.key"))
+  }
+
+  /** Near-dup pairs ACROSS two corpora: (left id as doc_a, right id as
+    * doc_b, jaccard ≥ threshold) — the two-sided form of
+    * [[minHashNearDupPairs]] for matching one corpus against another
+    * (new crawl vs existing corpus, training set vs benchmark suite).
+    * Candidates exist only where a band bucket collides across sides, so
+    * cost is linear in each side plus the tiny bucket join — the
+    * right-side corpus is never broadcast and never crossed.
+    */
+  def minHashCrossPairs(
+      left: DataFrame, leftId: String, leftShingles: Column,
+      right: DataFrame, rightId: String, rightShingles: Column,
+      threshold: Double, numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    val arrL = hashedShingleArr(left, leftId, leftShingles)
+    val arrR = hashedShingleArr(right, rightId, rightShingles)
+    val cand = bandKeys(arrL, leftId, numHashes, bandRows).as("x")
+      .join(bandKeys(arrR, rightId, numHashes, bandRows).as("y"), Seq("band", "key"))
+      .select(col(s"x.$leftId").as("doc_a"), col(s"y.$rightId").as("doc_b"))
+      .distinct()
+    cand
+      .join(arrL.select(col(leftId).as("doc_a"), col("arr").as("arr_a")), "doc_a")
+      .join(arrR.select(col(rightId).as("doc_b"), col("arr").as("arr_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double")
+          / (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 60-bit SimHash of the token multiset: per-bit majority vote of

@@ -186,6 +186,34 @@ object TextOps {
         .orderBy("doc_id", "rank")
     },
 
+    // ---- unigram LM quality score: avg log-prob of a doc's tokens under
+    // the add-1-smoothed corpus unigram model — the cheap LM-based
+    // filter (KenLM-perplexity-style) of modern pipelines. Two passes:
+    // vocabulary aggregate, then token⋈vocab rejoin (TF-IDF shape; the
+    // vocab side joins under AQE choice, only the 1-row totals
+    // broadcast). Det.davg keeps the double sum order-independent ----
+    Q(
+      "lm_unigram_score",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS v FROM tf)
+         |SELECT doc_id,
+         |  ${graft.Det.davgSql("ln((c + 1.0) / (n_tok + v))")} AS avg_logp
+         |FROM tok JOIN tf USING (t) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum("c").as("n_tok"), count(lit(1)).as("v"))
+      tok.join(tf, "t")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log((col("c") + 1).cast("double") / (col("n_tok") + col("v"))))
+        .groupBy("doc_id").agg(graft.Det.davg(col("lp")).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+
     // ---- edit distance (levenshtein — identical classic DP semantics in
     // both engines): within-document drift between two fixed slices ----
     Q(

@@ -188,6 +188,27 @@ object TrainingData {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Fuzzy decontamination: flag training documents whose shingle-set
+    * Jaccard against ANY benchmark document reaches `threshold` — the
+    * near-duplicate form of [[decontaminate]], catching lightly
+    * paraphrased eval material that exact n-gram overlap misses.
+    * Candidates come from the two-sided MinHash band join
+    * ([[Dedup.minHashCrossPairs]]), so the training corpus is scanned
+    * once and never crossed against the benchmark.
+    */
+  def decontaminateFuzzy(
+      docs: DataFrame, benchmark: DataFrame, id: String, shingles: Column,
+      threshold: Double): DataFrame = {
+    val matches = Dedup
+      .minHashCrossPairs(docs, id, shingles, benchmark, id, shingles, threshold)
+      .groupBy("doc_a").agg(count(lit(1)).as("n_matches"))
+      .withColumnRenamed("doc_a", id)
+    docs.select(col(id))
+      .join(matches, Seq(id), "left")
+      .select(col(id), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic hash split: 'train' for trainPct% of rows, 'test'
     * otherwise, keyed only on the row's id (stable under corpus growth,
     * identical across engines — md5-derived, not xxhash).
@@ -327,6 +348,36 @@ object TrainingData {
         docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "doc_id", col("text"), 5)
+        .orderBy("doc_id")
+    },
+
+    // ---- fuzzy decontamination: near-dup (J >= 0.8) match against the
+    // benchmark split via the two-sided MinHash band join. Oracle = exact
+    // cross-corpus Jaccard (the LSH+verify ≡ exact contract proven by
+    // dedup_minhash: recall 1−8e-8 at J ≥ 0.8) ----
+    Q(
+      "decontaminate_fuzzy",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                                            FOR i IN range(1, len(ws)-1)])) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |m AS (SELECT da AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM (
+        |    SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+        |    FROM sh a JOIN sh b ON a.s = b.s
+        |    WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0 GROUP BY 1, 2) p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches,
+        |  COALESCE(m.n_matches, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      decontaminateFuzzy(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
         .orderBy("doc_id")
     },
 
