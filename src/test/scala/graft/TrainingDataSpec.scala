@@ -136,6 +136,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(twice.count() == 0)
   }
 
+  test("minHashCrossPairs ≡ one-corpus near-dup pairs restricted to cross pairs") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
+    val left = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val right = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val cross = Dedup
+      .minHashCrossPairs(left, "doc_id", sh, right, "doc_id", sh, 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    // the union-corpus pairs (doc_a < doc_b), kept only when the two ids
+    // fall on opposite sides, reoriented to (left, right)
+    val expected = Dedup.minHashNearDupPairs(docs, "doc_id", sh, 0.8)
+      .filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
+      .select(
+        when(pmod(col("doc_a"), lit(2)) === 0, col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+        when(pmod(col("doc_a"), lit(2)) === 0, col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
+    assert(cross.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(cross).count() == 0)
+    assert(cross.count() > 0) // the fixture has cross-parity dup pairs
+  }
+
   test("stratifiedSample returns k deterministic rows per stratum") {
     val docs = Tables.documents(spark, sf0001)
     val s1 = TrainingData.stratifiedSample(docs, "lang", "doc_id", 5)
