@@ -32,7 +32,9 @@ object Bench {
     "dedup_jaccard_capped", "dedup_simhash", "dedup_components",
     "dedup_embedding_srp", "kafka_wire_parse", "tfidf_top_terms",
     "training_corpus_v2", "ann_topk_ivf", "ann_topk_int8", "kmeans_assign",
-    "stream_hourly_agg", "stream_user_totals")
+    "stream_hourly_agg", "stream_user_totals",
+    "seq_pack", "corpus_mixture", "pii_redact", "decontaminate_fuzzy",
+    "lm_unigram_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
