@@ -50,5 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_token_hash(s) - polynomial rolling hash over space-split tokens") {
       exprs => plans.RollingTokenHash(exprs.head)
     }
+    fn("redact_pii", 1,
+      "redact_pii(s) - emails/IPv4s/phone-shaped numbers replaced by typed placeholders") {
+      exprs =>
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        functions.TextFunctions.PiiPatterns.foldLeft(exprs.head) {
+          case (e, (re, tag)) => RegExpReplace(e, Literal(re), Literal(tag))
+        }
+    }
   }
 }

@@ -35,9 +35,11 @@ class ExtensionSpec extends SparkSpec {
     val r = s.sql(
       "SELECT token_hash60('abc') = conv(substring(md5('abc'), 1, 15), 16, 10) AS h, " +
       "rolling_token_hash('a b') >= 0 AS rt, " +
-      "abs(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) - 1.0) < 1e-12 AS c")
+      "abs(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) - 1.0) < 1e-12 AS c, " +
+      "redact_pii('mail a@b.co ip 10.0.0.1 tel 555-0147') = " +
+      "'mail <EMAIL> ip <IP> tel <PHONE>' AS p")
       .collect().head
-    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
     // wrong arity surfaces as an analysis error, not an index exception
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       s.sql("SELECT cosine_similarity(array(1.0D))").collect()
