@@ -259,22 +259,43 @@ object TrainingData {
     * inside the quota — so the mixture overshoots by at most one
     * document per source). The standard way a training corpus hits a
     * declared source mixture (web 60% / books 30% / ...) regardless of
-    * how skewed the raw crawl is. One window per source; the weight
-    * table is model-sized and broadcast.
+    * how skewed the raw crawl is.
+    *
+    * Scale shape: the naive formulation is one window per source — but a
+    * dominant source (60% of a 100 TB crawl) would make that a single
+    * sort task. The cumulative sum over the per-source total order
+    * (bucket, hash, id) with bucket = hash % `buckets` decomposes
+    * associatively, so it is computed as (a) per-(source, bucket) token
+    * sums cumulated across buckets — a `buckets`-row window per source —
+    * plus (b) a within-bucket window bounded to ~1/`buckets` of the
+    * source. No unbounded window exists; the weight table is model-sized
+    * and broadcast.
     */
   def mixtureSample(
       df: DataFrame, source: String, id: String, tokens: Column,
-      weights: Map[String, Double], totalTokenBudget: Long): DataFrame = {
+      weights: Map[String, Double], totalTokenBudget: Long,
+      buckets: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val wtab = broadcast(
       weights.toSeq.toDF(source, "__w")
         .select(col(source), (col("__w") * totalTokenBudget).as("__quota")))
-    val w = Window.partitionBy(source)
-      .orderBy(TextFunctions.tokenHash60(col(id).cast("string")), col(id))
-    df.select(col(id), col(source), tokens.as("__toks"))
-      .select(col(id), col(source), size(col("__toks")).cast("long").as("n_tok"))
-      .withColumn("__start", sum(col("n_tok")).over(w) - col("n_tok"))
+    val h = TextFunctions.tokenHash60(col(id).cast("string"))
+    val base = df
+      .select(col(id), col(source), tokens.as("__toks"), h.as("__h"))
+      .select(col(id), col(source), size(col("__toks")).cast("long").as("n_tok"),
+        col("__h"), pmod(col("__h"), lit(buckets)).as("__b"))
+    // (a) tokens in the source's buckets BEFORE this one
+    val wB = Window.partitionBy(source).orderBy("__b")
+    val offsets = base.groupBy(col(source), col("__b"))
+      .agg(sum("n_tok").as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(wB) - col("__bt"))
+      .drop("__bt")
+    // (b) start offset within the bucket; both windows are bounded
+    val wIn = Window.partitionBy(source, "__b").orderBy(col("__h"), col(id))
+    base.join(offsets, Seq(source, "__b"))
+      .withColumn("__start",
+        col("__off") + sum(col("n_tok")).over(wIn) - col("n_tok"))
       .join(wtab, source)
       .filter(col("__start") < col("__quota"))
       .select(col(id), col(source), col("n_tok"))
@@ -516,7 +537,10 @@ object TrainingData {
     },
 
     // ---- corpus-mixture sampling: per-source token quotas from declared
-    // weights (srcN gets (N%4+1)/50 of a 3000-token budget) ----
+    // weights (srcN gets (N%4+1)/50 of a 3000-token budget). The oracle
+    // states the semantics as ONE window over the (bucket, hash, id)
+    // total order; the Spark side computes the identical cumsum through
+    // the bounded two-level decomposition (see mixtureSample) ----
     Q(
       "corpus_mixture",
       """WITH t AS (SELECT doc_id, source,
@@ -524,7 +548,7 @@ object TrainingData {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tok,
-        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) - n_tok AS strt
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h % 4096, h, doc_id) - n_tok AS strt
         |  FROM t)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE strt < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / 50.0 * 3000
