@@ -219,13 +219,27 @@ object TrainingData {
 
   /** Deterministic stratified sample: `k` rows per stratum, chosen by
     * hash order (uniform-at-random for a fixed corpus, reproducible
-    * everywhere). One window per stratum; no global shuffle.
+    * everywhere).
+    *
+    * Scale shape: a naive per-stratum `row_number` sorts the whole
+    * stratum in one task. Since the stratum top-k is contained in the
+    * union of per-hash-bucket top-k's, the sample is computed as
+    * per-(stratum, bucket) top-k (bounded windows) followed by top-k
+    * over the ≤ k·`buckets` survivors per stratum — the final window's
+    * input is sample-sized, not corpus-sized. Row numbers of the kept
+    * rows are identical to the naive formulation's.
     */
   def stratifiedSample(
-      df: DataFrame, stratum: String, id: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(stratum)
-      .orderBy(TextFunctions.tokenHash60(col(id).cast("string")), col(id))
-    df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+      df: DataFrame, stratum: String, id: String, k: Int,
+      buckets: Int = 4096): DataFrame = {
+    val h = TextFunctions.tokenHash60(col(id).cast("string"))
+    val wIn = Window.partitionBy(col(stratum), col("__b"))
+      .orderBy(col("__h"), col(id))
+    val w = Window.partitionBy(stratum).orderBy(col("__h"), col(id))
+    df.withColumn("__h", h).withColumn("__b", pmod(col("__h"), lit(buckets)))
+      .withColumn("__rn0", row_number().over(wIn)).filter(col("__rn0") <= k)
+      .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+      .drop("__h", "__b", "__rn0")
   }
 
   /** Deterministic sequence packing: assign each document a training-
