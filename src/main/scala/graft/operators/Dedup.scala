@@ -440,6 +440,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact repeated-substring statistics, the document-level form of
+    * substring-granular dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022 — their suffix-array pass removes any
+    * ≥50-token span occurring twice in the corpus; see
+    * SURVEY.md §2.9): for every document, how much of it is covered by
+    * `n`-token windows that also occur VERBATIM in at least one other
+    * document. Output per doc (only docs with ≥1 repeated window):
+    * `(id, n_tokens, dup_grams, covered_tokens, coverage)`.
+    *
+    * Scale shape — linear end-to-end, no pair table anywhere:
+    *  1. per-row [[graft.plans.WordShingles]] kernel emits every n-window
+    *     (order kept, duplicates kept) in one byte-walk; positions come
+    *     from `posexplode` — ~`n_tokens` rows per doc, 8-byte
+    *     [[TextFunctions.tokenHash60]] keys, never the gram strings;
+    *  2. one hash-shuffle groups by gram hash to find grams with document
+    *     frequency ≥ 2 (at 100 TB this aggregate is the same shape as the
+    *     TF-IDF vocabulary pass);
+    *  3. the df≥2 gram set joins BACK to the position table on the gram
+    *     key (equi-join, AQE picks broadcast iff the dup set is small);
+    *  4. coverage is a per-doc interval union, computed as
+    *     `explode(sequence(s, s+n-1))` + `countDistinct` — bounded by
+    *     n·dup_grams rows per doc.
+    * Unlike the pairwise dedup family, output and every intermediate are
+    * O(corpus tokens) — repeated boilerplate shared by thousands of docs
+    * costs df·n rows, not df² pairs.
+    */
+  def repeatedNgramCoverage(
+      docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+    val grams = docs
+      .select(
+        col(id),
+        size(TextFunctions.tokens(text)).cast("long").as("n_tokens"),
+        posexplode(TextFunctions.wordShinglesAll(text, n)).as(Seq("pos", "gram")))
+      .select(
+        col(id), col("n_tokens"), (col("pos") + 1).as("s"),
+        TextFunctions.tokenHash60(col("gram")).as("h"))
+    val dupGrams = grams.groupBy("h")
+      .agg(count_distinct(col(id)).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val hits = grams.join(dupGrams, "h")
+    val coverage = hits
+      .select(col(id), col("n_tokens"),
+        explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
+      .groupBy(col(id), col("n_tokens"))
+      .agg(count_distinct(col("p")).as("covered_tokens"))
+    val counts = hits.groupBy(col(id)).agg(count(lit(1)).as("dup_grams"))
+    coverage.join(counts, Seq(id))
+      .select(
+        col(id), col("n_tokens"), col("dup_grams"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+      .orderBy(col(id))
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def shingles3(c: Column) = TextFunctions.wordShingles(c, 3)
@@ -570,6 +625,35 @@ object Dedup {
       simHashNearDupPairs(
         Tables.documents(s, d), "doc_id", TextFunctions.distinctTokens(col("text")), 3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- substring-granular dedup statistics (Lee et al. 2022 shape):
+    // per-doc coverage by 8-token windows repeated verbatim elsewhere in
+    // the corpus. Oracle rebuilds every window + its md5-top-60 hash with
+    // list lambdas and replays df≥2 / coverage-union exactly ----
+    Q(
+      "dedup_substring",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tokens, toks,
+        |        unnest(generate_series(1, len(toks) - 7)) AS s
+        |      FROM t WHERE len(toks) >= 8),
+        |gh AS (SELECT doc_id, n_tokens, s,
+        |         ('0x' || substr(md5(array_to_string(list_slice(toks, s, s + 7), ' ')), 1, 15))::BIGINT AS h
+        |       FROM g),
+        |df AS (SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT gh.doc_id, gh.n_tokens, gh.s FROM gh JOIN df USING (h)),
+        |cov AS (SELECT doc_id, n_tokens, COUNT(DISTINCT p) AS covered_tokens
+        |        FROM (SELECT doc_id, n_tokens, unnest(generate_series(s, s + 7)) AS p FROM hit)
+        |        GROUP BY 1, 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS dup_grams FROM hit GROUP BY 1)
+        |SELECT cov.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(dup_grams AS BIGINT) AS dup_grams,
+        |  CAST(covered_tokens AS BIGINT) AS covered_tokens,
+        |  ROUND(CAST(covered_tokens AS DOUBLE) / n_tokens, 6) AS coverage
+        |FROM cov JOIN cnt ON cnt.doc_id = cov.doc_id
+        |ORDER BY cov.doc_id""".stripMargin,
+    ) { (s, d) =>
+      repeatedNgramCoverage(Tables.documents(s, d), "doc_id", col("text"), 8)
     },
   )
 }

@@ -258,6 +258,54 @@ object Similarity {
        |  FROM final_d) WHERE rn = 1)""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found by
+    * clustering the embedding space with [[kMeansAssign]] and comparing
+    * vectors ONLY within their cluster. Output: `(vec_a, vec_b, cluster,
+    * sim)` for every same-cluster pair with cosine ≥ `threshold` — a
+    * dedup pass would keep one representative per connected group
+    * (compose with [[TrainingData]]'s component resolution).
+    *
+    * Scale shape: the quadratic all-pairs comparison is confined to one
+    * cluster at a time by a cluster-keyed equi-join — O(Σ cᵢ²) instead of
+    * O(n²). k is the knob: pick k ≈ n / target-cluster-size so clusters
+    * stay bounded (SemDeDup used k ≈ √n at web scale); the join shuffles
+    * on the cluster key, so AQE's skew split handles an unbalanced
+    * clustering. The k-means build itself is linear per round.
+    */
+  def semanticNearDupPairs(
+      corpus: DataFrame, id: String, vec: String, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val assign = kMeansAssign(corpus, id, vec, k, iters)
+      .select(col(id), col("cluster"))
+    val v = corpus.join(assign, id)
+    v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && col(s"a.$id") < col(s"b.$id"))
+      .select(
+        col(s"a.$id").as("vec_a"), col(s"b.$id").as("vec_b"),
+        col("a.cluster").as("cluster"),
+        VectorFunctions.cosine(col(s"a.$vec"), col(s"b.$vec")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** DuckDB replay of [[semanticNearDupPairs]]: the Lloyd CTE chain, then
+    * exact intra-cluster pairwise cosine.
+    */
+  private[graft] def semanticOracleSql(k: Int, iters: Int, threshold: Double): String =
+    s"""WITH ${kMeansCtes(k, iters)},
+       |vn AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+       |cpair AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cl
+       |          FROM kassign a JOIN kassign b
+       |            ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |dots AS (SELECT p.va, p.vb, p.cl, SUM(ea.x * eb.x) AS dot
+       |         FROM cpair p JOIN ev ea ON ea.vec_id = p.va
+       |                      JOIN ev eb ON eb.vec_id = p.vb AND eb.pos = ea.pos
+       |         GROUP BY 1, 2, 3),
+       |sims AS (SELECT va, vb, cl, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
+       |         FROM dots JOIN vn na ON na.vec_id = va
+       |                   JOIN vn nb ON nb.vec_id = vb)
+       |SELECT va AS vec_a, vb AS vec_b, cl AS cluster, ROUND(sim, 6) AS sim_r
+       |FROM sims WHERE sim >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+
   /** DuckDB replay of [[kMeansAssign]]. */
   private[graft] def kMeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ${kMeansCtes(k, iters)}
@@ -471,6 +519,17 @@ object Similarity {
     // build. Oracle replays seeds → rounds → final argmin in SQL ----
     Q("kmeans_assign", kMeansOracleSql(8, 2)) { (s, d) =>
       kMeansAssign(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+    },
+
+    // ---- SemDeDup: cluster with the SAME k-means build, then exact
+    // cosine only within clusters. 0.4 is this fixture's near-dup regime
+    // (its max pairwise cosine is ~0.6); the oracle replays cluster →
+    // pairwise → threshold exactly ----
+    Q("dedup_semantic", semanticOracleSql(8, 2, 0.4)) { (s, d) =>
+      semanticNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2, 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("vec_a", "vec_b")
     },
 
     // ---- the REAL IVF path end-to-end: k-means index → probe → rank.

@@ -16,6 +16,32 @@ object TextOps {
 
   private val stopSql = Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Per-doc avg log-prob under the add-1-smoothed corpus unigram model:
+    * `(doc_id, avg_logp)`. Vocabulary aggregate + token⋈vocab rejoin
+    * (AQE picks the join side); [[Det.davg]]'s micros-exact sum makes the
+    * doubles bit-identical across engines AND row orders — which is what
+    * lets downstream quantile cuts ([[lmScoreCtes]] consumers) compare
+    * them safely.
+    */
+  private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum("c").as("n_tok"), count(lit(1)).as("v"))
+    tok.join(tf, "t")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        log((col("c") + 1).cast("double") / (col("n_tok") + col("v"))))
+      .groupBy("doc_id").agg(Det.davg(col("lp")).as("avg_logp"))
+  }
+
+  /** DuckDB CTE chain replaying [[lmScores]], ending in `sc(doc_id, avg_logp)`. */
+  private val lmScoreCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS v FROM tf),
+       |sc AS (SELECT doc_id, ${Det.davgSql("ln((c + 1.0) / (n_tok + v))")} AS avg_logp
+       |       FROM tok JOIN tf USING (t) CROSS JOIN tot GROUP BY doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // ---- per-document stats: token counts, lengths, fingerprints ----
     Q(
@@ -194,23 +220,42 @@ object TextOps {
     // broadcast). Det.davg keeps the double sum order-independent ----
     Q(
       "lm_unigram_score",
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS v FROM tf)
-         |SELECT doc_id,
-         |  ${graft.Det.davgSql("ln((c + 1.0) / (n_tok + v))")} AS avg_logp
-         |FROM tok JOIN tf USING (t) CROSS JOIN tot
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, avg_logp FROM sc ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-      val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
-      val tot = tf.agg(sum("c").as("n_tok"), count(lit(1)).as("v"))
-      tok.join(tf, "t")
-        .crossJoin(broadcast(tot))
-        .withColumn("lp",
-          log((col("c") + 1).cast("double") / (col("n_tok") + col("v"))))
-        .groupBy("doc_id").agg(graft.Det.davg(col("lp")).as("avg_logp"))
+      lmScores(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- CCNet-style perplexity bucketing: per-language head/middle/tail
+    // by the terciles of the unigram-LM score (Wenzek et al. 2020 bucket
+    // CommonCrawl by KenLM perplexity exactly this way). Cut points are
+    // ONE per-language aggregate broadcast back — no per-language sort or
+    // window anywhere; at 100 TB the quantiles would come from a
+    // per-language sample, same shape. Det.davg makes the scores
+    // bit-identical cross-engine, so the rounded cut compare is stable ----
+    Q(
+      "quality_buckets",
+      s"""WITH $lmScoreCtes,
+         |dl AS (SELECT d.doc_id, d.lang, sc.avg_logp FROM documents d JOIN sc USING (doc_id)),
+         |cut AS (SELECT lang, quantile_cont(avg_logp, 1.0/3) AS c1,
+         |               quantile_cont(avg_logp, 2.0/3) AS c2 FROM dl GROUP BY 1)
+         |SELECT doc_id, dl.lang, ROUND(avg_logp, 6) AS score_r,
+         |  CASE WHEN ROUND(avg_logp, 6) > ROUND(c2, 6) THEN 'head'
+         |       WHEN ROUND(avg_logp, 6) > ROUND(c1, 6) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM dl JOIN cut ON cut.lang = dl.lang ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"), col("lang")).join(lmScores(docs), "doc_id")
+      val cut = dl.groupBy("lang").agg(
+        expr("percentile(avg_logp, 1.0/3)").as("c1"),
+        expr("percentile(avg_logp, 2.0/3)").as("c2"))
+      dl.join(broadcast(cut), "lang")
+        .select(
+          col("doc_id"), col("lang"), round(col("avg_logp"), 6).as("score_r"),
+          when(round(col("avg_logp"), 6) > round(col("c2"), 6), "head")
+            .when(round(col("avg_logp"), 6) > round(col("c1"), 6), "middle")
+            .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     },
 

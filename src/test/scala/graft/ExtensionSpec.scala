@@ -189,6 +189,26 @@ class ExtensionSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1, "k-means degenerated to one cluster")
   }
 
+  test("semanticNearDupPairs ≡ exact cosine pairs restricted to same cluster (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cluster = graft.operators.Similarity
+      .kMeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = exact.keySet.filter { case (a, b) => cluster(a) == cluster(b) }
+    val got = graft.operators.Similarity
+      .semanticNearDupPairs(emb, "vec_id", "embedding", 8, 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet == expected)
+    assert(expected.nonEmpty, "fixture has no intra-cluster pairs at 0.4")
+    got.foreach { case (a, b, cl, sim) =>
+      assert(cl == cluster(a) && cl == cluster(b), s"pair ($a,$b) reported wrong cluster")
+      assert(math.abs(exact((a, b)) - sim) < 1e-9)
+    }
+  }
+
   test("srpSignature raises on a dim mismatch instead of degenerating") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     assertThrows[Exception] {

@@ -112,6 +112,25 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("repeatedNgramCoverage counts only cross-document repeated windows") {
+    // doc1/doc2 share a verbatim 10-token run → three common 8-windows;
+    // doc3 shares nothing; doc4 repeats an 8-gram only WITHIN itself
+    // (document frequency 1 → not a duplicate by the df≥2 contract)
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared b1 b2"),
+      (2L, s"c1 $shared d1 d2 d3"),
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedNgramCoverage(docs, "doc_id", col("text"), 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1: 15 tokens, dup windows start at 4,5,6 → cover positions 4..13
+    // doc2: 14 tokens, dup windows start at 2,3,4 → cover positions 2..11
+    assert(out == Map(1L -> ((15L, 3L, 10L)), 2L -> ((14L, 3L, 10L))))
+  }
+
   test("MinHashSig kernel ≡ explode + min() aggregate signatures (sf0.001)") {
     val arr = Tables.documents(spark, sf0001)
       .select(col("doc_id"),
