@@ -29,6 +29,40 @@ import scala.jdk.CollectionConverters._
   * directory before returning. Repeated bench runs therefore accumulate no
   * driver memory or tmp files.
   */
+/** Per-user running totals as a `transformWithState` StatefulProcessor —
+  * the Spark 4 arbitrary-state API (state store v2): explicit named state
+  * variables with per-variable encoders and TTL, instead of
+  * mapGroupsWithState's single implicit state slot. Same integer-micros
+  * state contract as [[StreamingOps.statefulUserTotals]], so the two APIs
+  * are output-identical and share one oracle. Top-level class: no
+  * enclosing-instance capture to serialize to executors.
+  */
+private[streaming] class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)](
+      "totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var n = n0
+    var s = s0
+    rows.foreach { case (_, vmic) => n += 1; s += vmic }
+    totals.update((n, s))
+    Iterator.single((user, n, s.toDouble / 1000000.0))
+  }
+}
+
 object StreamingOps {
 
   /** events.parquet schema as the stream source sees it (ts = INT64 nanos,
@@ -233,6 +267,65 @@ object StreamingOps {
       })
     }.orderBy("user_id", "seq")
 
+  /** Same per-user totals through the Spark 4 `transformWithState` API
+    * (see [[UserTotalsProcessor]]). Requires the RocksDB state store
+    * provider — the scale-grade store (off-heap, changelog-checkpointed,
+    * TB-sized state per executor), set per-session here.
+    */
+  def statefulUserTotalsTws(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToFilesUpsert(spark, "stream_tws", Seq("user_id"), { session =>
+        import session.implicits._
+        session.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .selectExpr("user_id", "CAST(ROUND(value * 1000000.0, 0) AS LONG) AS vmic")
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new UserTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_events", "sum_value")
+      })
+    }.orderBy("user_id")
+
+  /** Stream-stream interval join: views joined to same-user clicks within
+    * the [view_ts, view_ts + 2 h] window. Both sides carry watermarks and
+    * the join condition bounds event time in both directions, so Spark
+    * can evict join state older than watermark + interval — the shape
+    * that runs forever at scale (an unbounded-time stream-stream join
+    * would accumulate state indefinitely). The 31-day delay covers the
+    * fixture's whole span, so nothing evicts before the replay finishes
+    * and the result provably equals the batch join.
+    */
+  def viewClickJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToFiles(spark, "stream_join", { session =>
+        def side(tpe: String, idAs: String, tsAs: String, userAs: String) =
+          session.readStream
+            .schema(eventsSchema)
+            .parquet(stageDir)
+            .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(userAs), col("event_id").as(idAs),
+              col("tts").as(tsAs))
+            .withWatermark(tsAs, "31 days")
+        val views = side("view", "view_id", "view_ts", "user_id")
+        val clicks = side("click", "click_id", "click_ts", "c_user_id")
+        val joined = views.join(
+          clicks,
+          col("user_id") === col("c_user_id") &&
+            col("click_ts") >= col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+          .select(col("user_id"), col("view_id"), col("click_id"))
+        (joined, org.apache.spark.sql.streaming.OutputMode.Append())
+      })
+    }.orderBy("view_id", "click_id")
+
   val queries: Seq[Q] = Seq(
     // identical semantics to the batch events_sessionize_agg — that's the
     // point: stream results must reconcile with batch over the same data
@@ -255,6 +348,27 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     )(statefulUserTotals),
+
+    // ---- the SAME totals through transformWithState (state store v2 /
+    // RocksDB): named ValueState + explicit encoders + TTL surface. One
+    // oracle for both stateful APIs — they must agree with batch and
+    // with each other ----
+    Q(
+      "stream_user_totals_tws",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    )(statefulUserTotalsTws),
+
+    // ---- stream-stream interval join, oracle = the batch join ----
+    Q(
+      "stream_view_click_join",
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, click_id""".stripMargin,
+    )(viewClickJoin),
 
     // ---- streaming exact dedup: dropDuplicates state over the stream —
     // the streaming face of §2.9 exact dedup (state = one key per distinct

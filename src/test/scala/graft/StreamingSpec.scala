@@ -44,4 +44,31 @@ class StreamingSpec extends SparkSpec {
     assert(stateful == batch) // integer-micros state ⇒ exact equality
     assert(batch.nonEmpty)
   }
+
+  test("transformWithState totals equal the mapGroupsWithState totals (and batch)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val tws = rows(StreamingOps.statefulUserTotalsTws(spark, sf0001))
+    val mgws = rows(StreamingOps.statefulUserTotals(spark, sf0001))
+    assert(tws == mgws) // two stateful APIs, one integer-micros contract
+    assert(tws.nonEmpty)
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(StreamingOps.viewClickJoin(spark, sf0001))
+    val ev = Tables.events(spark, sf0001)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val batch = key(v.join(c,
+      col("user_id") === col("cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS")))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
