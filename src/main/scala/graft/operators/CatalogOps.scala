@@ -92,6 +92,56 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- CSV ingest round-trip: fixture → Spark-written CSV →
+    // insertCsv → read back. The md5-top-60 text fingerprint sum proves
+    // the text column survived the CSV encode/parse cycle byte-exactly,
+    // not just row counts ----
+    Q(
+      "catalog_csv_roundtrip",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS text_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      val csvDir = s"$wh/csv_stage"
+      docs.write.option("header", "true").option("escape", "\"").csv(csvDir)
+      cat.create("docs_csv", docs.schema)
+      cat.insertCsv("docs_csv", csvDir)
+      cat.table("docs_csv")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L)
+            .as("text_fp"))
+        .orderBy("lang")
+    },
+
+    // ---- Z-order clustering + stats-based file pruning: rewrite events
+    // clustered on the (user_id, value) Z-curve, then answer a 2-D box
+    // query reading ONLY the files whose stats overlap the box
+    // (CatalogSpec asserts the pruning actually skips files). The layout
+    // must never change results — the oracle is the plain box filter ----
+    Q(
+      "catalog_zorder_prune",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20.0 AND 60.0
+        |ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val dir = s"$wh/events_z"
+      graft.sources.ZOrder.writeZOrdered(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        "user_id", "value", dir, numFiles = 8)
+      graft.sources.ZOrder.readPruned(s, dir, (3.0, 9.0), (20.0, 60.0))
+        .filter(col("user_id").between(3, 9) && col("value").between(20.0, 60.0))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
     // ---- nest (materialize result as table) then re-query ----
     Q(
       "catalog_nest",

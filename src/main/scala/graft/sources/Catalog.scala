@@ -116,6 +116,19 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     insert(name, preprocess(raw))
   }
 
+  /** Ingest CSV (the reference's `insert(phile=..., decoder=csv_decoder)`):
+    * schema-directed parse — columns map by POSITION against the table
+    * schema (the header row, when present, is only skipped) — with
+    * optional row preprocess. RFC-4180 quote-escape (`""`) by default so
+    * a Spark-written CSV round-trips; override via `options`.
+    */
+  def insertCsv(name: String, path: String,
+      options: Map[String, String] = Map("header" -> "true", "escape" -> "\""),
+      preprocess: DataFrame => DataFrame = identity): Unit = {
+    val raw = spark.read.options(options).schema(schema(name)).csv(path)
+    insert(name, preprocess(raw))
+  }
+
   /** Read a table back. Partition pruning applies when filtering on the
     * partition column (`basePath` keeps the partition column in the
     * schema).

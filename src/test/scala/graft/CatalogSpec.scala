@@ -106,6 +106,41 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("j").agg(sum("a")).collect().head.getLong(0) == 3L)
   }
 
+  test("insertCsv round-trips a Spark-written CSV byte-exactly") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft_csv_").toString + "/stage"
+    docs.write.option("header", "true").option("escape", "\"").csv(dir)
+    cat.create("docs_csv", docs.schema)
+    cat.insertCsv("docs_csv", dir)
+    val fp = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), md5(col("text")).as("h"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(fp(cat.table("docs_csv")) == fp(docs))
+  }
+
+  test("z-order layout prunes most files for a 2-D box; results identical") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    val dir = Files.createTempDirectory("graft_z_").toString + "/z"
+    val stats = graft.sources.ZOrder.writeZOrdered(ev, "user_id", "value", dir, numFiles = 8)
+    assert(stats.size == 8)
+    // the box spans ~1/2 of the user range and ~1/8 of the value range;
+    // a z-ordered layout must localize it to a strict subset of files
+    // (a single-column or unsorted layout overlaps all of them)
+    val sel = stats.count(s =>
+      s.xMax >= 3.0 && s.xMin <= 9.0 && s.yMax >= 20.0 && s.yMin <= 60.0)
+    assert(sel < stats.size, s"box overlapped all ${stats.size} files — no clustering")
+    val pruned = graft.sources.ZOrder.readPruned(spark, dir, (3.0, 9.0), (20.0, 60.0))
+      .filter(col("user_id").between(3, 9) && col("value").between(20.0, 60.0))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val full = ev
+      .filter(col("user_id").between(3, 9) && col("value").between(20.0, 60.0))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned == full)
+    assert(full.nonEmpty)
+  }
+
   test("predicate-form delete drops exactly the named partition") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
