@@ -137,13 +137,14 @@ class PlanSpec extends SparkSpec {
     // documented model-sized-broadcast tier:
     //  - ann_topk_* / kmeans / knn: the query batch or centroid table is
     //    broadcast against a linear corpus scan (k·dim rows, by design);
-    //  - tfidf_top_terms / lm_unigram_score: crossJoin(broadcast) of a
-    //    1-row corpus-total scalar (the vocab join itself must stay an
-    //    equi join).
+    //  - tfidf_top_terms / lm_unigram_score / quality_buckets:
+    //    crossJoin(broadcast) of a 1-row corpus-total scalar (the vocab
+    //    join itself must stay an equi join; quality_buckets' per-lang
+    //    cut-point join IS an equi join — only the scalar is nested-loop).
     val nestedLoopOk = Set(
       "ann_topk_bruteforce", "ann_topk_int8", "ann_topk_ivf",
       "ann_topk_ivf_kmeans", "knn_centroid_assign", "kmeans_assign",
-      "tfidf_top_terms", "lm_unigram_score")
+      "tfidf_top_terms", "lm_unigram_score", "quality_buckets")
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
