@@ -120,6 +120,34 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- ORC ingest round-trip: stage the fixture as ORC, ingest through
+    // the schema-directed decoder, and prove the content survived with the
+    // same per-lang profile + byte-exact text fingerprint as the CSV path.
+    // ORC maps columns by name (self-describing footer schema) ----
+    Q(
+      "catalog_orc_roundtrip",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS text_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      val orcDir = s"$wh/orc_stage"
+      docs.write.orc(orcDir)
+      cat.create("docs_orc", docs.schema)
+      cat.insertOrc("docs_orc", orcDir)
+      cat.table("docs_orc")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L)
+            .as("text_fp"))
+        .orderBy("lang")
+    },
+
     // ---- Z-order clustering + stats-based file pruning: rewrite events
     // clustered on the (user_id, value) Z-curve, then answer a 2-D box
     // query reading ONLY the files whose stats overlap the box

@@ -78,6 +78,43 @@ object TextOps {
         .limit(50)
     },
 
+    // ---- heavy hitters via count-min sketch: the fixed-memory (32 KiB)
+    // frequency path that replaces exact groupBy(token).count() at 100 TB.
+    // The row hashes are md5-derived, so the DuckDB oracle rebuilds the
+    // IDENTICAL sketch in SQL — the estimates themselves are hash-exact
+    // checked (not just an accuracy contract). Probe set = the exact
+    // top-10 tokens; `never_under` asserts the CMS one-sided guarantee ----
+    Q(
+      "q_heavy_hitters_cms",
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cells AS (
+        |  SELECT r, ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 1024 AS b,
+        |    COUNT(*) AS c
+        |  FROM toks CROSS JOIN (SELECT unnest([0,1,2,3]) AS r) GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY token
+        |  ORDER BY n_exact DESC, token LIMIT 10)
+        |SELECT e.token, e.n_exact, CAST(MIN(c.c) AS BIGINT) AS cms_est,
+        |  CAST(MIN(c.c) AS BIGINT) >= e.n_exact AS never_under
+        |FROM exact e JOIN cells c
+        |  ON c.b = ('0x' || substr(md5('cm' || CAST(c.r AS VARCHAR) || ':' || e.token), 1, 15))::BIGINT % 1024
+        |GROUP BY e.token, e.n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin,
+    ) { (s, d) =>
+      import graft.functions.CountMinSketch
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sketch = toks
+        .agg(CountMinSketch.sketchAgg(CountMinSketch.buckets(col("token"))).as("cms"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(10)
+      top.crossJoin(broadcast(sketch))
+        .select(col("token"), col("n_exact"),
+          CountMinSketch.estimate(col("cms"), col("token")).as("cms_est"))
+        .withColumn("never_under", col("cms_est") >= col("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+
     // ---- heuristic quality score per document ----
     Q(
       "quality_scores",

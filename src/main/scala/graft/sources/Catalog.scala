@@ -129,6 +129,17 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     insert(name, preprocess(raw))
   }
 
+  /** Ingest ORC (interchange with ORC-producing warehouses): schema-directed
+    * read — ORC is self-describing, so columns map by NAME and are cast to
+    * the declared types — with optional row preprocess. Storage inside the
+    * catalog stays parquet; this is the ingest decoder, not a storage mode.
+    */
+  def insertOrc(name: String, path: String,
+      preprocess: DataFrame => DataFrame = identity): Unit = {
+    val raw = spark.read.schema(schema(name)).orc(path)
+    insert(name, preprocess(raw))
+  }
+
   /** Read a table back. Partition pruning applies when filtering on the
     * partition column (`basePath` keeps the partition column in the
     * schema).

@@ -326,6 +326,31 @@ object StreamingOps {
       })
     }.orderBy("view_id", "click_id")
 
+  /** Streaming SESSION windows: the merging-window aggregation (gap-based
+    * sessions grow/merge as events arrive — state the tumbling-window path
+    * can't express). Same 30-minute gap as the batch `q_session_window`,
+    * so the two tiers share one oracle: streaming session semantics
+    * verified against relational semantics over the same data. Complete
+    * mode (session_window doesn't support Update; under AvailableNow the
+    * final emission is the fully-merged session set).
+    */
+  def sessionWindowStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToFiles(spark, "stream_session", { session =>
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "31 days")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").cast(TimestampNTZType).as("session_start"),
+            col("n_events"), col("sum_value"))
+        (stream, org.apache.spark.sql.streaming.OutputMode.Complete())
+      })
+    }.orderBy("user_id", "session_start")
+
   val queries: Seq[Q] = Seq(
     // identical semantics to the batch events_sessionize_agg — that's the
     // point: stream results must reconcile with batch over the same data
@@ -359,6 +384,29 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     )(statefulUserTotalsTws),
+
+    // ---- streaming session windows (merging-window state), oracle =
+    // the batch gap-sessionization SQL (same as q_session_window) ----
+    Q(
+      "stream_session_agg",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN epoch_us(ts) -
+        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    )(sessionWindowStreaming),
 
     // ---- stream-stream interval join, oracle = the batch join ----
     Q(

@@ -120,6 +120,23 @@ class CatalogSpec extends SparkSpec {
     assert(fp(cat.table("docs_csv")) == fp(docs))
   }
 
+  test("insertOrc maps columns by NAME (survives a reordered ORC file)") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft_orc_").toString + "/stage"
+    // write the ORC stage with columns deliberately reordered: a positional
+    // decoder (the CSV contract) would garble this; ORC's footer schema
+    // must map them back by name
+    docs.select("text", "n_chars", "doc_id", "source", "lang").write.orc(dir)
+    cat.create("docs_orc", docs.schema)
+    cat.insertOrc("docs_orc", dir)
+    val fp = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), md5(col("text")).as("h"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(fp(cat.table("docs_orc")) == fp(docs))
+  }
+
   test("z-order layout prunes most files for a 2-D box; results identical") {
     val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
     val dir = Files.createTempDirectory("graft_z_").toString + "/z"

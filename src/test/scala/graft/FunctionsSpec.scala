@@ -11,6 +11,32 @@ class FunctionsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("count-min sketch: never under-counts, over-counts ≤ εN (ε = e/Width)") {
+    import graft.functions.CountMinSketch
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = toks
+      .agg(CountMinSketch.sketchAgg(CountMinSketch.buckets(col("token"))).as("cms"))
+    val rows = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sketch))
+      .select(col("token"), col("n"),
+        CountMinSketch.estimate(col("cms"), col("token")).as("est"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val totalN = rows.map(_._2).sum
+    val epsN = math.ceil(math.E / CountMinSketch.Width * totalN).toLong
+    rows.foreach { case (tok, n, est) =>
+      assert(est >= n, s"CMS under-counted '$tok': est=$est < exact=$n")
+      assert(est <= n + epsN,
+        s"CMS over-counted '$tok' beyond εN: est=$est exact=$n εN=$epsN")
+    }
+    // the sketch is fixed-size regardless of corpus size
+    val cells = sketch.collect().head.getSeq[Long](0)
+    assert(cells.length == CountMinSketch.Depth * CountMinSketch.Width)
+    assert(cells.sum == CountMinSketch.Depth * totalN) // each token hits Depth cells
+  }
+
   test("wordShingles: n=2/3, short docs yield empty arrays") {
     val df = Seq("a b c d", "a b", "solo", "").toDF("text")
     val got = df.select(

@@ -141,10 +141,13 @@ class PlanSpec extends SparkSpec {
     //    crossJoin(broadcast) of a 1-row corpus-total scalar (the vocab
     //    join itself must stay an equi join; quality_buckets' per-lang
     //    cut-point join IS an equi join — only the scalar is nested-loop).
+    //  - q_heavy_hitters_cms: crossJoin(broadcast) of the 1-row 32 KiB
+    //    sketch onto the probe tokens (fixed-size regardless of corpus).
     val nestedLoopOk = Set(
       "ann_topk_bruteforce", "ann_topk_int8", "ann_topk_ivf",
       "ann_topk_ivf_kmeans", "knn_centroid_assign", "kmeans_assign",
-      "tfidf_top_terms", "lm_unigram_score", "quality_buckets")
+      "tfidf_top_terms", "lm_unigram_score", "quality_buckets",
+      "q_heavy_hitters_cms")
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

@@ -54,6 +54,23 @@ class StreamingSpec extends SparkSpec {
     assert(tws.nonEmpty)
   }
 
+  test("streaming session windows equal the batch session_window aggregation") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    val streamed = rows(StreamingOps.sessionWindowStreaming(spark, sf0001))
+    val batch = rows(Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value")))
+    assert(streamed.sameElements(batch)) // merging-window state ≡ batch sessions
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "view_id", "click_id")
