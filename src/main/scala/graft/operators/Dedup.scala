@@ -655,5 +655,60 @@ object Dedup {
     ) { (s, d) =>
       repeatedNgramCoverage(Tables.documents(s, d), "doc_id", col("text"), 8)
     },
+
+    // ---- incremental-ingest dedup via Bloom membership (the Dolma BFF
+    // shape): the existing corpus (19 of 20 sources) is summarized into a
+    // fixed 128 KiB bloom of its 5-shingles; the incoming batch (src0) is
+    // probed against it — per-doc counts of claimed-seen vs actually-seen
+    // shingles. No false negatives (seen ⇒ claimed, asserted per doc);
+    // false positives are deterministic given the md5 hashes, so the
+    // oracle rebuilds the exact set-bit set and replays them too ----
+    Q(
+      "dedup_bloom_shingles",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(
+        |         CASE WHEN len(toks) >= 5 THEN
+        |           list_transform(generate_series(1, len(toks) - 4),
+        |             i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        |         ELSE [] END)) AS sh FROM t),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || ':' || sh), 1, 15))::BIGINT % 1048576 AS b
+        |  FROM sh CROSS JOIN (SELECT unnest([0,1,2]) AS j) WHERE source <> 'src0'),
+        |exd AS (SELECT DISTINCT sh FROM sh WHERE source <> 'src0'),
+        |probe AS (SELECT i.doc_id, i.sh,
+        |    (SELECT COUNT(*) FROM (SELECT unnest([0,1,2]) AS j) js
+        |     WHERE ('0x' || substr(md5('bf' || CAST(js.j AS VARCHAR) || ':' || i.sh), 1, 15))::BIGINT % 1048576
+        |       IN (SELECT b FROM bits)) = 3 AS claimed,
+        |    EXISTS(SELECT 1 FROM exd e WHERE e.sh = i.sh) AS seen
+        |  FROM sh i WHERE i.source = 'src0')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+        |  CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  BOOL_AND(claimed OR NOT seen) AS no_false_neg
+        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import graft.functions.BloomMembership
+      val docs = Tables.documents(s, d)
+      def shingled(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(TextFunctions.wordShingles(col("text"), 5)).as("sh"))
+      val ex = shingled(docs.filter(col("source") =!= "src0")).select("sh")
+      val inc = shingled(docs.filter(col("source") === "src0"))
+      val bloom = ex
+        .agg(BloomMembership.bloomAgg(BloomMembership.bitIndexes(col("sh"))).as("bf"))
+      val exD = ex.distinct().withColumn("seen", lit(true))
+      inc.join(exD, Seq("sh"), "left")
+        .crossJoin(broadcast(bloom))
+        .select(col("doc_id"),
+          BloomMembership.mightContain(col("bf"), col("sh")).as("claimed"),
+          coalesce(col("seen"), lit(false)).as("seen"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("claimed"), 1L).otherwise(0L)).as("n_claimed"),
+          sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"),
+          expr("bool_and(claimed OR NOT seen)").as("no_false_neg"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -351,6 +351,29 @@ object StreamingOps {
       })
     }.orderBy("user_id", "session_start")
 
+  /** Stream-static join: enrich a live event stream with a batch dimension
+    * table (customer). The static side is planned per micro-batch as an
+    * ordinary batch relation — Catalyst broadcasts it when small, exactly
+    * like the batch tier — and needs no watermark or join state: this is
+    * the stateless enrichment shape (events × dims) that runs forever at
+    * scale, complementing the stateful stream-stream interval join.
+    */
+  def enrichWithStatic(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToFiles(spark, "stream_enrich", { session =>
+        val dim = graft.Tables.customer(session, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .filter(col("event_type") === "purchase")
+          .join(dim, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"),
+            col("c_mktsegment").as("segment"), col("value"))
+        (stream, org.apache.spark.sql.streaming.OutputMode.Append())
+      })
+    }.orderBy("event_id")
+
   val queries: Seq[Q] = Seq(
     // identical semantics to the batch events_sessionize_agg — that's the
     // point: stream results must reconcile with batch over the same data
@@ -407,6 +430,15 @@ object StreamingOps {
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     )(sessionWindowStreaming),
+
+    // ---- stream-static enrichment join (stateless; dim side planned per
+    // micro-batch), oracle = the plain batch join ----
+    Q(
+      "stream_enrich_static",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
+    )(enrichWithStatic),
 
     // ---- stream-stream interval join, oracle = the batch join ----
     Q(

@@ -37,6 +37,26 @@ class FunctionsSpec extends SparkSpec {
     assert(cells.sum == CountMinSketch.Depth * totalN) // each token hits Depth cells
   }
 
+  test("bloom membership: every inserted item found, absent items mostly not") {
+    import graft.functions.BloomMembership
+    val items = (0 until 2000).map(i => s"item_$i")
+    val inserted = items.toDF("v")
+    val bloom = inserted
+      .agg(BloomMembership.bloomAgg(BloomMembership.bitIndexes(col("v"))).as("bf"))
+    // no false negatives: all 2000 inserted items must probe true
+    val hits = inserted.crossJoin(broadcast(bloom))
+      .select(BloomMembership.mightContain(col("bf"), col("v")).as("m"))
+      .collect().count(_.getBoolean(0))
+    assert(hits == items.length, s"bloom lost ${items.length - hits} inserted items")
+    // false-positive rate on 2000 absent items stays near the design point
+    // (K·n/Bits = 3·2000/2^20 → FP ≈ 3.3e-7; allow vast slack)
+    val absent = (0 until 2000).map(i => s"other_$i").toDF("v")
+    val fps = absent.crossJoin(broadcast(bloom))
+      .select(BloomMembership.mightContain(col("bf"), col("v")).as("m"))
+      .collect().count(_.getBoolean(0))
+    assert(fps <= 2, s"false-positive rate implausibly high: $fps/2000")
+  }
+
   test("wordShingles: n=2/3, short docs yield empty arrays") {
     val df = Seq("a b c d", "a b", "solo", "").toDF("text")
     val got = df.select(

@@ -141,13 +141,14 @@ class PlanSpec extends SparkSpec {
     //    crossJoin(broadcast) of a 1-row corpus-total scalar (the vocab
     //    join itself must stay an equi join; quality_buckets' per-lang
     //    cut-point join IS an equi join — only the scalar is nested-loop).
-    //  - q_heavy_hitters_cms: crossJoin(broadcast) of the 1-row 32 KiB
-    //    sketch onto the probe tokens (fixed-size regardless of corpus).
+    //  - q_heavy_hitters_cms / dedup_bloom_shingles: crossJoin(broadcast)
+    //    of a 1-row fixed-size sketch (32 KiB CMS / 128 KiB bloom) onto
+    //    the probe side (sketch size independent of corpus size).
     val nestedLoopOk = Set(
       "ann_topk_bruteforce", "ann_topk_int8", "ann_topk_ivf",
       "ann_topk_ivf_kmeans", "knn_centroid_assign", "kmeans_assign",
       "tfidf_top_terms", "lm_unigram_score", "quality_buckets",
-      "q_heavy_hitters_cms")
+      "q_heavy_hitters_cms", "dedup_bloom_shingles")
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

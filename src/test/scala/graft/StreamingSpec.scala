@@ -71,6 +71,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch dim join") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val streamed = key(StreamingOps.enrichWithStatic(spark, sf0001))
+    val batch = key(Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, sf0001), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("value")))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "view_id", "click_id")
