@@ -34,7 +34,10 @@ object Bench {
     "training_corpus_v2", "ann_topk_ivf", "ann_topk_int8", "kmeans_assign",
     "stream_hourly_agg", "stream_user_totals",
     "seq_pack", "corpus_mixture", "pii_redact", "decontaminate_fuzzy",
-    "lm_unigram_score")
+    "lm_unigram_score",
+    "q_heavy_hitters_cms", "dedup_bloom_shingles", "stream_session_agg",
+    "stream_enrich_static", "dedup_substring", "dedup_semantic",
+    "quality_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,6 +95,12 @@ object Bench {
       // removal completes before the next query's timer starts, so slow
       // ContextCleaner churn can't leak block-manager pressure forward.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // untimed GC between queries: without it, allocation-heavy queries
+      // (the PPJoin pair join most of all) get timed under whatever heap
+      // debt the previous ~100 queries accumulated — observed as 2.6 s
+      // isolated vs 7.7 s in-suite for the same query. Standard
+      // between-iteration hygiene; costs untimed milliseconds.
+      System.gc()
       q.name -> t
     }
     def json(rs: Seq[(String, Double)], round: Boolean): String = {
@@ -104,8 +113,12 @@ object Bench {
         s""""local_json":"BENCH_local.json","sf":"$sfDir"}"""
     }
     // Complete full-precision record — durable, can't be tail-truncated.
+    // A filtered run writes a separate file so it can't masquerade as (or
+    // clobber) the full-suite record.
+    val recordName =
+      if (filter.isDefined) "BENCH_local_filtered.json" else "BENCH_local.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local.json"),
+      java.nio.file.Paths.get(sys.props("user.dir"), recordName),
       (json(results, round = false) + "\n").getBytes("UTF-8"))
     // Compact headline line — sized to fit the harness's ~2000-char
     // stdout tail window (full suite total; subset of per-query values).

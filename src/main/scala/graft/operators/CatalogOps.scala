@@ -170,6 +170,33 @@ object CatalogOps {
         .orderBy("event_id")
     },
 
+    // ---- small-files compaction: ingest in 16 fragments (the streaming /
+    // per-batch insert pattern), compact to 2 files, and prove the content
+    // is untouched — the oracle reads the original fixture. The file-count
+    // reduction itself is asserted by CatalogSpec ----
+    Q(
+      "catalog_compact",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS text_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_frag", docs.schema)
+      cat.insert("docs_frag", docs.repartition(16))
+      cat.compact("docs_frag", targetFiles = 2)
+      cat.table("docs_frag")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L)
+            .as("text_fp"))
+        .orderBy("lang")
+    },
+
     // ---- nest (materialize result as table) then re-query ----
     Q(
       "catalog_nest",

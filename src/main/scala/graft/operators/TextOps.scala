@@ -263,6 +263,48 @@ object TextOps {
       lmScores(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // ---- bigram LM: avg log P(w_i | w_{i-1}) per doc with add-1
+    // smoothing — the conditional-probability upgrade of the unigram
+    // filter (repetitive word-order patterns score high, shuffled or
+    // disfluent text scores low even when its unigram mix looks fine).
+    // Same two-pass shape: bigram + context-unigram corpus aggregates,
+    // then an occurrence⋈model rejoin under AQE; only the 1-row vocab
+    // total is broadcast. ln() is bit-identical cross-engine (proven by
+    // lm_unigram_score) and Det.davg keeps the sum order-independent ----
+    Q(
+      "lm_bigram_score",
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bi AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+         |         list_transform(generate_series(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         |         ELSE [] END) AS bg FROM t0),
+         |bf AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY 1),
+         |tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tf),
+         |sc AS (SELECT doc_id, ${Det.davgSql("ln((cb + 1.0) / (c + v))")} AS avg_logp2
+         |       FROM bi JOIN bf USING (bg)
+         |       JOIN tf ON tf.t = split_part(bg, ' ', 1)
+         |       CROSS JOIN tot GROUP BY doc_id)
+         |SELECT doc_id, avg_logp2 FROM sc ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bi = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShinglesAll(col("text"), 2)).as("bg"))
+      val bf = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val tok = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(count(lit(1)).as("v"))
+      bi.join(bf, "bg")
+        .withColumn("ctx", substring_index(col("bg"), " ", 1))
+        .join(tf, col("ctx") === col("t"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log((col("cb") + 1).cast("double") / (col("c") + col("v"))))
+        .groupBy("doc_id").agg(Det.davg(col("lp")).as("avg_logp2"))
+        .orderBy("doc_id")
+    },
+
     // ---- CCNet-style perplexity bucketing: per-language head/middle/tail
     // by the terciles of the unigram-LM score (Wenzek et al. 2020 bucket
     // CommonCrawl by KenLM perplexity exactly this way). Cut points are

@@ -20,7 +20,7 @@ import scala.jdk.CollectionConverters._
   * parquet column stats + dictionary + optional bloom filters, configured
   * at write time, not code).
   */
-final class Catalog(spark: SparkSession, warehouse: String) {
+final class Catalog(spark: SparkSession, val warehouse: String) {
 
   private def tableDir(name: String) = Paths.get(warehouse, name)
   private def metaDir(name: String) = tableDir(name).resolve("_meta")
@@ -139,6 +139,43 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val raw = spark.read.schema(schema(name)).orc(path)
     insert(name, preprocess(raw))
   }
+
+  /** Compact a table's data files to `targetFiles` per partition (the
+    * OPTIMIZE / small-files lifecycle op: streaming and per-batch inserts
+    * accumulate many small files, and at scale file-open overhead and
+    * footer reads come to dominate scans). Rewrites into a staging
+    * directory, then swaps it in — content is unchanged (CatalogSpec
+    * asserts the fingerprint; `catalog_compact`'s oracle the profile).
+    * Partitioned tables keep their Hive layout, compacted per partition.
+    */
+  def compact(name: String, targetFiles: Int = 1): Unit = {
+    val dir = dataDir(name)
+    val df = table(name)
+    val staged = Paths.get(dir.toString + ".compact_tmp")
+    var writer = df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
+    indexedColumns(name).foreach { c =>
+      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    partitionColumn(name)
+      .map(p => writer.partitionBy(p))
+      .getOrElse(writer)
+      .parquet(staged.toString)
+    // swap: old dir → .bak, staged → live, delete .bak (crash between the
+    // two moves leaves .bak intact for manual recovery — same discipline
+    // as a metastore-less table format without a manifest log)
+    val bak = Paths.get(dir.toString + ".compact_bak")
+    deleteRecursively(bak)
+    Files.move(dir, bak)
+    Files.move(staged, dir)
+    deleteRecursively(bak)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 
   /** Read a table back. Partition pruning applies when filtering on the
     * partition column (`basePath` keeps the partition column in the

@@ -137,6 +137,40 @@ class CatalogSpec extends SparkSpec {
     assert(fp(cat.table("docs_orc")) == fp(docs))
   }
 
+  test("compact shrinks a fragmented table to targetFiles without changing content") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("frag", docs.schema)
+    cat.insert("frag", docs.repartition(16))
+    def dataFiles() = {
+      val dir = new java.io.File(cat.warehouse + "/frag/data")
+      dir.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    val fp = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = fp(cat.table("frag"))
+    assert(dataFiles() >= 16)
+    cat.compact("frag", targetFiles = 2)
+    assert(dataFiles() == 2, "compaction must leave exactly targetFiles files")
+    assert(fp(cat.table("frag")) == before, "compaction must not change content")
+  }
+
+  test("compact preserves the Hive partition layout of a partitioned table") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("fragp", docs.schema, partitionBy = Some("lang"))
+    cat.insert("fragp", docs.repartition(8))
+    val before = cat.table("fragp")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cat.compact("fragp", targetFiles = 1)
+    val after = cat.table("fragp")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    // partition directories survive the rewrite
+    assert(cat.partitions("fragp").nonEmpty)
+  }
+
   test("z-order layout prunes most files for a 2-D box; results identical") {
     val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
     val dir = Files.createTempDirectory("graft_z_").toString + "/z"
