@@ -29,6 +29,29 @@ class KernelPropertySpec extends SparkSpec {
   private lazy val corpus: Seq[String] =
     (0 until 300).flatMap(i => text(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("count-min + bloom aggregators honor their sketch contracts on generated corpus") {
+    import graft.functions.{BloomMembership, CountMinSketch}
+    val items = corpus.filter(_.nonEmpty)
+    val df = items.toDF("v")
+    // CMS: est(v) ≥ true_count(v) for EVERY distinct item, and total mass
+    // is preserved (Depth increments per occurrence)
+    val sketch = df.agg(CountMinSketch.sketchAgg(CountMinSketch.buckets(col("v"))).as("cms"))
+    val probed = df.groupBy("v").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sketch))
+      .select(col("n"), CountMinSketch.estimate(col("cms"), col("v")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probed.nonEmpty)
+    probed.foreach { case (n, est) => assert(est >= n, s"CMS under-count: $est < $n") }
+    val cells = sketch.collect().head.getSeq[Long](0)
+    assert(cells.sum == CountMinSketch.Depth.toLong * items.size)
+    // Bloom: no false negatives on every inserted generated item
+    val bloom = df.agg(BloomMembership.bloomAgg(BloomMembership.bitIndexes(col("v"))).as("bf"))
+    val misses = df.crossJoin(broadcast(bloom))
+      .select(BloomMembership.mightContain(col("bf"), col("v")).as("m"))
+      .collect().count(!_.getBoolean(0))
+    assert(misses == 0, s"bloom false negatives: $misses")
+  }
+
   test("hash + shingle + winnow kernels ≡ witnesses on generated strings") {
     assert(corpus.size > 250, s"generator drought: ${corpus.size}")
     val df = corpus.toDF("text")
