@@ -124,13 +124,31 @@ object StressScale {
       .mkString(s"""{"dir":"$dir",""", ",", "}"))
   }
 
+  /** SemDeDup scale probe: time + count `semanticNearDupPairs` at a given
+    * k. The scale contract is k ∝ n (constant EXPECTED cluster size): with
+    * fixed k a 10× corpus gives 10×-bigger clusters and ~100× intra-
+    * cluster pairs (the quadratic null); scaling k with the corpus keeps
+    * the per-cluster quadratic bounded. The registered `dedup_semantic`
+    * keeps k=8 (the fixture-scale choice its fixed oracle SQL replays);
+    * this mode is the empirical evidence for how a 100 TB caller sizes k.
+    */
+  private def sem(spark: SparkSession, dir: String, k: Int): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val t0 = System.nanoTime()
+    val pairs = Similarity
+      .semanticNearDupPairs(emb, "vec_id", "embedding", k, 2, 0.4).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"dir":"$dir","k":$k,"sem_pairs":$pairs,"secs":$secs%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.toList match {
       case "gen" :: src :: out :: n :: Nil => gen(spark, src, out, n.toInt)
       case "cand" :: dir :: Nil => cand(spark, dir)
+      case "sem" :: dir :: k :: Nil => sem(spark, dir, k.toInt)
       case other => sys.error(
-        s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir>; got $other")
+        s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k>; got $other")
     }
     spark.stop()
   }

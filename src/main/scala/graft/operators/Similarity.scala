@@ -271,6 +271,11 @@ object Similarity {
     * stay bounded (SemDeDup used k ≈ √n at web scale); the join shuffles
     * on the cluster key, so AQE's skew split handles an unbalanced
     * clustering. The k-means build itself is linear per round.
+    *
+    * k must GROW with the corpus — a fixed k is the quadratic null:
+    * `StressScale sem` measures the 10× stress corpus at 17.1 s / 28k
+    * pairs with k=8 (clusters 10× bigger → ~100× intra-cluster pairs)
+    * vs 7.6 s / bounded clusters with k=80 (NOTES_r8.md table).
     */
   def semanticNearDupPairs(
       corpus: DataFrame, id: String, vec: String, k: Int, iters: Int,
