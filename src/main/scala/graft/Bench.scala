@@ -37,7 +37,7 @@ object Bench {
     "lm_unigram_score",
     "q_heavy_hitters_cms", "dedup_bloom_shingles", "stream_session_agg",
     "stream_enrich_static", "dedup_substring", "dedup_semantic",
-    "quality_buckets")
+    "quality_buckets", "lm_bigram_score", "catalog_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

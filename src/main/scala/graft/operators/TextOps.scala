@@ -312,28 +312,51 @@ object TextOps {
     // window anywhere; at 100 TB the quantiles would come from a
     // per-language sample, same shape. Det.davg makes the scores
     // bit-identical cross-engine, so the rounded cut compare is stable ----
+    // NOTE on determinism (this query flipped one boundary doc at sf0.1
+    // before): ROUND(x, 6) is not cross-engine-safe on ties (Spark rounds
+    // the shortest-decimal rendering via BigDecimal.valueOf, DuckDB the
+    // binary double), and INTERPOLATED quantiles disagree at index
+    // boundaries (p·(n−1) lands an ulp below an exact integer in one
+    // engine and on it in the other). So: scores are quantized to integer
+    // micros with FLOOR(x·1e6 + 0.5) — floor of the same IEEE value,
+    // representation-independent — and the tercile cuts are DISCRETE
+    // order statistics at rank ⌈n/3⌉ / ⌈2n/3⌉, indices computed in pure
+    // integer arithmetic. No floats anywhere near a compare. The
+    // per-lang sorted list is the same state the previous exact
+    // percentile() buffered; at 100 TB the cuts would come from a
+    // per-language sample, same shape ----
     Q(
       "quality_buckets",
       s"""WITH $lmScoreCtes,
-         |dl AS (SELECT d.doc_id, d.lang, sc.avg_logp FROM documents d JOIN sc USING (doc_id)),
-         |cut AS (SELECT lang, quantile_cont(avg_logp, 1.0/3) AS c1,
-         |               quantile_cont(avg_logp, 2.0/3) AS c2 FROM dl GROUP BY 1)
-         |SELECT doc_id, dl.lang, ROUND(avg_logp, 6) AS score_r,
-         |  CASE WHEN ROUND(avg_logp, 6) > ROUND(c2, 6) THEN 'head'
-         |       WHEN ROUND(avg_logp, 6) > ROUND(c1, 6) THEN 'middle'
+         |dl AS (SELECT d.doc_id, d.lang,
+         |         CAST(FLOOR(sc.avg_logp * 1000000.0 + 0.5) AS BIGINT) AS score_i
+         |       FROM documents d JOIN sc USING (doc_id)),
+         |cut AS (SELECT lang, list_sort(list(score_i)) AS arr, COUNT(*) AS n FROM dl GROUP BY 1),
+         |cuts AS (SELECT lang, arr[CAST((n + 2) // 3 AS INT)] AS c1,
+         |                arr[CAST((2*n + 2) // 3 AS INT)] AS c2 FROM cut)
+         |SELECT doc_id, dl.lang, score_i / 1000000.0 AS score_r,
+         |  CASE WHEN score_i > c2 THEN 'head'
+         |       WHEN score_i > c1 THEN 'middle'
          |       ELSE 'tail' END AS bucket
-         |FROM dl JOIN cut ON cut.lang = dl.lang ORDER BY doc_id""".stripMargin,
+         |FROM dl JOIN cuts ON cuts.lang = dl.lang ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val dl = docs.select(col("doc_id"), col("lang")).join(lmScores(docs), "doc_id")
-      val cut = dl.groupBy("lang").agg(
-        expr("percentile(avg_logp, 1.0/3)").as("c1"),
-        expr("percentile(avg_logp, 2.0/3)").as("c2"))
+      val dl = docs.select(col("doc_id"), col("lang"))
+        .join(lmScores(docs), "doc_id")
+        .withColumn("score_i",
+          floor(col("avg_logp") * 1000000.0 + 0.5).cast("long"))
+      val cut = dl.groupBy("lang")
+        .agg(sort_array(collect_list(col("score_i"))).as("arr"),
+          count(lit(1)).as("n"))
+        .select(col("lang"),
+          element_at(col("arr"), expr("CAST((n + 2) DIV 3 AS INT)")).as("c1"),
+          element_at(col("arr"), expr("CAST((2*n + 2) DIV 3 AS INT)")).as("c2"))
       dl.join(broadcast(cut), "lang")
         .select(
-          col("doc_id"), col("lang"), round(col("avg_logp"), 6).as("score_r"),
-          when(round(col("avg_logp"), 6) > round(col("c2"), 6), "head")
-            .when(round(col("avg_logp"), 6) > round(col("c1"), 6), "middle")
+          col("doc_id"), col("lang"),
+          (col("score_i") / 1000000.0).as("score_r"),
+          when(col("score_i") > col("c2"), "head")
+            .when(col("score_i") > col("c1"), "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     },
