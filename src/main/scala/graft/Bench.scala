@@ -103,13 +103,17 @@ object Bench {
       System.gc()
       q.name -> t
     }
+    // `value` is ALWAYS the total over every query run this invocation,
+    // even when `queries` shows only the headline subset — the printed
+    // tail-window line must report the same suite total as the full
+    // on-disk record.
+    val suiteTotal = results.map(_._2).filter(_ >= 0).sum
     def json(rs: Seq[(String, Double)], round: Boolean): String = {
       val qs = rs.map { case (k, v) =>
         val vs = if (round) f"$v%.3f" else v.toString
         "\"" + k + "\":" + vs
       }.mkString("{", ",", "}")
-      val total = rs.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$suiteTotal,"unit":"sec","queries":$qs,""" +
         s""""local_json":"BENCH_local.json","sf":"$sfDir"}"""
     }
     // Complete full-precision record — durable, can't be tail-truncated.

@@ -13,7 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - double aggregates go through [[Det.dsum]]/[[Det.davg]];
   *  - integer-valued derived columns are cast to BIGINT on both sides
   *    (DuckDB's SUM(BIGINT) is HUGEINT, Spark's is LongType);
-  *  - column names are aliased identically on both sides.
+  *  - column names are aliased identically on both sides;
+  *  - values feeding a COMPARE (bucket cuts, thresholds on derived
+  *    doubles) are quantized to integer micros via FLOOR(x*1e6 + 0.5)
+  *    first — ROUND(x, d) ties are engine-specific (Spark rounds the
+  *    shortest-decimal rendering, DuckDB the binary value) — and
+  *    quantile cut points are DISCRETE order statistics with integer
+  *    index arithmetic, never interpolated (p·(n−1) can land an ulp
+  *    apart across engines at exact-integer indices).
   */
 final case class Q(
     name: String,
