@@ -242,6 +242,33 @@ object TrainingData {
       .drop("__h", "__b", "__rn0")
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis, IPL 2006): each row gets key ln(u)/w for a uniform u and
+    * weight w > 0, and the top-k keys per group are a weighted sample —
+    * heavier rows get keys closer to 0, so inclusion probability is
+    * proportional to weight. u is md5-derived from the id (deterministic,
+    * engine-portable; ln is bit-identical cross-engine), so the "random"
+    * sample is replayable and oracle-checkable. Same bounded-window
+    * decomposition as [[stratifiedSample]]: per-(group, hash-bucket)
+    * top-k, then top-k over the ≤ k·buckets survivors — no corpus-sized
+    * sort task anywhere.
+    */
+  def weightedSample(
+      df: DataFrame, group: String, id: String, weight: Column, k: Int,
+      buckets: Int = 4096): DataFrame = {
+    val u = (TextFunctions.tokenHash60(concat(lit("ws:"), col(id).cast("string")))
+      % 1000003L + 1L).cast("double") / 1000004.0
+    val wIn = Window.partitionBy(col(group), col("__b"))
+      .orderBy(col("__k").desc, col(id))
+    val w = Window.partitionBy(group).orderBy(col("__k").desc, col(id))
+    df.withColumn("__k", log(u) / weight)
+      .withColumn("__b",
+        pmod(TextFunctions.tokenHash60(col(id).cast("string")), lit(buckets)))
+      .withColumn("__rn0", row_number().over(wIn)).filter(col("__rn0") <= k)
+      .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+      .drop("__k", "__b", "__rn0")
+  }
+
   /** Deterministic sequence packing: assign each document a training-
     * sequence id such that consecutive documents (in stable hash order)
     * fill a fixed token budget — the batch-assembly step between a
@@ -624,6 +651,26 @@ object TrainingData {
       stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 5)
         .select("doc_id", "lang", "rn")
         .orderBy("lang", "rn")
+    },
+
+    // ---- deterministic weighted sample (Efraimidis–Spirakis): 5 docs
+    // per source, inclusion probability ∝ n_chars. The oracle states the
+    // single-window semantics; the implementation's bounded-window
+    // decomposition must reproduce it row-for-row ----
+    Q(
+      "q_weighted_sample",
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      ln(((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000003) + 1) / 1000004.0)
+        |        / n_chars DESC, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    ) { (s, d) =>
+      weightedSample(Tables.documents(s, d), "source", "doc_id",
+        col("n_chars"), 5)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
     },
   )
 }

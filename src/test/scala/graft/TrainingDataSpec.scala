@@ -172,4 +172,32 @@ class TrainingDataSpec extends SparkSpec {
         s"stratum $lang: got ${perLang.getOrElse(lang, 0)} of $n")
     }
   }
+
+  test("weightedSample's bounded windows reproduce the naive single-window sample") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+    val got = TrainingData.weightedSample(docs, "source", "doc_id", col("n_chars"), 5)
+      .select("source", "doc_id", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // naive formulation: ONE window over each whole group
+    val u = (graft.functions.TextFunctions
+      .tokenHash60(concat(lit("ws:"), col("doc_id").cast("string")))
+      % 1000003L + 1L).cast("double") / 1000004.0
+    val w = Window.partitionBy("source").orderBy((log(u) / col("n_chars")).desc, col("doc_id"))
+    val naive = docs
+      .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+      .select("source", "doc_id", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  test("weightedSample is biased toward heavy rows (weight = n_chars)") {
+    val docs = Tables.documents(spark, sf0001)
+    val sampled = TrainingData.weightedSample(docs, "source", "doc_id", col("n_chars"), 5)
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    val corpus = docs.agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampled > corpus,
+      f"weighted sample mean $sampled%.1f not above corpus mean $corpus%.1f")
+  }
 }
