@@ -115,6 +115,36 @@ object TextOps {
         .orderBy(col("n_exact").desc, col("token"))
     },
 
+    // ---- per-doc token-distribution entropy: the cheap compressibility /
+    // repetition signal (low entropy = repetitive or templated text, high
+    // = diverse vocabulary). Computed via the aggregate identity
+    // H = ln(n) − (Σ c·ln c)/n — two grouped aggregates, no per-token
+    // probability materialized; c·ln(c) is bit-identical per row and the
+    // sum goes through Det micros, so the micro-rounded output is exact
+    // cross-engine ----
+    Q(
+      "text_entropy",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |cnt AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        ${Det.dsumSql("c * ln(c)")} AS slc
+         |      FROM cnt GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  FLOOR((ln(n_tokens) - slc / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS entropy_r
+         |FROM e ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          Det.dsum(col("c") * log(col("c"))).as("slc"))
+        .select(col("doc_id"), col("n_tokens"),
+          (floor((log(col("n_tokens")) - col("slc") / col("n_tokens"))
+            * 1000000.0 + 0.5) / 1000000.0).as("entropy_r"))
+        .orderBy("doc_id")
+    },
+
     // ---- heuristic quality score per document ----
     Q(
       "quality_scores",
