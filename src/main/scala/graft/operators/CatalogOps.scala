@@ -197,6 +197,30 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- schema evolution: ALTER TABLE ADD COLUMN with default — batch A
+    // is written under the old schema, the column is added (metadata-only,
+    // no file rewrite), batch B supplies it. Reads must see the default
+    // for A's files and the real values for B's. The oracle states the
+    // same split over the fixture ----
+    Q(
+      "catalog_add_column",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars % 7 END AS BIGINT) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_ev", docs.schema)
+      cat.insert("docs_ev", docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      cat.addColumn("docs_ev", "score",
+        org.apache.spark.sql.types.LongType, "-1")
+      cat.insert("docs_ev",
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("score", (col("n_chars") % 7).cast("long")))
+      cat.table("docs_ev").select("doc_id", "score").orderBy("doc_id")
+    },
+
     // ---- nest (materialize result as table) then re-query ----
     Q(
       "catalog_nest",

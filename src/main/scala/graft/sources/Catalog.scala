@@ -77,6 +77,33 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     DataType.fromJson(Files.readString(metaDir(name).resolve("schema.json")))
       .asInstanceOf[StructType]
 
+  /** Add a column to the declared schema (ALTER TABLE ADD COLUMN ...
+    * DEFAULT): metadata-only — existing data files are untouched, and
+    * reads COALESCE the nulls parquet supplies for files written before
+    * the column existed to `defaultSql`. O(1) regardless of table size,
+    * which is the only ALTER discipline that works at 100 TB (a physical
+    * backfill of exabyte-scale files is a migration, not a DDL).
+    * Subsequent inserts may supply the column or omit it — the default
+    * fills it at write time.
+    */
+  def addColumn(name: String, colName: String,
+      dataType: DataType, defaultSql: String): Unit = {
+    val s = schema(name)
+    require(!s.fieldNames.contains(colName), s"column $colName already exists")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(DefaultKey, defaultSql).build()
+    val ns = StructType(
+      s.fields :+ org.apache.spark.sql.types.StructField(
+        colName, dataType, nullable = true, md))
+    Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
+  }
+
+  private val DefaultKey = "graft.default"
+
+  private def defaultOf(f: org.apache.spark.sql.types.StructField): Option[String] =
+    if (f.metadata.contains(DefaultKey)) Some(f.metadata.getString(DefaultKey))
+    else None
+
   def partitionColumn(name: String): Option[String] = {
     val s = Files.readString(metaDir(name).resolve("partition.txt")).trim
     if (s.isEmpty) None else Some(s)
@@ -95,7 +122,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def insert(name: String, df: DataFrame): Unit = {
     val s = schema(name)
-    val projected = df.select(s.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val projected = df.select(s.fields.map { f =>
+      // a column omitted by the writer takes its declared default (added
+      // columns only); a missing non-defaulted column errors as before
+      if (!df.columns.contains(f.name) && defaultOf(f).isDefined)
+        expr(defaultOf(f).get).cast(f.dataType).as(f.name)
+      else col(f.name).cast(f.dataType)
+    }.toSeq: _*)
     var writer = projected.write.mode(SaveMode.Append)
     // bloom filters for index-marked columns (reference's bitmap-index analog)
     indexedColumns(name).foreach { c =>
@@ -183,13 +216,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def table(name: String): DataFrame = {
     val dir = dataDir(name)
+    val s = schema(name)
     if (!Files.exists(dir) || listDir(dir).forall(_.getFileName.toString.startsWith("_")))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema(name))
-    else
-      spark.read
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    else {
+      val raw = spark.read
         .option("basePath", dir.toString)
-        .schema(schema(name))
+        .schema(s)
         .parquet(dir.toString)
+      // files written before an addColumn lack that column; parquet reads
+      // them as null — coalesce to the declared default (per-read, no
+      // physical backfill)
+      s.fields.filter(defaultOf(_).isDefined).foldLeft(raw) { (df, f) =>
+        df.withColumn(f.name,
+          coalesce(col(f.name), expr(defaultOf(f).get).cast(f.dataType)))
+      }
+    }
   }
 
   /** List partition values present on disk. */

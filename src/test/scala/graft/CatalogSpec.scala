@@ -137,6 +137,30 @@ class CatalogSpec extends SparkSpec {
     assert(fp(cat.table("docs_orc")) == fp(docs))
   }
 
+  test("addColumn: old files read the default, inserts may omit the column") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    cat.create("ev", docs.schema)
+    cat.insert("ev", docs.filter(col("doc_id") < 100))
+    cat.addColumn("ev", "score", org.apache.spark.sql.types.LongType, "42")
+    // new insert SUPPLYING the column
+    cat.insert("ev", docs.filter(col("doc_id").between(100, 199))
+      .withColumn("score", col("doc_id") * 2))
+    // new insert OMITTING the column — default fills at write
+    cat.insert("ev", docs.filter(col("doc_id").between(200, 299)))
+    val got = cat.table("ev").select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, sc) =>
+      val want = if (id < 100 || id >= 200) 42L else id * 2
+      assert(sc == want, s"doc $id: score $sc, want $want")
+    }
+    assert(got.keys.exists(_ < 100) && got.keys.exists(_ >= 200))
+    // the evolved schema round-trips
+    assert(cat.schema("ev").fieldNames.contains("score"))
+    intercept[IllegalArgumentException](
+      cat.addColumn("ev", "score", org.apache.spark.sql.types.LongType, "0"))
+  }
+
   test("compact shrinks a fragmented table to targetFiles without changing content") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
