@@ -49,6 +49,25 @@ object EventsOps {
             / col("n_users_exact") <= 0.15).as("within_3rsd"))
     },
 
+    // ---- the same HLL contract PER GROUP (the shape a 100 TB rollup
+    // actually uses — one sketch per dimension value, merged map-side) ----
+    Q(
+      "distinct_approx_by_type_check",
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_3rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.15).as("within_3rsd"))
+        .orderBy("event_type")
+    },
+
     // ---- W1: row_number ranking, keep top-3 per user — bench headline ----
     Q(
       "window_rank",

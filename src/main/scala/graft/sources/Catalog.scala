@@ -98,6 +98,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
   }
 
+  /** Drop a column from the declared schema (ALTER TABLE DROP COLUMN):
+    * metadata-only like [[addColumn]] — the bytes stay in existing files
+    * but no read path projects them (and parquet's columnar layout means
+    * they're never even decoded). The partition column can't be dropped.
+    */
+  def dropColumn(name: String, colName: String): Unit = {
+    val s = schema(name)
+    require(s.fieldNames.contains(colName), s"column $colName does not exist")
+    require(!partitionColumn(name).contains(colName),
+      s"cannot drop partition column $colName")
+    require(s.fields.length > 1, "cannot drop the last column")
+    val ns = StructType(s.fields.filterNot(_.name == colName))
+    Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
+  }
+
   private val DefaultKey = "graft.default"
 
   private def defaultOf(f: org.apache.spark.sql.types.StructField): Option[String] =

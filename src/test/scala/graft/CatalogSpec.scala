@@ -161,6 +161,20 @@ class CatalogSpec extends SparkSpec {
       cat.addColumn("ev", "score", org.apache.spark.sql.types.LongType, "0"))
   }
 
+  test("dropColumn hides the column from reads and future inserts cast-project it away") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
+    cat.create("dc", docs.schema)
+    cat.insert("dc", docs.filter(col("doc_id") < 100))
+    cat.dropColumn("dc", "n_chars")
+    assert(!cat.schema("dc").fieldNames.contains("n_chars"))
+    assert(cat.table("dc").columns.toSeq == Seq("doc_id", "lang"))
+    // inserts under the evolved schema ignore the dropped column
+    cat.insert("dc", docs.filter(col("doc_id").between(100, 199)))
+    assert(cat.table("dc").count() == docs.filter(col("doc_id") < 200).count())
+    intercept[IllegalArgumentException](cat.dropColumn("dc", "nope"))
+  }
+
   test("compact shrinks a fragmented table to targetFiles without changing content") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
