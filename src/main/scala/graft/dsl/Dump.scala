@@ -53,7 +53,7 @@ object Dump {
       lines: Iterator[String], out: String => Unit, limit: Int = 20): Unit = {
     graft.sources.GraftSql.registerFixtures(spark, sfDir)
     out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, " +
-      "\\timing toggles timing, \\q quits")
+      "\\explain <sql> shows the physical plan, \\timing toggles timing, \\q quits")
     var done = false
     var timing = false
     val buf = new StringBuilder
@@ -82,6 +82,11 @@ object Dump {
           out(spark.catalog.listTables().collect().map(_.name).sorted.mkString("\n"))
         else if (line.startsWith("\\d "))
           try out(spark.table(line.drop(3).trim).schema.treeString.stripLineEnd)
+          catch { case e: Exception => out(s"error: ${e.getMessage}") }
+        else if (line.startsWith("\\explain "))
+          try out(spark.sql(line.drop(9).trim.stripSuffix(";"))
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).stripLineEnd)
           catch { case e: Exception => out(s"error: ${e.getMessage}") }
         else if (!terminated && incompleteSql(spark, line))
           buf.append(line) // open a multi-line statement

@@ -288,6 +288,20 @@ class CatalogSpec extends SparkSpec {
     assert(out(4).startsWith("error:")) // bad SQL reports, doesn't throw
   }
 
+  test("repl \\explain prints the formatted physical plan") {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        "\\explain SELECT r_name FROM region WHERE r_regionkey = 1;",
+        "\\explain SELECT nonsense FROM nowhere",
+        "\\q"),
+      out += _)
+    assert(out(1).contains("(1) Scan parquet")) // formatted mode, real plan
+    assert(out(1).contains("PushedFilters")) // the filter reached the scan
+    assert(out(2).startsWith("error:"))
+  }
+
   test("repl buffers multi-line statements and toggles \\timing") {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     graft.dsl.Dump.repl(
