@@ -141,14 +141,71 @@ object StressScale {
     println(f"""{"dir":"$dir","k":$k,"sem_pairs":$pairs,"secs":$secs%.2f}""")
   }
 
+  /** Sketch-sizing probe: the empirical case for parametric Bloom/CMS
+    * sizes. Builds the incremental-dedup bloom (existing-corpus 5-shingles,
+    * probed by src0's) at the fixture default (2²⁰ bits) AND at bits ≈
+    * 10·n, reporting false-positive rates — at the 10× stress corpus the
+    * default saturates (FP → 1) while 10·n holds ~1%. Same for CMS: max
+    * over-count at width 1024 vs 16384 against each width's own εN bound.
+    * False negatives are asserted zero at every size (the structural
+    * guarantee parameterization must not break).
+    */
+  private def sketch(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.{BloomMembership, CountMinSketch, TextFunctions}
+    val docs = Tables.documents(spark, dir)
+    def shingled(df: DataFrame) = df.select(
+      explode(TextFunctions.wordShingles(col("text"), 5)).as("sh"))
+    val ex = shingled(docs.filter(col("source") =!= "src0"))
+      .distinct().localCheckpoint(true)
+    val n = ex.count()
+    val inc = shingled(docs.filter(col("source") === "src0")).distinct()
+      .join(ex.withColumn("seen", lit(true)), Seq("sh"), "left")
+      .select(col("sh"), coalesce(col("seen"), lit(false)).as("seen"))
+      .localCheckpoint(true)
+    val scaledBits = (((10L * n + 63) / 64) * 64).toInt
+    val bloomStats = Seq(BloomMembership.Bits, scaledBits).map { bits =>
+      val bloom = ex.agg(
+        BloomMembership.bloomAgg(BloomMembership.bitIndexes(col("sh"), bits), bits).as("bf"))
+      val r = inc.crossJoin(broadcast(bloom))
+        .select(col("seen"),
+          BloomMembership.mightContain(col("bf"), col("sh"), bits).as("claimed"))
+        .agg(
+          sum(when(!col("seen") && col("claimed"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("seen"), 1L).otherwise(0L)).as("absent"),
+          sum(when(col("seen") && !col("claimed"), 1L).otherwise(0L)).as("fn"))
+        .collect()(0)
+      require(r.getLong(2) == 0L, s"bloom false negatives at bits=$bits")
+      (bits, r.getLong(0).toDouble / math.max(r.getLong(1), 1L))
+    }
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .localCheckpoint(true)
+    val totalN = toks.count()
+    val cmsStats = Seq(CountMinSketch.Width, 16384).map { width =>
+      val sk = toks.agg(CountMinSketch.sketchAgg(
+        CountMinSketch.buckets(col("token"), width = width), width = width).as("cms"))
+      val over = toks.groupBy("token").agg(count(lit(1)).as("nn"))
+        .crossJoin(broadcast(sk))
+        .select((CountMinSketch.estimate(col("cms"), col("token"), width = width)
+          - col("nn")).as("over"))
+        .agg(max("over")).collect()(0).getLong(0)
+      (width, over, math.ceil(math.E / width * totalN).toLong)
+    }
+    println((
+      Seq(s""""dir":"$dir"""", s""""distinct_shingles":$n""", s""""tokens":$totalN""") ++
+        bloomStats.map { case (b, fp) => f""""bloom_fp_bits_$b":$fp%.6f""" } ++
+        cmsStats.map { case (w, o, eN) => s""""cms_over_w$w":$o,"cms_epsN_w$w":$eN""" })
+      .mkString("{", ",", "}"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.toList match {
       case "gen" :: src :: out :: n :: Nil => gen(spark, src, out, n.toInt)
       case "cand" :: dir :: Nil => cand(spark, dir)
       case "sem" :: dir :: k :: Nil => sem(spark, dir, k.toInt)
+      case "sketch" :: dir :: Nil => sketch(spark, dir)
       case other => sys.error(
-        s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k>; got $other")
+        s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k> | sketch <dir>; got $other")
     }
     spark.stop()
   }

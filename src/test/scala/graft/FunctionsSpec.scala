@@ -57,6 +57,47 @@ class FunctionsSpec extends SparkSpec {
     assert(fps <= 2, s"false-positive rate implausibly high: $fps/2000")
   }
 
+  test("bloom/CMS sizing is a caller parameter: FP/error rates track the size") {
+    import graft.functions.{BloomMembership, CountMinSketch}
+    val n = 3000
+    val inserted = (0 until n).map(i => s"item_$i").toDF("v")
+    val absent = (0 until n).map(i => s"other_$i").toDF("v")
+    // undersized bloom (bits ≈ n/3) saturates; 10·n-sized bloom stays sharp.
+    // No false negatives at ANY size (the structural guarantee).
+    val fpRates = Seq(1024, 32768).map { bits =>
+      val bloom = inserted
+        .agg(BloomMembership.bloomAgg(BloomMembership.bitIndexes(col("v"), bits), bits).as("bf"))
+      val fn = inserted.crossJoin(broadcast(bloom))
+        .select(BloomMembership.mightContain(col("bf"), col("v"), bits).as("m"))
+        .collect().count(!_.getBoolean(0))
+      assert(fn == 0, s"bits=$bits lost $fn inserted items")
+      val fp = absent.crossJoin(broadcast(bloom))
+        .select(BloomMembership.mightContain(col("bf"), col("v"), bits).as("m"))
+        .collect().count(_.getBoolean(0))
+      fp.toDouble / n
+    }
+    assert(fpRates(0) > 0.5, s"undersized bloom should saturate: ${fpRates(0)}")
+    assert(fpRates(1) < 0.05, s"10n-sized bloom should stay sharp: ${fpRates(1)}")
+    // CMS: width 64 over a 6k-token stream must over-count some token
+    // beyond the width-1024 εN bound; width 4096 must be within ITS bound.
+    val toks = (0 until 6000).map(i => s"t${i % 600}").toDF("token")
+    def maxOver(width: Int): Long = {
+      val sk = toks.agg(
+        CountMinSketch.sketchAgg(CountMinSketch.buckets(col("token"), width = width),
+          width = width).as("cms"))
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(sk))
+        .select((CountMinSketch.estimate(col("cms"), col("token"), width = width)
+          - col("n")).as("over"))
+        .collect().map(_.getLong(0)).max
+    }
+    assert(maxOver(64) > maxOver(4096))
+    assert(maxOver(4096) <= math.ceil(math.E / 4096 * 6000).toLong)
+    // invalid sizings fail fast, not silently mis-hash
+    intercept[IllegalArgumentException](BloomMembership.bitIndexes(col("v"), bits = 100))
+    intercept[IllegalArgumentException](CountMinSketch.buckets(col("v"), depth = 0))
+  }
+
   test("wordShingles: n=2/3, short docs yield empty arrays") {
     val df = Seq("a b c d", "a b", "solo", "").toDF("text")
     val got = df.select(
