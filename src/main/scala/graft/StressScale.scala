@@ -105,11 +105,18 @@ object StressScale {
         Dedup.lshCandidatePairs(docs, "doc_id", sh3, 32, 2).count(),
       "minhash_pairs" ->
         Dedup.minHashNearDupPairs(docs, "doc_id", sh3, 0.8).count(),
-      // SimHash block-bucket candidates (hamming cap 60 = no filter) vs <=3
+      // SimHash block-bucket candidates (hamming cap 60 = no filter) vs <=3,
+      // under the default (4,1) single-block keys AND the wide (6,3)
+      // combination keys — same hamming ≤ 3 recall guarantee, ~2^13 smaller
+      // birthday term (see Dedup.simHashNearDupPairs)
       "simhash_candidates" ->
         Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60).count(),
       "simhash_pairs" ->
         Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3).count(),
+      "simhash_candidates_wide" ->
+        Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60, 6, 3).count(),
+      "simhash_pairs_wide" ->
+        Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3, 6, 3).count(),
       // PPJoin survivors are already post-prune; exact verified J>=0.8
       "ppjoin_pairs" ->
         Dedup.prefixFilteredJaccardPairs(docs, "doc_id", sh3, 0.8).count(),
@@ -139,6 +146,31 @@ object StressScale {
       .semanticNearDupPairs(emb, "vec_id", "embedding", k, 2, 0.4).count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"dir":"$dir","k":$k,"sem_pairs":$pairs,"secs":$secs%.2f}""")
+  }
+
+  /** SimHash birthday-term probe, on a GENERATED stress corpus (ids of
+    * replica k live in [k·stride, (k+1)·stride)): cross-replica docs are
+    * unrelated by construction, so any cross-replica block-candidate is an
+    * ACCIDENTAL (birthday) collision — the term that explodes as
+    * ~keys·n²/2^keyBits at 10⁷+ docs. Reports total and cross-replica
+    * candidate counts under the default (4,1) single-block keys vs the
+    * wide (6,3) combination keys (same hamming ≤ 3 guarantee; see
+    * Dedup.simHashNearDupPairs).
+    */
+  private def simx(spark: SparkSession, dir: String, stride: Long): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val toks = graft.functions.TextFunctions.distinctTokens(col("text"))
+    val stats = Seq((4, 1), (6, 3)).map { case (nb, kb) =>
+      val cand = Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60, nb, kb)
+        .select(col("doc_a"), col("doc_b"),
+          (floor(col("doc_a") / stride) =!= floor(col("doc_b") / stride)).as("x"))
+        .agg(count(lit(1)).as("n"), sum(when(col("x"), 1L).otherwise(0L)).as("nx"))
+        .collect()(0)
+      (s"${nb}_$kb", cand.getLong(0), cand.getLong(1))
+    }
+    println(stats.map { case (tag, n, nx) =>
+      s""""cand_$tag":$n,"cross_cand_$tag":$nx""" }
+      .mkString(s"""{"dir":"$dir",""", ",", "}"))
   }
 
   /** Sketch-sizing probe: the empirical case for parametric Bloom/CMS
@@ -204,8 +236,10 @@ object StressScale {
       case "cand" :: dir :: Nil => cand(spark, dir)
       case "sem" :: dir :: k :: Nil => sem(spark, dir, k.toInt)
       case "sketch" :: dir :: Nil => sketch(spark, dir)
+      case "simx" :: dir :: stride :: Nil => simx(spark, dir, stride.toLong)
       case other => sys.error(
-        s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k> | sketch <dir>; got $other")
+        s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k> " +
+          s"| sketch <dir> | simx <dir> <stride>; got $other")
     }
     spark.stop()
   }

@@ -413,17 +413,44 @@ object Dedup {
     agg.select(col(id), sim.as("simhash"))
   }
 
-  /** SimHash near-dup candidates at hamming distance ≤ `maxHamming` (≤ 3
-    * guaranteed-recall via 4×15-bit block bucketing — any pair at hamming
-    * ≤ 3 leaves one of the 4 blocks untouched by pigeonhole; higher
+  /** SimHash near-dup candidates at hamming distance ≤ `maxHamming`, via
+    * block bucketing over the 60-bit signature split into `numBlocks`
+    * equal blocks, keyed on every combination of `keyBlocks` of them.
+    * Pigeonhole recall guarantee: a pair at hamming ≤ `numBlocks −
+    * keyBlocks` touches at most that many blocks, so some `keyBlocks`
+    * blocks are untouched and one combination key matches exactly (higher
     * distances are best-effort). Output: (doc_a, doc_b, hamming).
+    *
+    * The (numBlocks, keyBlocks) pair is the SCALE knob for the candidate
+    * set's birthday term: random pairs collide on a combination key with
+    * probability ~C(numBlocks, keyBlocks) / 2^(keyBlocks·60/numBlocks).
+    * The default (4, 1) — 4×15-bit single-block keys, guarantee hamming
+    * ≤ 3 — costs ~4·n²/2¹⁶ accidental candidates, fine to ~10⁶ docs; at
+    * 10⁷+ docs use (6, 3) — twenty 30-bit keys, SAME hamming ≤ 3
+    * guarantee — whose birthday term is ~2¹³× smaller (20·n²/2³¹) for 5×
+    * the bucket-join rows. Measured on the 10× stress corpus
+    * (NOTES_r9.md): candidate growth 14.7× under (4, 1) — super-linear,
+    * the birthday term surfacing — vs ~10× (linear, pure duplicate
+    * structure) under (6, 3).
     */
   def simHashNearDupPairs(
-      docs: DataFrame, id: String, tokens: Column, maxHamming: Int): DataFrame = {
+      docs: DataFrame, id: String, tokens: Column, maxHamming: Int,
+      numBlocks: Int = 4, keyBlocks: Int = 1): DataFrame = {
+    require(SimHashBits % numBlocks == 0,
+      s"numBlocks must divide $SimHashBits, got $numBlocks")
+    require(keyBlocks >= 1 && keyBlocks <= numBlocks,
+      s"keyBlocks must be in [1, $numBlocks], got $keyBlocks")
+    val w = SimHashBits / numBlocks
+    val mask = (1L << w) - 1
+    def blockVal(j: Int): Column =
+      shiftrightunsigned(col("simhash"), j * w).bitwiseAND(lit(mask))
     val sig = simHash(docs, id, tokens)
-    val blocks = (0 until 4).map { j =>
-      struct(lit(j).as("blk"), shiftrightunsigned(col("simhash"), j * 15)
-        .bitwiseAND(lit(0x7fffL)).as("key"))
+    val combos = (0 until numBlocks).combinations(keyBlocks).toSeq
+    val blocks = combos.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.zipWithIndex
+        .map { case (j, p) => shiftleft(blockVal(j), p * w) }
+        .reduce[Column](_ + _)
+      struct(lit(ci).as("blk"), key.as("key"))
     }
     val exploded = sig.select(col(id), col("simhash"), explode(array(blocks: _*)).as("bk"))
       .select(col(id), col("simhash"), col("bk.blk"), col("bk.key"))

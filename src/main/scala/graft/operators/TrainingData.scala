@@ -60,22 +60,25 @@ object TrainingData {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
-    var e = canonical(edges.select(col(a).as("src"), col(b).as("dst")))
-      .localCheckpoint(true)
-    // edge-count-sized partitioning, as in the min-label variant
-    val parts = math.max(1, math.min(e.rdd.getNumPartitions,
-      (e.count() / 1000000L).toInt + 1))
-    e = e.coalesce(parts).localCheckpoint(true)
     // O(1)-result convergence probe: (count, Σ xxhash64(src,dst)) — the
     // star rounds don't shrink monotonically like label sums, so we detect
     // the fixpoint by edge-set checksum (collision odds ~2⁻⁶⁴ per round;
-    // the oracle-checked output and property tests back this up)
-    def probe(d: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = d.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).collect()(0)
+    // the oracle-checked output and property tests back this up). Observed
+    // during each round's own checkpoint job — one job per round.
+    val probeMetrics = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("chk"))
+    def probeOf(r: org.apache.spark.sql.Row): (Long, java.math.BigDecimal) =
       (r.getLong(0), r.getDecimal(1))
-    }
+    var (e0, m0) = checkpointObserving(
+      canonical(edges.select(col(a).as("src"), col(b).as("dst"))),
+      "ccs_round_0", probeMetrics)
+    // edge-count-sized partitioning, as in the min-label variant; coalesce
+    // is narrow (lazy view over the checkpointed blocks), no extra job
+    val parts = math.max(1, math.min(e0.rdd.getNumPartitions,
+      (probeOf(m0)._1 / 1000000L).toInt + 1))
+    var e = e0.coalesce(parts)
     def largeStar(cur: DataFrame): DataFrame = {
       val bidir = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
       val mins = bidir.groupBy("src").agg(min("dst").as("mn"))
@@ -92,12 +95,14 @@ object TrainingData {
         d.join(mins, "u").select(col("v").as("src"), col("m").as("dst"))
           .union(mins.select(col("u").as("src"), col("m").as("dst"))))
     }
-    var prev = probe(e)
-    var converged = e.isEmpty
+    var prev = probeOf(m0)
+    var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val p = probe(e)
+      val (next, m) = checkpointObserving(
+        smallStar(largeStar(e)), s"ccs_round_${i + 1}", probeMetrics)
+      e = next
+      val p = probeOf(m)
       converged = p == prev
       prev = p
       i += 1
@@ -109,41 +114,60 @@ object TrainingData {
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))
   }
 
-  /** Min-label propagation formulation (O(diameter) rounds). */
+  /** Observed-metric value piggybacked on an eager localCheckpoint: the
+    * aggregate rides the SAME job that materializes the checkpoint blocks
+    * (Dataset.observe plants a CollectMetrics node whose accumulator the
+    * checkpoint's materialization populates) — so each iteration round is
+    * ONE Spark job, not a materialize job plus a probe job. Returns the
+    * checkpointed frame and the observed row.
+    */
+  private def checkpointObserving(
+      df: DataFrame, name: String, metrics: Seq[Column]): (DataFrame, org.apache.spark.sql.Row) = {
+    val observed = df.observe(name, metrics.head, metrics.tail: _*)
+    val cp = observed.localCheckpoint(true)
+    (cp, observed.queryExecution.observedMetrics(name))
+  }
+
+  /** Min-label propagation formulation (O(diameter) rounds, ONE job each). */
   private[graft] def connectedComponentsMinLabel(
       edges: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
-    val adj0 = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint(true) // reused every round; fixed (edge list)
+    // one materialization job also yields the edge count for partition
+    // sizing (observe piggyback — no separate count() job)
+    val (adj0, adjMeta) = checkpointObserving(
+      edges.select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst"))),
+      "cc_edges", Seq(count(lit(1)).as("n")))
     // size the iteration's partitioning to the EDGE count, not the session
     // default — a dup graph is far smaller than its corpus, and per-round
     // fixed task overhead dominates when 32 shuffle tasks carry 50 edges.
     // (~1M edges per partition; billions of edges at 100 TB keep the
     // session's full parallelism.) coalesce = no extra shuffle.
     val parts = math.max(1, math.min(adj0.rdd.getNumPartitions,
-      (adj0.count() / 1000000L).toInt + 1))
+      (adjMeta.getLong(0) / 1000000L).toInt + 1))
     val adj = adj0.coalesce(parts)
-    var labels = adj.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
     // labels only ever decrease, so sum(labels) strictly decreases until
-    // the fixpoint — an O(1)-result convergence probe per round (decimal:
-    // overflow-proof at any node count)
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
+    // the fixpoint — an O(1)-result convergence probe observed DURING each
+    // round's own checkpoint job (decimal: overflow-proof at any node count)
+    def labelSum(m: org.apache.spark.sql.Row): java.math.BigDecimal = m.getDecimal(0)
+    val sumMetric = Seq(coalesce(
+      sum(col("label").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("s"))
+    var (labels, m0) = checkpointObserving(
+      adj.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")),
+      "cc_round_0", sumMetric)
+    var prevSum = labelSum(m0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = adj.join(labels, adj("dst") === labels("node"))
         .groupBy(adj("src").as("nb_node")).agg(min("label").as("nb_label"))
-      val updated = labels.join(neighborMin, labels("node") === neighborMin("nb_node"), "left")
-        .select(labels("node"),
-          least(labels("label"), coalesce(col("nb_label"), labels("label"))).as("label"))
-        .localCheckpoint(true)
+      val (updated, m) = checkpointObserving(
+        labels.join(neighborMin, labels("node") === neighborMin("nb_node"), "left")
+          .select(labels("node"),
+            least(labels("label"), coalesce(col("nb_label"), labels("label"))).as("label")),
+        s"cc_round_${i + 1}", sumMetric)
       labels = updated
-      val s = labelSum(labels)
+      val s = labelSum(m)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
@@ -252,16 +276,24 @@ object TrainingData {
     * decomposition as [[stratifiedSample]]: per-(group, hash-bucket)
     * top-k, then top-k over the ≤ k·buckets survivors — no corpus-sized
     * sort task anywhere.
+    *
+    * Weights must be > 0 and is enforced per row: w = 0 would silently
+    * exclude the row (key −∞) and w < 0 would INVERT inclusion
+    * probability (ln(u)/w flips sign and those rows sort first) — both
+    * silent-bias modes, so misuse fails the job loudly instead.
     */
   def weightedSample(
       df: DataFrame, group: String, id: String, weight: Column, k: Int,
       buckets: Int = 4096): DataFrame = {
     val u = (TextFunctions.tokenHash60(concat(lit("ws:"), col(id).cast("string")))
       % 1000003L + 1L).cast("double") / 1000004.0
+    val checked = when(weight > 0, weight).otherwise(raise_error(concat(
+      lit("weightedSample: weight must be > 0, got "), weight.cast("string"),
+      lit(" at "), lit(id), lit("="), col(id).cast("string"))))
     val wIn = Window.partitionBy(col(group), col("__b"))
       .orderBy(col("__k").desc, col(id))
     val w = Window.partitionBy(group).orderBy(col("__k").desc, col(id))
-    df.withColumn("__k", log(u) / weight)
+    df.withColumn("__k", log(u) / checked)
       .withColumn("__b",
         pmod(TextFunctions.tokenHash60(col(id).cast("string")), lit(buckets)))
       .withColumn("__rn0", row_number().over(wIn)).filter(col("__rn0") <= k)
@@ -383,6 +415,36 @@ object TrainingData {
       val pairs = Dedup.minHashNearDupPairs(
         Tables.documents(s, d), "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
       dupClusters(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    },
+
+    // ---- the same cluster resolution through the O(log n) large-star/
+    // small-star contraction (the adversarial-depth variant): both CC
+    // formulations must land on the identical min-id components, so this
+    // row shares dedup_components' recursive-CTE oracle verbatim ----
+    Q(
+      "dedup_components_star",
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT ea AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, e.eb FROM reach JOIN edges e ON e.ea = reach.r),
+         |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, component,
+         |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+         |  doc_id = component AS is_keeper
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val pairs = Dedup.minHashNearDupPairs(
+        Tables.documents(s, d), "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
+      val w = Window.partitionBy("component")
+      connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"),
+          count(lit(1)).over(w).as("n_members"))
+        .withColumn("is_keeper", col("doc_id") === col("component"))
+        .orderBy("doc_id")
     },
 
     // ---- benchmark decontamination: every 50th doc plays the eval set;

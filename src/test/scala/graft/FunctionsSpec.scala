@@ -282,6 +282,29 @@ class FunctionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) > 8)
   }
 
+  test("simhash block space is parametric: (6,3) keys ≡ (4,1) at the guarantee") {
+    val docs = Tables.documents(spark, sf0001)
+    val toks = TextFunctions.distinctTokens(col("text"))
+    def pairs(numBlocks: Int, keyBlocks: Int) =
+      Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3, numBlocks, keyBlocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hamming ≤ 3 is inside both parameterizations' pigeonhole guarantee
+    // (4−1 and 6−3), so both must equal the exact all-pairs answer
+    val narrow = pairs(4, 1)
+    val wide = pairs(6, 3)
+    assert(narrow == wide)
+    assert(narrow.nonEmpty) // fixture plants near-dups
+    // the wide keys exist to shrink the accidental-candidate birthday term:
+    // raw candidates (no hamming filter) must not grow under (6,3)
+    def cands(numBlocks: Int, keyBlocks: Int) =
+      Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60, numBlocks, keyBlocks).count()
+    assert(cands(6, 3) <= cands(4, 1))
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3, 7, 1)) // 7 ∤ 60
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3, 4, 5))
+  }
+
   test("int8-quantized topk recalls most of the exact float topk (sf0.001)") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter(col("vec_id") < 10)

@@ -50,6 +50,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(comp sameElements Array(1L))
   }
 
+  test("CC convergence probes piggyback on the round jobs — no driver collect/count") {
+    // both CC variants observe their convergence metrics inside each
+    // round's own checkpoint job; a separate probe would surface here as a
+    // collect/count action on the query-execution listener
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+      // constructing the result runs all iterative work (eager checkpoints)
+      val label = TrainingData.connectedComponentsMinLabel(edges, "a", "b")
+      val star = TrainingData.connectedComponentsStar(edges, "a", "b")
+      // listener events post asynchronously; give the bus time to drain
+      var waited = 0
+      while (waited < 5000 && actions.isEmpty) { Thread.sleep(100); waited += 100 }
+      Thread.sleep(500)
+      import scala.jdk.CollectionConverters._
+      val probes = actions.asScala.filter(f =>
+        f.startsWith("collect") || f == "count" || f == "head" || f == "first")
+      assert(probes.isEmpty, s"separate driver probe actions ran: $probes")
+      val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+      assert(label.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+      assert(star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("dupClusters marks exactly one keeper per component with its size") {
     val pairs = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("doc_a", "doc_b")
     val rows = TrainingData.dupClusters(pairs, "doc_a", "doc_b")
@@ -199,5 +231,20 @@ class TrainingDataSpec extends SparkSpec {
     val corpus = docs.agg(avg("n_chars")).collect().head.getDouble(0)
     assert(sampled > corpus,
       f"weighted sample mean $sampled%.1f not above corpus mean $corpus%.1f")
+  }
+
+  test("weightedSample fails loudly on non-positive weights") {
+    import spark.implicits._
+    // zero would silently drop the row; negative would INVERT the bias —
+    // both must error instead (Efraimidis–Spirakis requires w > 0)
+    for (bad <- Seq(0L, -3L)) {
+      val df = Seq(("g", 1L, 10L), ("g", 2L, bad)).toDF("src", "doc_id", "w")
+      val e = intercept[Exception](
+        TrainingData.weightedSample(df, "src", "doc_id", col("w"), 1).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("weight must be > 0")), s"weight=$bad: $e")
+    }
   }
 }
