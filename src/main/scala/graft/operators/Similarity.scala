@@ -232,9 +232,12 @@ object Similarity {
   }
 
   /** Shared CTE chain replaying [[kMeansAssign]] in SQL: unrolled Lloyd
-    * rounds ending in `kassign(vec_id, cluster)`.
+    * rounds ending in `kassign(vec_id, cluster)`. `k` is a SQL expression
+    * (a literal for the fixed-k rows; a COUNT(*)-derived scalar subquery
+    * for the scale-parameterized row — the Lloyd unrolling is per
+    * ITERATION, so the chain itself is k-independent).
     */
-  private def kMeansCtes(k: Int, iters: Int): String = {
+  private def kMeansCtes(k: String, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""d$i AS (SELECT ev.vec_id, c.cl, ROUND(SUM((ev.x - c.m)*(ev.x - c.m)), 6) AS dist
          |        FROM ev JOIN c${i - 1} c ON c.pos = ev.pos GROUP BY 1, 2),
@@ -292,10 +295,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** The k ∝ n contract of [[semanticNearDupPairs]] as code: k =
+    * ⌈n / targetClusterSize⌉, so EXPECTED cluster size stays constant as
+    * the corpus grows and the per-cluster quadratic stays bounded — the
+    * sizing rule a 100 TB caller actually uses (a fixed k is the
+    * quadratic null: clusters grow with n and intra-cluster pairs with
+    * n²). The one `count()` is a driver scalar, same sanctioned
+    * model-state round-trip as the k-means seeds themselves.
+    */
+  def semanticNearDupPairsScaled(
+      corpus: DataFrame, id: String, vec: String, targetClusterSize: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    require(targetClusterSize > 0, s"targetClusterSize must be > 0, got $targetClusterSize")
+    val k = math.ceil(corpus.count() / targetClusterSize.toDouble).toInt
+    semanticNearDupPairs(corpus, id, vec, math.max(k, 1), iters, threshold)
+  }
+
   /** DuckDB replay of [[semanticNearDupPairs]]: the Lloyd CTE chain, then
     * exact intra-cluster pairwise cosine.
     */
   private[graft] def semanticOracleSql(k: Int, iters: Int, threshold: Double): String =
+    semanticOracleSqlFor(k.toString, iters, threshold)
+
+  /** Oracle for [[semanticNearDupPairsScaled]]: the SAME chain with the
+    * seed cutoff k computed from COUNT(*) INSIDE the SQL — one static
+    * string that tracks the corpus size at whatever scale the driver runs
+    * it, proving the k ∝ n contract end-to-end at every scale tier.
+    */
+  private[graft] def semanticOracleSqlScaled(
+      targetClusterSize: Int, iters: Int, threshold: Double): String =
+    semanticOracleSqlFor(
+      s"(SELECT CAST(CEIL(COUNT(*) / $targetClusterSize.0) AS BIGINT) FROM embeddings)",
+      iters, threshold)
+
+  private[graft] def semanticOracleSqlFor(k: String, iters: Int, threshold: Double): String =
     s"""WITH ${kMeansCtes(k, iters)},
        |vn AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
        |cpair AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cl
@@ -313,7 +346,7 @@ object Similarity {
 
   /** DuckDB replay of [[kMeansAssign]]. */
   private[graft] def kMeansOracleSql(k: Int, iters: Int): String =
-    s"""WITH ${kMeansCtes(k, iters)}
+    s"""WITH ${kMeansCtes(k.toString, iters)}
        |SELECT vec_id, cluster FROM kassign ORDER BY vec_id""".stripMargin
 
   /** DuckDB replay of the full real-IVF path: k-means index build →
@@ -322,7 +355,7 @@ object Similarity {
     * with k-means clusters instead of fixture labels).
     */
   private[graft] def ivfKMeansOracleSql(k: Int, iters: Int, nprobe: Int, topK: Int): String =
-    s"""WITH ${kMeansCtes(k, iters)},
+    s"""WITH ${kMeansCtes(k.toString, iters)},
        |cent AS (SELECT ka.cluster AS bucket, ev.pos, AVG(ev.x) AS m
        |         FROM ev JOIN kassign ka ON ka.vec_id = ev.vec_id GROUP BY 1, 2),
        |cnorm AS (SELECT bucket, SUM(m*m) AS n2 FROM cent GROUP BY 1),
@@ -532,6 +565,19 @@ object Similarity {
     // pairwise → threshold exactly ----
     Q("dedup_semantic", semanticOracleSql(8, 2, 0.4)) { (s, d) =>
       semanticNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2, 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- SemDeDup with the k ∝ n SCALE contract registered end-to-end:
+    // k = ceil(n/64) on BOTH sides (Spark computes it from count(); the
+    // oracle's seed cutoff is a COUNT(*) scalar subquery), so the same
+    // static SQL checks k=1 at sf0.001, k=8 at sf0.01, k=79 at sf0.1 —
+    // constant expected cluster size, bounded per-cluster quadratic ----
+    Q("dedup_semantic_scaled", semanticOracleSqlScaled(64, 2, 0.4)) { (s, d) =>
+      semanticNearDupPairsScaled(
+        Tables.embeddings(s, d), "vec_id", "embedding", 64, 2, 0.4)
         .select(col("vec_a"), col("vec_b"), col("cluster"),
           round(col("sim"), 6).as("sim_r"))
         .orderBy("vec_a", "vec_b")
