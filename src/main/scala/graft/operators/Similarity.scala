@@ -47,12 +47,34 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col(key), transform(col("pm"), s => s.getField("m")).as("centroid"))
 
+  /** Probed-set rows (= |queries|·nprobe) above which [[ivfTopK]] stops
+    * broadcasting the probed set and joins it on the bucket key as a
+    * shuffle join instead: at dim 64 each probed row is ~550 B (query
+    * vector + keys), so 2·10⁵ rows ≈ 100 MB — past any sane
+    * spark.sql.autoBroadcastJoinThreshold. Below it (the common case: a
+    * query BATCH is model-sized next to the corpus), broadcasting spares
+    * the corpus a shuffle entirely.
+    */
+  val BroadcastProbeLimit: Long = 200000L
+
   /** IVF-style ANN: probe the `nprobe` nearest centroids per query, then
     * exact-rank only vectors in the probed buckets.
+    *
+    * The probed set (|queries|·nprobe rows, each carrying the query
+    * vector) is broadcast against the bucket-pruned corpus scan — correct
+    * while the query batch is model-sized, but its size grows with the
+    * BATCH, not the model, so broadcast is NOT unconditionally safe.
+    * `probeBatchRows` is the caller's batch-size declaration: when
+    * `probeBatchRows·nprobe > BroadcastProbeLimit` the plan switches to a
+    * bucket-keyed SHUFFLE join (both sides exchange on the bucket; AQE
+    * rebalances skewed buckets) — linear in corpus + batch, no driver-
+    * memory cliff. None (default) keeps the broadcast plan, which every
+    * registered fixture query (20-query batches) wants.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      bucket: String, k: Int, nprobe: Int): DataFrame = {
+      bucket: String, k: Int, nprobe: Int,
+      probeBatchRows: Option[Long] = None): DataFrame = {
     val cents = centroids(corpus, bucket, vec)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val probeW = Window.partitionBy("query_id")
@@ -65,7 +87,9 @@ object Similarity {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"), col(bucket))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(probed), Seq(bucket))
+    val smallBatch = probeBatchRows.forall(_ * nprobe <= BroadcastProbeLimit)
+    val probeSide = if (smallBatch) broadcast(probed) else probed
+    c.join(probeSide, Seq(bucket))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", VectorFunctions.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -122,6 +122,28 @@ class PlanSpec extends SparkSpec {
       s"expected AQE skew-split SMJ; got:\n${plan.take(1500)}")
   }
 
+  test("ivfTopK drops the probed-set broadcast past BroadcastProbeLimit") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 20)
+    def probeHints(batchRows: Option[Long]) =
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", "label", 5, 3, batchRows)
+        .queryExecution.optimizedPlan.toString
+        .split("\n").count(_.contains("strategy=broadcast"))
+    // small batch (default / declared small): centroid broadcast + probed
+    // broadcast; declared-large batch: ONLY the centroid broadcast stays —
+    // the probed set joins on the bucket key through a shuffle (hints are
+    // caller-placed, so this is deterministic, not stats-dependent)
+    assert(probeHints(None) == 2)
+    assert(probeHints(Some(1000L)) == 2)
+    assert(probeHints(Some(Similarity.BroadcastProbeLimit)) == 1)
+    // both plans compute identical results
+    def rows(batchRows: Option[Long]) =
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", "label", 5, 3, batchRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(None) == rows(Some(Similarity.BroadcastProbeLimit)))
+  }
+
   test("stratified_split is a pure per-row projection (no shuffle before sort)") {
     val df = SparkEntry.queries("stratified_split")(spark, sf0001)
     val exchanges = df.queryExecution.executedPlan.toString
