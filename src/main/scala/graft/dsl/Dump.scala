@@ -53,7 +53,8 @@ object Dump {
       lines: Iterator[String], out: String => Unit, limit: Int = 20): Unit = {
     graft.sources.GraftSql.registerFixtures(spark, sfDir)
     out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, " +
-      "\\explain <sql> shows the physical plan, \\timing toggles timing, \\q quits")
+      "\\schema <t> prints DDL columns, \\explain <sql> shows the physical plan, " +
+      "\\timing toggles timing, \\q quits")
     var done = false
     var timing = false
     val buf = new StringBuilder
@@ -83,6 +84,15 @@ object Dump {
         else if (line.startsWith("\\d "))
           try out(spark.table(line.drop(3).trim).schema.treeString.stripLineEnd)
           catch { case e: Exception => out(s"error: ${e.getMessage}") }
+        else if (line.startsWith("\\schema ")) {
+          // DDL-style column list (name TYPE [NOT NULL]) — the catalog's
+          // declared-schema view, vs \d's nested treeString
+          val t = line.drop(8).trim
+          try out(spark.table(t).schema.fields.map(f =>
+            s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+            .mkString(s"$t (\n", ",\n", "\n)"))
+          catch { case e: Exception => out(s"error: ${e.getMessage}") }
+        }
         else if (line.startsWith("\\explain "))
           try out(spark.sql(line.drop(9).trim.stripSuffix(";"))
             .queryExecution.explainString(

@@ -85,16 +85,39 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * backfill of exabyte-scale files is a migration, not a DDL).
     * Subsequent inserts may supply the column or omit it — the default
     * fills it at write time.
+    *
+    * Because "file predates the column" and "stored NULL" are physically
+    * indistinguishable without per-file schema versions, a defaulted
+    * added column is effectively NOT NULL on read: an insert that
+    * explicitly supplies NULL reads back as the default. This is the
+    * documented deviation from SQL's ADD COLUMN DEFAULT (where the
+    * default applies only to pre-existing rows); callers that need
+    * nullable semantics should add the column without relying on the
+    * default or encode absence in-band.
+    *
+    * Re-adding a name that was previously dropped (or renamed away) does
+    * NOT resurrect old file bytes: the new column gets a fresh PHYSICAL
+    * name (generation-suffixed, see [[dropColumn]]), so pre-drop values
+    * can never leak into it — the same hazard Iceberg/Delta prevent with
+    * field IDs / column mapping.
     */
   def addColumn(name: String, colName: String,
       dataType: DataType, defaultSql: String): Unit = {
     val s = schema(name)
     require(!s.fieldNames.contains(colName), s"column $colName already exists")
-    val md = new org.apache.spark.sql.types.MetadataBuilder()
-      .putString(DefaultKey, defaultSql).build()
+    // a logical name may be reused; its PHYSICAL storage name must never
+    // collide with bytes already in files (current columns or retired ones)
+    val used = (s.fields.map(physicalName) ++ retired(name)).toSet
+    val phys =
+      if (!used.contains(colName)) colName
+      else Iterator.from(retired(name).size)
+        .map(g => s"${colName}__g$g").dropWhile(used.contains).next()
+    val mdb = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(DefaultKey, defaultSql)
+    if (phys != colName) mdb.putString(PhysicalKey, phys)
     val ns = StructType(
       s.fields :+ org.apache.spark.sql.types.StructField(
-        colName, dataType, nullable = true, md))
+        colName, dataType, nullable = true, mdb.build()))
     Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
   }
 
@@ -102,6 +125,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * metadata-only like [[addColumn]] — the bytes stay in existing files
     * but no read path projects them (and parquet's columnar layout means
     * they're never even decoded). The partition column can't be dropped.
+    * The dropped PHYSICAL name is retired so a later addColumn of the
+    * same logical name maps to fresh storage (no resurrection).
     */
   def dropColumn(name: String, colName: String): Unit = {
     val s = schema(name)
@@ -109,15 +134,59 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     require(!partitionColumn(name).contains(colName),
       s"cannot drop partition column $colName")
     require(s.fields.length > 1, "cannot drop the last column")
+    retire(name, physicalName(s.fields.find(_.name == colName).get))
     val ns = StructType(s.fields.filterNot(_.name == colName))
     Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
   }
 
+  /** Rename a column (ALTER TABLE RENAME COLUMN): metadata-only — the
+    * field keeps its PHYSICAL storage name (existing files keep working,
+    * new inserts keep writing it), only the logical name changes. Same
+    * column-mapping discipline as [[addColumn]]/[[dropColumn]]; the
+    * partition column can't be renamed (its name IS the on-disk Hive
+    * directory layout).
+    */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val s = schema(name)
+    require(s.fieldNames.contains(from), s"column $from does not exist")
+    require(!s.fieldNames.contains(to), s"column $to already exists")
+    require(!partitionColumn(name).contains(from),
+      s"cannot rename partition column $from")
+    val ns = StructType(s.fields.map { f =>
+      if (f.name != from) f
+      else f.copy(name = to,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysicalKey, physicalName(f)).build())
+    })
+    Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
+  }
+
   private val DefaultKey = "graft.default"
+  private val PhysicalKey = "graft.physical"
 
   private def defaultOf(f: org.apache.spark.sql.types.StructField): Option[String] =
     if (f.metadata.contains(DefaultKey)) Some(f.metadata.getString(DefaultKey))
     else None
+
+  /** The column name as stored in data files (differs from the logical
+    * name after a rename, or when a dropped name was re-added).
+    */
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** Physical names that may still exist in data files but are no longer
+    * part of the schema (dropped columns) — never reused for new columns.
+    */
+  private def retired(name: String): Seq[String] = {
+    val f = metaDir(name).resolve("retired.txt")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def retire(name: String, phys: String): Unit =
+    Files.writeString(metaDir(name).resolve("retired.txt"),
+      (retired(name) :+ phys).mkString("\n"))
 
   def partitionColumn(name: String): Option[String] = {
     val s = Files.readString(metaDir(name).resolve("partition.txt")).trim
@@ -139,10 +208,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val s = schema(name)
     val projected = df.select(s.fields.map { f =>
       // a column omitted by the writer takes its declared default (added
-      // columns only); a missing non-defaulted column errors as before
-      if (!df.columns.contains(f.name) && defaultOf(f).isDefined)
-        expr(defaultOf(f).get).cast(f.dataType).as(f.name)
-      else col(f.name).cast(f.dataType)
+      // columns only); a missing non-defaulted column errors as before.
+      // Writers address LOGICAL names; files store PHYSICAL names.
+      val c =
+        if (!df.columns.contains(f.name) && defaultOf(f).isDefined)
+          expr(defaultOf(f).get).cast(f.dataType)
+        else col(f.name).cast(f.dataType)
+      c.as(physicalName(f))
     }.toSeq: _*)
     var writer = projected.write.mode(SaveMode.Append)
     // bloom filters for index-marked columns (reference's bitmap-index analog)
@@ -198,7 +270,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def compact(name: String, targetFiles: Int = 1): Unit = {
     val dir = dataDir(name)
-    val df = table(name)
+    // a created-but-never-inserted table has nothing to compact (and the
+    // staged swap below would throw moving a non-existent dir)
+    if (!Files.exists(dir)) return
+    // compact rewrites the PHYSICAL bytes as-is (no default coalescing):
+    // a pre-addColumn file's nulls stay nulls on disk, so compaction never
+    // bakes read-time defaults into data files
+    val df = rawData(name)
     val staged = Paths.get(dir.toString + ".compact_tmp")
     var writer = df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
     indexedColumns(name).foreach { c =>
@@ -225,9 +303,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       finally s.close()
     }
 
+  /** The data files as stored: physical column names, no default
+    * coalescing — the read [[table]] and [[compact]] build on.
+    */
+  private def rawData(name: String): DataFrame = {
+    val dir = dataDir(name)
+    val s = schema(name)
+    spark.read
+      .option("basePath", dir.toString)
+      .schema(StructType(s.fields.map(f => f.copy(name = physicalName(f)))))
+      .parquet(dir.toString)
+  }
+
   /** Read a table back. Partition pruning applies when filtering on the
     * partition column (`basePath` keeps the partition column in the
-    * schema).
+    * schema). Physical storage names map back to logical ones, and files
+    * written before an addColumn read their nulls coalesced to the
+    * declared default (per-read, no physical backfill).
     */
   def table(name: String): DataFrame = {
     val dir = dataDir(name)
@@ -235,14 +327,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (!Files.exists(dir) || listDir(dir).forall(_.getFileName.toString.startsWith("_")))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     else {
-      val raw = spark.read
-        .option("basePath", dir.toString)
-        .schema(s)
-        .parquet(dir.toString)
-      // files written before an addColumn lack that column; parquet reads
-      // them as null — coalesce to the declared default (per-read, no
-      // physical backfill)
-      s.fields.filter(defaultOf(_).isDefined).foldLeft(raw) { (df, f) =>
+      val logical = rawData(name)
+        .select(s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq: _*)
+      s.fields.filter(defaultOf(_).isDefined).foldLeft(logical) { (df, f) =>
         df.withColumn(f.name,
           coalesce(col(f.name), expr(defaultOf(f).get).cast(f.dataType)))
       }
@@ -296,10 +383,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** Materialize a query result as a new table (the reference's
-    * `nest=True`): eager write, then immediately queryable.
+    * `nest=True`): eager write, then immediately queryable. The new
+    * table's declared schema drops any source-table column-mapping /
+    * default metadata — a nested result is a fresh table whose logical
+    * and physical names coincide.
     */
   def nest(name: String, df: DataFrame, partitionBy: Option[String] = None): DataFrame = {
-    create(name, df.schema, partitionBy)
+    val clean = StructType(df.schema.fields.map { f =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(DefaultKey).remove(PhysicalKey).build()
+      f.copy(metadata = md)
+    })
+    create(name, clean, partitionBy)
     insert(name, df)
     table(name)
   }

@@ -175,6 +175,77 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.dropColumn("dc", "nope"))
   }
 
+  test("renameColumn is metadata-only: old files and new inserts keep working") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
+    cat.create("rn", docs.schema)
+    cat.insert("rn", docs.filter(col("doc_id") < 100))
+    cat.renameColumn("rn", "n_chars", "len_chars")
+    assert(cat.table("rn").columns.toSeq == Seq("doc_id", "lang", "len_chars"))
+    // pre-rename file data reads under the new logical name
+    val want = docs.filter(col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def got() = cat.table("rn").select("doc_id", "len_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got() == want)
+    // inserts address the new name; compact preserves the mapping
+    cat.insert("rn", docs.filter(col("doc_id").between(100, 199))
+      .withColumnRenamed("n_chars", "len_chars"))
+    cat.compact("rn")
+    assert(got().size == docs.filter(col("doc_id") < 200).count())
+    assert(got().view.filterKeys(_ < 100).toMap == want)
+    intercept[IllegalArgumentException](cat.renameColumn("rn", "nope", "x"))
+    intercept[IllegalArgumentException](cat.renameColumn("rn", "doc_id", "lang"))
+  }
+
+  test("re-adding a dropped (or renamed-away) column never resurrects old bytes") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
+    cat.create("rz", docs.schema)
+    cat.insert("rz", docs.filter(col("doc_id") < 100)) // real n_chars values on disk
+    cat.dropColumn("rz", "n_chars")
+    cat.addColumn("rz", "n_chars", LongType, "-1")
+    // the pre-drop bytes still exist in the files under the old physical
+    // name, but the re-added column maps to fresh storage → default only
+    val afterReadd = cat.table("rz").select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(afterReadd.nonEmpty && afterReadd.forall(_._2 == -1L),
+      "re-added column leaked pre-drop values")
+    // renaming away then re-adding the freed name is the same hazard
+    cat.renameColumn("rz", "n_chars", "n2")
+    cat.addColumn("rz", "n_chars", LongType, "7")
+    val r = cat.table("rz").select("n2", "n_chars").distinct().collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((-1L, 7L)))
+  }
+
+  test("compact on a created-but-never-inserted table is a no-op, not a crash") {
+    val cat = freshCatalog()
+    cat.create("virgin", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    cat.compact("virgin") // used to throw NoSuchFileException at the swap
+    assert(cat.table("virgin").count() == 0)
+    assert(cat.tables().contains("virgin"))
+  }
+
+  test("defaulted added columns are effectively NOT NULL on read (pinned restriction)") {
+    // documented deviation from SQL ADD COLUMN DEFAULT (see Catalog.addColumn):
+    // without per-file schema versions, a stored NULL and a pre-column file
+    // are indistinguishable, so an explicit NULL reads back as the default —
+    // and compact() must not change that visible behavior
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    cat.create("nn", docs.schema)
+    cat.insert("nn", docs.filter(col("doc_id") < 50))
+    cat.addColumn("nn", "score", LongType, "42")
+    cat.insert("nn", docs.filter(col("doc_id").between(50, 99))
+      .withColumn("score", lit(null).cast("long")))
+    def scores() = cat.table("nn").select("score")
+      .collect().map(_.getLong(0)).toSet
+    assert(scores() == Set(42L))
+    cat.compact("nn")
+    assert(scores() == Set(42L), "compact changed visible defaulted-column values")
+  }
+
   test("compact shrinks a fragmented table to targetFiles without changing content") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
@@ -299,6 +370,18 @@ class CatalogSpec extends SparkSpec {
       out += _)
     assert(out(1).contains("(1) Scan parquet")) // formatted mode, real plan
     assert(out(1).contains("PushedFilters")) // the filter reached the scan
+    assert(out(2).startsWith("error:"))
+  }
+
+  test("repl \\schema prints a DDL-style column list") {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator("\\schema region", "\\schema nowhere", "\\q"),
+      out += _)
+    assert(out(1).startsWith("region ("))
+    assert(out(1).contains("  r_name STRING"))
+    assert(out(1).trim.endsWith(")"))
     assert(out(2).startsWith("error:"))
   }
 
