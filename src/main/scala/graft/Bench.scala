@@ -37,7 +37,18 @@ object Bench {
     "lm_unigram_score",
     "q_heavy_hitters_cms", "dedup_bloom_shingles", "stream_session_agg",
     "stream_enrich_static", "dedup_substring", "dedup_semantic",
-    "quality_buckets", "lm_bigram_score", "catalog_compact")
+    "quality_buckets", "lm_bigram_score", "catalog_compact",
+    "dedup_semantic_scaled")
+
+  /** Queries whose iterative checkpoint lifecycle makes a single timed
+    * run noisy (block-manager churn from the previous query's cleanup can
+    * land inside a one-shot timer — observed 2.7× one-shot vs median-of-3
+    * in round 8). These always run at least 3 timed runs, even when the
+    * invoker sets SPARK_GRAFT_BENCH_RUNS=1: the median is the honest
+    * statistic for them, and two extra ~1.5 s runs are cheap.
+    */
+  private val checkpointHeavy: Set[String] = Set(
+    "dedup_components", "dedup_components_star", "dedup_embedding_srp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,10 +93,11 @@ object Bench {
     val results = SparkEntry.allQ
       .filter(q => filter.forall(_.contains(q.name)))
       .map { q =>
+      val qRuns = if (checkpointHeavy(q.name)) math.max(runs, 3) else runs
       val t =
         try {
           time(materialize(q.run(spark, sfDir))) // warm-up (JIT + parquet footer cache)
-          val ts = (1 to runs).map(_ => time(materialize(q.run(spark, sfDir)))).sorted
+          val ts = (1 to qRuns).map(_ => time(materialize(q.run(spark, sfDir)))).sorted
           if (ts.size % 2 == 1) ts(ts.size / 2)
           else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
         } catch { case _: Throwable => -1.0 }
@@ -108,19 +120,19 @@ object Bench {
     // tail-window line must report the same suite total as the full
     // on-disk record.
     val suiteTotal = results.map(_._2).filter(_ >= 0).sum
+    // Complete full-precision record — durable, can't be tail-truncated.
+    // A filtered run writes a separate file so it can't masquerade as (or
+    // clobber) the full-suite record.
+    val recordName =
+      if (filter.isDefined) "BENCH_local_filtered.json" else "BENCH_local.json"
     def json(rs: Seq[(String, Double)], round: Boolean): String = {
       val qs = rs.map { case (k, v) =>
         val vs = if (round) f"$v%.3f" else v.toString
         "\"" + k + "\":" + vs
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$suiteTotal,"unit":"sec","queries":$qs,""" +
-        s""""local_json":"BENCH_local.json","sf":"$sfDir"}"""
+        s""""local_json":"$recordName","sf":"$sfDir"}"""
     }
-    // Complete full-precision record — durable, can't be tail-truncated.
-    // A filtered run writes a separate file so it can't masquerade as (or
-    // clobber) the full-suite record.
-    val recordName =
-      if (filter.isDefined) "BENCH_local_filtered.json" else "BENCH_local.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props("user.dir"), recordName),
       (json(results, round = false) + "\n").getBytes("UTF-8"))
