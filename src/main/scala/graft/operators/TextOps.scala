@@ -593,5 +593,117 @@ object TextOps {
           .videoFromIds(Tables.documents(s, d), "doc_id"), stride = 2)
         .orderBy("media_id", "frame_idx")
     },
+
+    // ---- URL host extraction + per-domain profile: the crawl-curation
+    // primitive (C4/CCNet aggregate and gate by registered domain). The
+    // fixture carries no URLs, so each doc gets a deterministic one
+    // (source-derived host, id-derived TLD) and the oracle replays the
+    // identical construction; extraction is a per-row regex (codegen'd,
+    // linear), the profile one hash aggregation ----
+    Q(
+      "url_host_profile",
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    'https://' || source || (CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END)
+        |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
+    ) { (s, d) =>
+      val url = concat(
+        lit("https://"), col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 0, ".org").otherwise(".com"),
+        lit("/p/"), col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(regexp_extract(url, "https?://([^/]+)/", 1).as("host"), col("n_chars"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("host")
+    },
+
+    // ---- domain-blocklist filtering: drop documents whose host is on a
+    // curated blocklist — one broadcast of the (tiny) list against a
+    // linear scan of the corpus, never a shuffle of the corpus. Output is
+    // the per-source audit a pipeline keeps (kept vs blocked counts) ----
+    Q(
+      "url_blocklist_filter",
+      """WITH u AS (SELECT doc_id, source,
+        |    source || (CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END) AS host
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN host IN ('src2.com', 'src5.org', 'src11.com')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+        |  CAST(SUM(CASE WHEN host IN ('src2.com', 'src5.org', 'src11.com')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM u GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val blocklist = broadcast(
+        Seq("src2.com", "src5.org", "src11.com").toDF("host")
+          .withColumn("blocked", lit(true)))
+      val host = concat(col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 0, ".org").otherwise(".com"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), host.as("host"))
+        .join(blocklist, Seq("host"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(col("blocked"), 0L).otherwise(1L)).as("n_kept"))
+        .orderBy("source")
+    },
+
+    // ---- BM25 relevance scoring (Robertson et al., the retrieval scorer
+    // data-curation pipelines use to mine corpus subsets near a reference
+    // query): k1=1.2, b=0.75 over a fixed 3-term query. Corpus stats
+    // (N, avgdl, per-term df) are 1-row/model-sized broadcasts; the scan
+    // of the corpus is linear. Per-term contributions are quantized to
+    // integer micros BEFORE the per-doc sum, so the 3-term addition is
+    // order-independent and the oracle replay is hash-exact ----
+    Q(
+      "bm25_score",
+      """WITH terms AS (SELECT unnest(['data', 'query', 'vector']) AS t),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok JOIN terms USING (t) GROUP BY 1, 2),
+        |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT tf.doc_id,
+        |    CAST(FLOOR(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c
+        |  FROM tf JOIN df USING (t) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(SUM(c.c), 0) AS DOUBLE) / 1000000.0 AS bm25
+        |FROM documents d LEFT JOIN contrib c ON c.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val terms = Seq("data", "query", "vector")
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val dl = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok.filter(col("t").isin(terms: _*))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          floor(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+            * 1000000.0 + 0.5).cast("long").as("c"))
+      docs.select(col("doc_id"))
+        .join(contrib.groupBy("doc_id").agg(sum("c").as("sc")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("sc"), lit(0L)).cast("double") / 1000000.0).as("bm25"))
+        .orderBy("doc_id")
+    },
   )
 }
