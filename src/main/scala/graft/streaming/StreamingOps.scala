@@ -202,6 +202,30 @@ object StreamingOps {
       })
     }.orderBy("event_type", "hour_start")
 
+  /** Streaming SLIDING-window aggregation (2 h windows every 30 min):
+    * each event lands in size/slide = 4 overlapping windows — the window
+    * type [[hourlyCountsStreaming]]'s tumbling case can't express
+    * (trend-over-trailing-window metrics). Same watermark/AvailableNow/
+    * file-sink discipline; state is bounded by the watermark because
+    * every window closes 2 h after its start.
+    */
+  def slidingCountsStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(sfDir) { stageDir =>
+      runToFiles(spark, "stream_sliding", { session =>
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("event_type"), window(col("ts"), "2 hours", "30 minutes"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+          .select(col("event_type"),
+            col("window.start").cast(TimestampNTZType).as("win_start"),
+            col("n"), col("sum_value"))
+        (stream, org.apache.spark.sql.streaming.OutputMode.Complete())
+      })
+    }.orderBy("event_type", "win_start")
+
   /** Stateful streaming (the §2.8/§2.7 extension surface): per-user
     * running aggregates via `mapGroupsWithState` — arbitrary state the
     * built-in windowed aggregates can't express. Executed with
@@ -384,6 +408,24 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
     )(hourlyCountsStreaming),
+
+    // ---- sliding windows (every event in 4 overlapping 2h/30m windows):
+    // the oracle enumerates each event's window starts explicitly —
+    // epoch-aligned floor minus k slides, exactly Spark's window()
+    // alignment — and replays the micros-exact sum per window ----
+    Q(
+      "stream_sliding_agg",
+      """WITH e AS (SELECT event_type, value,
+        |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS t30
+        |  FROM events),
+        |w AS (SELECT event_type, value,
+        |    t30 - k.k * INTERVAL 30 MINUTE AS win_start
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT event_type, win_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY event_type, win_start""".stripMargin,
+    )(slidingCountsStreaming),
 
     // ---- stateful mapGroupsWithState per-user totals, oracle-checked:
     // integer-micros state makes the streaming fold bit-equal to the

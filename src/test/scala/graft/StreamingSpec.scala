@@ -20,6 +20,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sliding windows equal the batch sliding window() aggregation") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("win_start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val streamed = rows(StreamingOps.slidingCountsStreaming(spark, sf0001))
+    val batch = rows(Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), window(col("ts"), "2 hours", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("win_start"), col("n")))
+    assert(streamed.sameElements(batch))
+    assert(batch.nonEmpty)
+    // every event lands in exactly size/slide = 4 windows
+    val total = Tables.events(spark, sf0001).count()
+    assert(streamed.map(_._3).sum == 4 * total)
+  }
+
   test("flatMapGroupsWithState emits one sequenced record per input event") {
     val out = StreamingOps.runningUserSeq(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
