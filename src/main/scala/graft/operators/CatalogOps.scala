@@ -221,6 +221,48 @@ object CatalogOps {
       cat.table("docs_ev").select("doc_id", "score").orderBy("doc_id")
     },
 
+    // ---- ALTER TABLE RENAME COLUMN (metadata-only, column mapping):
+    // batch A lands under the old name, the column is renamed, batch B
+    // addresses the new name — reads see ALL data under the new logical
+    // name because the physical storage name never changed ----
+    Q(
+      "catalog_rename_column",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      cat.create("docs_rn", docs.schema)
+      cat.insert("docs_rn", docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      cat.renameColumn("docs_rn", "n_chars", "len_chars")
+      cat.insert("docs_rn",
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumnRenamed("n_chars", "len_chars"))
+      cat.table("docs_rn").select("doc_id", "len_chars").orderBy("doc_id")
+    },
+
+    // ---- ALTER TABLE ALTER COLUMN TYPE (lossless widening, metadata-
+    // only): batch A is written as INT, the column widens to BIGINT,
+    // batch B writes BIGINT — old files upcast in the scan itself ----
+    Q(
+      "catalog_widen_column",
+      """SELECT doc_id, CAST(n_chars % 7 AS BIGINT) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("n_chars"), lit(7)).cast("int").as("score"))
+      cat.create("docs_wd", docs.schema)
+      cat.insert("docs_wd", docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      cat.widenColumn("docs_wd", "score", org.apache.spark.sql.types.LongType)
+      cat.insert("docs_wd",
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("score", col("score").cast("long")))
+      cat.table("docs_wd").select("doc_id", "score").orderBy("doc_id")
+    },
+
     // ---- nest (materialize result as table) then re-query ----
     Q(
       "catalog_nest",

@@ -161,6 +161,34 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
   }
 
+  /** Widen a column's declared type (ALTER TABLE ALTER COLUMN ... TYPE):
+    * metadata-only — permitted only for the lossless widenings Spark's
+    * parquet reader upcasts in the scan itself (byte→short→int→long,
+    * float→double), so files written under the narrow type keep reading
+    * without rewrite and new inserts write the wide type. Anything else
+    * (narrowing, cross-family) is rejected loudly: it would need a
+    * physical rewrite, which at 100 TB is a migration, not a DDL.
+    */
+  def widenColumn(name: String, colName: String, to: DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val s = schema(name)
+    val f = s.fields.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"column $colName does not exist"))
+    require(!partitionColumn(name).contains(colName),
+      s"cannot alter partition column $colName")
+    val intChain: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val ok = (f.dataType, to) match {
+      case (a, b) if intChain.contains(a) && intChain.contains(b) =>
+        intChain.indexOf(a) < intChain.indexOf(b)
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"cannot widen ${f.dataType.simpleString} to ${to.simpleString} " +
+      "(only byte→short→int→long and float→double are lossless scan-time upcasts)")
+    val ns = StructType(s.fields.map(x => if (x.name == colName) x.copy(dataType = to) else x))
+    Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
+  }
+
   private val DefaultKey = "graft.default"
   private val PhysicalKey = "graft.physical"
 

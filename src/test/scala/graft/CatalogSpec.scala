@@ -218,6 +218,29 @@ class CatalogSpec extends SparkSpec {
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((-1L, 7L)))
   }
 
+  test("widenColumn upcasts old narrow files in the scan; rejects lossy alters") {
+    val cat = freshCatalog()
+    cat.create("wd", StructType(Seq(
+      StructField("id", LongType), StructField("v", IntegerType),
+      StructField("x", FloatType))))
+    cat.insert("wd", spark.range(5).select(col("id"),
+      col("id").cast("int").as("v"), (col("id") * 1.5f).cast("float").as("x")))
+    cat.widenColumn("wd", "v", LongType)
+    cat.widenColumn("wd", "x", DoubleType)
+    assert(cat.schema("wd")("v").dataType == LongType)
+    // old int32/float files read under the widened schema
+    val got = cat.table("wd").select("id", "v", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == (0L until 5L).map(i => (i, i, i * 1.5)).toSet)
+    // new inserts write the wide type alongside the narrow files
+    cat.insert("wd", spark.range(5, 8).select(col("id"),
+      (col("id") + 10000000000L).as("v"), lit(0.5d).as("x")))
+    assert(cat.table("wd").agg(max("v")).collect().head.getLong(0) > 10000000000L)
+    intercept[IllegalArgumentException](cat.widenColumn("wd", "v", IntegerType)) // narrowing
+    intercept[IllegalArgumentException](cat.widenColumn("wd", "x", LongType)) // cross-family
+    intercept[IllegalArgumentException](cat.widenColumn("wd", "nope", LongType))
+  }
+
   test("compact on a created-but-never-inserted table is a no-op, not a crash") {
     val cat = freshCatalog()
     cat.create("virgin", StructType(Seq(
