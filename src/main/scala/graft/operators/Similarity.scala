@@ -163,9 +163,21 @@ object Similarity {
   /** SRP-LSH signature: bit j = sign(v · r_j) over `bits` fixed random
     * hyperplanes, packed into a long. P[bit differs] = angle/π, so near-
     * identical vectors collide on whole blocks w.h.p. — the linear-time
-    * candidate generator for cosine near-dup at scale.
+    * candidate generator for cosine near-dup at scale. Computed by the
+    * codegen'd [[graft.plans.SrpSig]] kernel (one fused loop over the
+    * vector's primitive storage; a dim mismatch fails the job loudly);
+    * [[srpSignaturePortable]] is the functional spec witness.
     */
   def srpSignature(vec: Column, dim: Int, bits: Int): Column = {
+    require(bits <= 60, "srpSignature packs bits into a long")
+    graft.plans.VectorKernels.srpSig(vec, srpPlanes(bits, dim))
+  }
+
+  /** The `aggregate(zip_with(...))`-per-plane formulation — retained as
+    * the spec witness for the fused kernel (same accumulation order, so
+    * signatures are bit-identical).
+    */
+  private[graft] def srpSignaturePortable(vec: Column, dim: Int, bits: Int): Column = {
     require(bits <= 60, "srpSignature packs bits into a long")
     // fail loudly on a dim mismatch: zip_with would otherwise null-pad and
     // when(proj >= 0, ...) would silently emit a degenerate 0-bit signature
@@ -191,8 +203,13 @@ object Similarity {
       dim: Int, bits: Int = 32): DataFrame = {
     val blockBits = bits / 4
     val mask = (1L << blockBits) - 1
+    // eagerly checkpointed: BOTH sides of the block-bucket self-join read
+    // the signature table, and without the checkpoint each side recomputes
+    // every signature (the same multi-consumer discipline as the dedup
+    // pipelines' hashedShingleArr)
     val sig = Tables.fanOut(corpus).select(col(id), col(vec),
       srpSignature(col(vec), dim, bits).as("__sig"))
+      .localCheckpoint(true)
     val blocks = (0 until 4).map { j =>
       struct(lit(j).as("blk"),
         shiftrightunsigned(col("__sig"), j * blockBits).bitwiseAND(lit(mask)).as("key"))

@@ -129,6 +129,110 @@ case class L2ArgMin(child: Expression, clusterIds: Seq[Long], centroids: Seq[Seq
     copy(child = newChild)
 }
 
+/** Native Catalyst kernel for SRP-LSH signatures: bit j = sign(v · r_j)
+  * over `planes.length` fixed ±1 hyperplanes, packed into a long.
+  *
+  * Why an Expression and not `aggregate(zip_with(...))` per plane: the
+  * functional form walks `bits` interpreted lambda chains per row
+  * (higher-order functions never enter whole-stage codegen) and allocates
+  * `bits` intermediate arrays — measured as the dominant cost of the SRP
+  * near-dup pipeline at sf0.1. This kernel reads the vector's primitive
+  * storage once and folds all planes in one fused JVM loop.
+  *
+  * Bit-for-bit equal to the functional witness
+  * ([[graft.operators.Similarity.srpSignaturePortable]], spec-asserted):
+  * per-plane dot product accumulates in index order 0..d−1 from 0.0 —
+  * the same operation sequence as `aggregate(zip_with(...))` — so the
+  * sign, hence every signature and the oracle replay, is unchanged.
+  */
+case class SrpSig(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length <= 60, "srp_sig packs bits into a long")
+  require(planes.forall(_.length == planes.head.length), "srp_sig: ragged planes")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_sig expects array<float|double>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def mayHaveNullElems: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullable: Boolean = super.nullable || mayHaveNullElems
+
+  @transient private lazy val flatPlanes: Array[Double] = planes.flatten.toArray
+  private def dim: Int = planes.head.length
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = dim
+    require(x.numElements() == d,
+      s"srp_sig: expected dim $d, got ${x.numElements()}")
+    val checkNulls = mayHaveNullElems
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        if (checkNulls && x.isNullAt(i)) return null
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        s += xi * flatPlanes(j * d + i)
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val pl = ctx.addReferenceObj("flatPlanes", flatPlanes, "double[]")
+      val d = dim
+      val (i, j, s, xi, sig) = (
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("s"),
+        ctx.freshName("xi"), ctx.freshName("sig"))
+      val getX = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |if ($x.numElements() != $d) {
+         |  throw new IllegalArgumentException(
+         |    "srp_sig: expected dim $d, got " + $x.numElements());
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < ${planes.length} && !${ev.isNull}; $j++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $nullCheck
+         |    final double $xi = $getX;
+         |    $s += $xi * $pl[$j * $d + $i];
+         |  }
+         |  if (!${ev.isNull} && $s >= 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSig =
+    copy(child = newChild)
+}
+
 object VectorKernels {
   import org.apache.spark.sql.graft.Bridge
 
@@ -145,4 +249,8 @@ object VectorKernels {
     Bridge.column(
       L2ArgMin(Bridge.expression(vec), sorted.map(_._1), sorted.map(_._2)))
   }
+
+  /** Packed SRP-LSH signature over fixed ±1 planes. */
+  def srpSig(vec: Column, planes: Seq[Seq[Double]]): Column =
+    Bridge.column(SrpSig(Bridge.expression(vec), planes))
 }

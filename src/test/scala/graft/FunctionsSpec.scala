@@ -406,6 +406,19 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT round(0.1234565d, 6)").collect().head.getDouble(0))
   }
 
+  test("SrpSig kernel ≡ aggregate/zip_with functional form (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = emb.select(col("vec_id"),
+      Similarity.srpSignature(col("embedding"), 64, 32).as("k"),
+      Similarity.srpSignaturePortable(col("embedding"), 64, 32).as("f"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+    // a dim mismatch fails the job loudly, not silently as a 0 signature
+    intercept[Exception](
+      emb.select(Similarity.srpSignature(col("embedding"), 32, 16)).collect())
+  }
+
   test("multimodal: BMP/WAV decode inverts the codec for every id shape") {
     // ids cover every (width, height, padding) BMP shape and WAV length
     for (id <- 0L until 60L) {
