@@ -656,6 +656,57 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- classifier-based quality filtering (the fastText-style linear
+    // gate of the GPT-3/CCNet pipelines): logit = bias + Σ w_t · tf_t/len
+    // over a fixed feature vocabulary — the model is a broadcast-literal
+    // weight table, the scan linear and codegen'd. Weights here are fixed
+    // stand-ins for trained ones (no training data in the sandbox); the
+    // per-doc feature densities are quantized to integer micros before the
+    // weighted sum so the replay is hash-exact, and the published artifact
+    // is (logit, keep = logit > 0) — no exp/sigmoid, whose libm rounding
+    // is engine-specific ----
+    Q(
+      "quality_classifier",
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('data', 1.5), ('query', 1.0), ('vector', 2.0),
+        |    ('slow', -1.5), ('spark', 0.5), ('the', -0.5)) wt(t, w)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |feat AS (SELECT tok.doc_id,
+        |    CAST(FLOOR(w.w * COUNT(*) / ANY_VALUE(dl.dl) * 1000000.0 + 0.5) AS BIGINT) AS c
+        |  FROM tok JOIN w USING (t) JOIN dl ON dl.doc_id = tok.doc_id
+        |  GROUP BY tok.doc_id, w.t, w.w)
+        |SELECT d.doc_id,
+        |  CAST(-200000 + COALESCE(SUM(c), 0) AS DOUBLE) / 1000000.0 AS logit,
+        |  -200000 + COALESCE(SUM(c), 0) > 0 AS keep
+        |FROM documents d LEFT JOIN feat ON feat.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val weights = broadcast(Seq(
+        ("data", 1.5), ("query", 1.0), ("vector", 2.0),
+        ("slow", -1.5), ("spark", 0.5), ("the", -0.5)).toDF("t", "w"))
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      val feat = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .join(weights, "t")
+        .groupBy(col("doc_id"), col("t"), col("w")).agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .select(col("doc_id"),
+          floor(col("w") * col("tf") / col("dl") * 1000000.0 + 0.5)
+            .cast("long").as("c"))
+      docs.select(col("doc_id"))
+        .join(feat.groupBy("doc_id").agg(sum("c").as("sc")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          ((lit(-200000L) + coalesce(col("sc"), lit(0L))).cast("double") / 1000000.0)
+            .as("logit"),
+          (lit(-200000L) + coalesce(col("sc"), lit(0L)) > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // ---- BM25 relevance scoring (Robertson et al., the retrieval scorer
     // data-curation pipelines use to mine corpus subsets near a reference
     // query): k1=1.2, b=0.75 over a fixed 3-term query. Corpus stats
