@@ -164,7 +164,8 @@ object StressScale {
       val cand = Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60, nb, kb)
         .select(col("doc_a"), col("doc_b"),
           (floor(col("doc_a") / stride) =!= floor(col("doc_b") / stride)).as("x"))
-        .agg(count(lit(1)).as("n"), sum(when(col("x"), 1L).otherwise(0L)).as("nx"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("x"), 1L).otherwise(0L)), lit(0L)).as("nx"))
         .collect()(0)
       (s"${nb}_$kb", cand.getLong(0), cand.getLong(1))
     }
@@ -194,7 +195,13 @@ object StressScale {
       .join(ex.withColumn("seen", lit(true)), Seq("sh"), "left")
       .select(col("sh"), coalesce(col("seen"), lit(false)).as("seen"))
       .localCheckpoint(true)
-    val scaledBits = (((10L * n + 63) / 64) * 64).toInt
+    // Int-bounded by the array-backed Aggregator (≤ 2³¹ bits = 256 MiB —
+    // past that a single bloom is the wrong tool; shard per partition
+    // range). Fail fast rather than silently wrapping to a tiny filter.
+    val bits10 = ((10L * n + 63) / 64) * 64
+    require(bits10 <= Int.MaxValue,
+      s"10·n = $bits10 bits exceeds a single bloom's Int range — shard the filter")
+    val scaledBits = bits10.toInt
     val bloomStats = Seq(BloomMembership.Bits, scaledBits).map { bits =>
       val bloom = ex.agg(
         BloomMembership.bloomAgg(BloomMembership.bitIndexes(col("sh"), bits), bits).as("bf"))

@@ -444,6 +444,14 @@ object Dedup {
     val mask = (1L << w) - 1
     def blockVal(j: Int): Column =
       shiftrightunsigned(col("simhash"), j * w).bitwiseAND(lit(mask))
+    // every combo is an exploded row per doc AND a plan-side struct; a
+    // mid-range (numBlocks, keyBlocks) like (30, 15) would be C(30,15) ≈
+    // 155M combos — bound the count ARITHMETICALLY before materializing
+    val comboCount = (0 until keyBlocks)
+      .foldLeft(1L)((a, i) => a * (numBlocks - i) / (i + 1))
+    require(comboCount <= 256,
+      s"C($numBlocks, $keyBlocks) = $comboCount combination keys — " +
+        "the candidate fan-out must stay small (≤ 256)")
     val sig = simHash(docs, id, tokens)
     val combos = (0 until numBlocks).combinations(keyBlocks).toSeq
     val blocks = combos.zipWithIndex.map { case (combo, ci) =>

@@ -206,8 +206,13 @@ object StreamingOps {
     * each event lands in size/slide = 4 overlapping windows — the window
     * type [[hourlyCountsStreaming]]'s tumbling case can't express
     * (trend-over-trailing-window metrics). Same watermark/AvailableNow/
-    * file-sink discipline; state is bounded by the watermark because
-    * every window closes 2 h after its start.
+    * file-sink discipline. NOTE on state: this replay runs in Complete
+    * output mode (simplest batch-equivalent materialization for a
+    * bounded AvailableNow input), and Complete mode retains every
+    * (key, window) group for re-emission — the watermark does NOT evict.
+    * A continuously-running deployment of the same aggregation should
+    * use Update/Append mode, where the 1 h watermark closes each 2 h
+    * window and its state IS dropped.
     */
   def slidingCountsStreaming(spark: SparkSession, sfDir: String): DataFrame =
     withStagedEvents(sfDir) { stageDir =>

@@ -294,15 +294,24 @@ class FunctionsSpec extends SparkSpec {
     val wide = pairs(6, 3)
     assert(narrow == wide)
     assert(narrow.nonEmpty) // fixture plants near-dups
-    // the wide keys exist to shrink the accidental-candidate birthday term:
-    // raw candidates (no hamming filter) must not grow under (6,3)
+    // recall INVARIANT (not a fixture accident): every true hamming ≤ 3
+    // pair must be among the raw candidates under both parameterizations
+    // — the pigeonhole guarantee the keys exist to provide. (The (6,3)
+    // birthday-term shrinkage is statistical, measured by StressScale
+    // simx, not asserted here.)
     def cands(numBlocks: Int, keyBlocks: Int) =
-      Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60, numBlocks, keyBlocks).count()
-    assert(cands(6, 3) <= cands(4, 1))
+      Dedup.simHashNearDupPairs(docs, "doc_id", toks, 60, numBlocks, keyBlocks)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = narrow.map(p => (p._1, p._2))
+    assert(truePairs.subsetOf(cands(4, 1)))
+    assert(truePairs.subsetOf(cands(6, 3)))
     intercept[IllegalArgumentException](
       Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3, 7, 1)) // 7 ∤ 60
     intercept[IllegalArgumentException](
       Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3, 4, 5))
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearDupPairs(docs, "doc_id", toks, 3, 30, 15)) // combo blow-up
   }
 
   test("int8-quantized topk recalls most of the exact float topk (sf0.001)") {

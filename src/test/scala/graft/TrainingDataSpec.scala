@@ -68,10 +68,17 @@ class TrainingDataSpec extends SparkSpec {
       // constructing the result runs all iterative work (eager checkpoints)
       val label = TrainingData.connectedComponentsMinLabel(edges, "a", "b")
       val star = TrainingData.connectedComponentsStar(edges, "a", "b")
-      // listener events post asynchronously; give the bus time to drain
+      // listener events post asynchronously; drain until the event count
+      // is STABLE for a full second (a fixed sleep after the first event
+      // could miss a late-posted probe action and false-pass)
+      var last = -1
+      var stableFor = 0
       var waited = 0
-      while (waited < 5000 && actions.isEmpty) { Thread.sleep(100); waited += 100 }
-      Thread.sleep(500)
+      while (waited < 15000 && stableFor < 1000) {
+        Thread.sleep(200); waited += 200
+        if (actions.size == last && last >= 0) stableFor += 200 else stableFor = 0
+        last = actions.size
+      }
       import scala.jdk.CollectionConverters._
       val probes = actions.asScala.filter(f =>
         f.startsWith("collect") || f == "count" || f == "head" || f == "first")
