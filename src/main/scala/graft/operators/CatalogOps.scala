@@ -92,6 +92,77 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- row-level copy-on-write DELETE (extension): predicate crosses
+    // partition boundaries (source + arithmetic on n_chars), so it cannot
+    // be satisfied by partition drops — only files containing matching
+    // rows are rewritten (file granularity asserted in CatalogSpec).
+    // Oracle replays SQL DELETE semantics over the fixture ----
+    Q(
+      "catalog_delete_rows",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE NOT COALESCE(source = 'src0' OR n_chars % 17 = 3, FALSE)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs)
+      cat.deleteRows("docs_wh", col("source") === "src0" || col("n_chars") % 17 === 3)
+      cat.table("docs_wh")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "source")
+    },
+
+    // ---- copy-on-write MERGE (upsert): a deterministic update set built
+    // from the fixture — doc_id % 7 = 3 rows get source='merged' and
+    // n_chars+1000 (matched → replaced in place), doc_id+10000000 clones
+    // of doc_id % 11 = 5 rows get source='fresh' (unmatched → inserted).
+    // min/max doc_id per group prove both the replacements and the new
+    // key range landed; oracle replays MERGE as upd ∪ (target ∖ keys) ----
+    Q(
+      "catalog_merge",
+      """WITH upd AS (
+        |  SELECT doc_id, text, lang, 'merged' AS source,
+        |         CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000000 AS BIGINT), text, lang,
+        |         'fresh' AS source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT d.* FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id))
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs)
+      val upd = docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(docs.filter(col("doc_id") % 11 === 5)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("source", lit("fresh")))
+      cat.merge("docs_wh", upd, "doc_id")
+      cat.table("docs_wh")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source")
+    },
+
     // ---- CSV ingest round-trip: fixture → Spark-written CSV →
     // insertCsv → read back. The md5-top-60 text fingerprint sum proves
     // the text column survived the CSV encode/parse cycle byte-exactly,

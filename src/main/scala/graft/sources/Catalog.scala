@@ -232,9 +232,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * (missing column → error), mirroring the reference's declared-schema
     * inserts.
     */
-  def insert(name: String, df: DataFrame): Unit = {
+  def insert(name: String, df: DataFrame): Unit =
+    writeData(name, projectToPhysical(name, df), dataDir(name).toString, SaveMode.Append)
+
+  /** Logical columns (with write-time defaults for omitted defaulted
+    * columns) cast and renamed to their PHYSICAL storage names — the
+    * projection every data write goes through.
+    */
+  private def projectToPhysical(name: String, df: DataFrame): DataFrame = {
     val s = schema(name)
-    val projected = df.select(s.fields.map { f =>
+    df.select(s.fields.map { f =>
       // a column omitted by the writer takes its declared default (added
       // columns only); a missing non-defaulted column errors as before.
       // Writers address LOGICAL names; files store PHYSICAL names.
@@ -244,7 +251,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         else col(f.name).cast(f.dataType)
       c.as(physicalName(f))
     }.toSeq: _*)
-    var writer = projected.write.mode(SaveMode.Append)
+  }
+
+  private def writeData(name: String, projected: DataFrame,
+      target: String, mode: SaveMode): Unit = {
+    var writer = projected.write.mode(mode)
     // bloom filters for index-marked columns (reference's bitmap-index analog)
     indexedColumns(name).foreach { c =>
       writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
@@ -252,7 +263,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     partitionColumn(name)
       .map(p => writer.partitionBy(p))
       .getOrElse(writer)
-      .parquet(dataDir(name).toString)
+      .parquet(target)
   }
 
   /** Ingest JSON lines (the reference's `insert(phile=..., decoder=
@@ -354,14 +365,42 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val s = schema(name)
     if (!Files.exists(dir) || listDir(dir).forall(_.getFileName.toString.startsWith("_")))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    else {
-      val logical = rawData(name)
-        .select(s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq: _*)
-      s.fields.filter(defaultOf(_).isDefined).foldLeft(logical) { (df, f) =>
-        df.withColumn(f.name,
-          coalesce(col(f.name), expr(defaultOf(f).get).cast(f.dataType)))
-      }
+    else toLogical(name, rawData(name))
+  }
+
+  /** Physical → logical mapping: storage names back to declared names,
+    * nulls in defaulted columns coalesced to their defaults. `extra`
+    * columns (e.g. a source-file tag) pass through untouched.
+    */
+  private def toLogical(name: String, raw: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame = {
+    val s = schema(name)
+    val logical = raw.select(
+      (s.fields.map(f => col(physicalName(f)).as(f.name)) ++ extra.map(col)).toSeq: _*)
+    s.fields.filter(defaultOf(_).isDefined).foldLeft(logical) { (df, f) =>
+      df.withColumn(f.name,
+        coalesce(col(f.name), expr(defaultOf(f).get).cast(f.dataType)))
     }
+  }
+
+  /** The logical table plus a `FileCol` source-file tag — the manifest
+    * view row-level DML plans over.
+    */
+  private def logicalWithFile(name: String): DataFrame =
+    toLogical(name, rawData(name).withColumn(Catalog.FileCol, input_file_name()),
+      extra = Seq(Catalog.FileCol))
+
+  /** Read ONLY the given data files (as `file:` URIs from
+    * [[logicalWithFile]]), logical view. `basePath` keeps Hive partition
+    * columns resolvable, so partition values survive the rewrite.
+    */
+  private def logicalOverFiles(name: String, files: Seq[String]): DataFrame = {
+    val s = schema(name)
+    val raw = spark.read
+      .option("basePath", dataDir(name).toString)
+      .schema(StructType(s.fields.map(f => f.copy(name = physicalName(f)))))
+      .parquet(files: _*)
+    toLogical(name, raw)
   }
 
   /** List partition values present on disk. */
@@ -426,4 +465,146 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     insert(name, df)
     table(name)
   }
+
+  // ------------------------------------------------------- row-level DML
+
+  /** Row-level copy-on-write DELETE (extension beyond the reference's
+    * partition-granularity [[delete]] — the table-format discipline for
+    * mutating an append-only store). FILE-granular: one manifest pass
+    * finds the data files that actually CONTAIN matching rows, and ONLY
+    * those files are rewritten (their retained rows re-staged, the
+    * originals swapped out); every other file is untouched bytes. At
+    * 100 TB that makes a targeted delete cost proportional to the files
+    * it hits — the same copy-on-write shape Delta/Iceberg use — instead
+    * of a full-table rewrite.
+    *
+    * SQL DELETE semantics: rows where `condition` is NULL are KEPT.
+    * Returns the number of rows deleted.
+    *
+    * Crash discipline (same as [[compact]]): the staged rewrite is fully
+    * written before any original moves; originals go to a `.bak` tree
+    * before staged files move in, and `.bak` is only removed last — an
+    * interruption leaves either the original files live or a recoverable
+    * `.bak` copy, never silent loss.
+    */
+  def deleteRows(name: String, condition: org.apache.spark.sql.Column): Long = {
+    if (!Files.exists(dataDir(name))) return 0L
+    // manifest pass: affected files + per-file matched-row counts in ONE job
+    val perFile = logicalWithFile(name).filter(condition)
+      .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")).collect()
+    if (perFile.isEmpty) return 0L
+    val affected = perFile.map(_.getString(0)).toSeq.sorted
+    val retained = logicalOverFiles(name, affected)
+      .filter(!coalesce(condition, lit(false)))
+    rewriteFiles(name, retained, affected)
+    perFile.map(_.getLong(1)).sum
+  }
+
+  /** Copy-on-write MERGE (upsert) by key — SQL MERGE's `WHEN MATCHED THEN
+    * UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`: every stored row
+    * whose `key` appears in `updates` is replaced by the update row with
+    * that key, and update rows with unseen keys are appended. `updates`
+    * must be key-unique (checked loudly — multiple update rows per key is
+    * the ambiguity SQL MERGE rejects at runtime).
+    *
+    * FILE-granular like [[deleteRows]]: the manifest pass semi-joins the
+    * update keys against the file-tagged table (AQE broadcasts the key
+    * side when it is small — the common shape: a trickle of updates
+    * against a huge table), and only files containing matched keys are
+    * rewritten. Returns (matchedRows, insertedRows).
+    */
+  def merge(name: String, updates: DataFrame, key: String): (Long, Long) = {
+    val s = schema(name)
+    require(s.fieldNames.contains(key), s"merge key $key not in schema of $name")
+    val nUpd = updates.count()
+    val keys = updates.select(col(key)).distinct()
+    val nKeys = keys.count()
+    require(nUpd == nKeys,
+      s"merge updates must be key-unique on $key: $nUpd rows over $nKeys keys")
+    // updates in logical terms, schema order, omitted defaulted columns filled
+    val updLogical = updates.select(s.fields.map { f =>
+      val c =
+        if (!updates.columns.contains(f.name) && defaultOf(f).isDefined)
+          expr(defaultOf(f).get).cast(f.dataType)
+        else col(f.name).cast(f.dataType)
+      c.as(f.name)
+    }.toSeq: _*)
+    if (!Files.exists(dataDir(name))) { insert(name, updLogical); return (0L, nUpd) }
+    val perFile = logicalWithFile(name).join(keys, Seq(key), "left_semi")
+      .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")).collect()
+    if (perFile.isEmpty) { insert(name, updLogical); return (0L, nUpd) }
+    val affected = perFile.map(_.getString(0)).toSeq.sorted
+    val matched = perFile.map(_.getLong(1)).sum
+    val matchedKeys = keys.join(
+      logicalOverFiles(name, affected), Seq(key), "left_semi").count()
+    // retained non-matched rows of the affected files + ALL update rows
+    // (matched replacements and fresh inserts alike) form the staged write
+    val retained = logicalOverFiles(name, affected).join(keys, Seq(key), "left_anti")
+      .select(s.fieldNames.map(col).toSeq: _*)
+    rewriteFiles(name, retained.unionByName(updLogical), affected)
+    (matched, nUpd - matchedKeys)
+  }
+
+  /** Swap `affected` data files (as `file:` URIs) for the staged write of
+    * `replacement` (logical columns): stage → originals to `.bak` → move
+    * staged files into the live tree (Hive layout preserved, Spark's
+    * UUID part-file names make collisions impossible) → drop `.bak`.
+    *
+    * The staged write goes through [[projectToPhysical]], so for the
+    * affected files ONLY, read-time defaults get baked into the rewritten
+    * bytes — read-visible results are identical before and after (the
+    * read path applies the same coalesce), and untouched files keep their
+    * raw bytes exactly as [[compact]] preserves them.
+    */
+  private def rewriteFiles(name: String, replacement: DataFrame,
+      affected: Seq[String]): Unit = {
+    val dir = dataDir(name)
+    val staged = Paths.get(dir.toString + ".rewrite_tmp")
+    val bak = Paths.get(dir.toString + ".rewrite_bak")
+    deleteRecursively(staged)
+    deleteRecursively(bak)
+    // the staged job READS the affected originals — write it fully first
+    writeData(name, projectToPhysical(name, replacement),
+      staged.toString, SaveMode.Overwrite)
+    Files.createDirectories(bak)
+    affected.foreach { uri =>
+      val p = Paths.get(java.net.URI.create(uri))
+      val rel = dir.relativize(p)
+      val dst = bak.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(p, dst)
+      // local-FS checksum sibling travels with its data file
+      val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
+      if (Files.exists(crc)) Files.move(crc, dst.getParent.resolve(crc.getFileName))
+    }
+    walkAll(staged)
+      .filter(p => Files.isRegularFile(p))
+      .filterNot(p => p.getFileName.toString.startsWith("_") ||
+        p.getFileName.toString.startsWith("."))
+      .foreach { p =>
+        val rel = staged.relativize(p)
+        val dst = dir.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(p, dst)
+      }
+    deleteRecursively(bak)
+    deleteRecursively(staged)
+    // a partition whose every row was deleted leaves a Hive dir holding at
+    // most hidden cruft (_SUCCESS markers, stray .crc) — drop it so
+    // partitions() reflects live data only
+    partitionColumn(name).foreach { p =>
+      listDir(dir)
+        .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$p="))
+        .filter(d => listDir(d).forall { f =>
+          val n = f.getFileName.toString
+          n.startsWith(".") || n.startsWith("_")
+        })
+        .foreach(deleteRecursively)
+    }
+  }
+}
+
+object Catalog {
+  /** Source-file tag column used by the row-level DML manifest passes. */
+  private[sources] val FileCol = "__graft_src_file"
 }

@@ -352,6 +352,119 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("docs").count() == docs.count(), "rejected deletes must not mutate")
   }
 
+  // data-file listing (name → size), the granularity witness for COW DML
+  private def dataFiles(cat: Catalog, table: String): Map[String, Long] = {
+    val dir = java.nio.file.Paths.get(cat.warehouse, table, "data")
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    } finally s.close()
+  }
+
+  test("deleteRows removes exactly the matching rows and returns the count") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    val cond = col("source") === "src0" || col("n_chars") % 17 === 3
+    val expectDel = docs.filter(cond).count()
+    val expectKeep = docs.filter(!cond).count()
+    assert(cat.deleteRows("docs", cond) == expectDel)
+    val back = cat.table("docs")
+    assert(back.count() == expectKeep)
+    assert(back.filter(cond).isEmpty)
+    // idempotent: nothing left to delete, and a no-match delete is free
+    assert(cat.deleteRows("docs", cond) == 0L)
+    assert(cat.deleteRows("docs", col("lang") === "no_such_lang") == 0L)
+  }
+
+  test("deleteRows is file-granular: files without matching rows keep their bytes") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    // fragment: several files per partition so granularity is observable
+    docs.repartition(4).write.mode("append")
+      .partitionBy("lang").parquet(
+        java.nio.file.Paths.get(cat.warehouse, "docs", "data").toString)
+    val before = dataFiles(cat, "docs")
+    // target one partition's rows only → other partitions' files untouched
+    val deleted = cat.deleteRows("docs", col("lang") === "en" && col("n_chars") % 2 === 0)
+    assert(deleted > 0)
+    val after = dataFiles(cat, "docs")
+    val untouchedBefore = before.filterNot(_._1.contains("lang=en"))
+    val untouchedAfter = after.filterNot(_._1.contains("lang=en"))
+    assert(untouchedAfter == untouchedBefore,
+      "files outside lang=en must keep identical paths and sizes")
+    assert(after.keySet.exists(_.contains("lang=en")), "retained en rows rewritten")
+  }
+
+  test("deleteRows that empties a partition drops its directory") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    assert(cat.partitions("docs").contains("en"))
+    cat.deleteRows("docs", col("lang") === "en")
+    assert(!cat.partitions("docs").contains("en"))
+    assert(cat.table("docs").filter(col("lang") === "en").isEmpty)
+  }
+
+  test("merge upserts: matched keys replaced in place, new keys appended") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    val n = docs.count()
+    val upd = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("source", lit("merged"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 5)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("source", lit("fresh")))
+    val nMatch = docs.filter(col("doc_id") % 7 === 3).count()
+    val nNew = docs.filter(col("doc_id") % 11 === 5).count()
+    assert(cat.merge("docs", upd, "doc_id") == ((nMatch, nNew)))
+    val back = cat.table("docs")
+    assert(back.count() == n + nNew)
+    assert(back.filter(col("source") === "merged").count() == nMatch)
+    assert(back.filter(col("source") === "fresh").count() == nNew)
+    // every matched key now carries the update's values, exactly once
+    assert(back.filter(col("doc_id") % 7 === 3 && col("doc_id") < 10000000L
+      && col("source") =!= "merged").isEmpty)
+    assert(back.select("doc_id").distinct().count() == back.count())
+  }
+
+  test("merge is file-granular and rejects non-key-unique updates") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    val before = dataFiles(cat, "docs")
+    // updates touch only lang=en rows → only en files rewritten
+    val upd = docs.filter(col("lang") === "en" && col("doc_id") % 3 === 0)
+      .withColumn("source", lit("merged"))
+    cat.merge("docs", upd, "doc_id")
+    val after = dataFiles(cat, "docs")
+    assert(after.filterNot(_._1.contains("lang=en"))
+      == before.filterNot(_._1.contains("lang=en")))
+    // duplicate keys in updates → loud rejection, no mutation
+    val dup = upd.unionByName(upd.limit(1))
+    val snapshot = dataFiles(cat, "docs")
+    assertThrows[IllegalArgumentException] { cat.merge("docs", dup, "doc_id") }
+    assert(dataFiles(cat, "docs") == snapshot)
+  }
+
+  test("merge into an empty table is a pure insert") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    val upd = docs.limit(7)
+    assert(cat.merge("docs", upd, "doc_id") == ((0L, 7L)))
+    assert(cat.table("docs").count() == 7)
+  }
+
   test("dump renders an aligned bounded prefix") {
     val out = graft.dsl.Dump.dump(
       Tables.documents(spark, sf0001).orderBy("doc_id")
