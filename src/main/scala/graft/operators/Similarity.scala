@@ -227,6 +227,40 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** Cross-corpus SRP-LSH near matches, exact-verified: (train_id,
+    * bench_id, sim) for every training vector whose cosine against some
+    * benchmark vector reaches `threshold`; candidates are pairs agreeing
+    * on at least one signature block. The benchmark block table is
+    * BROADCAST (eval suites are tiny next to a training corpus), so the
+    * training side is scanned once and never shuffled or self-joined —
+    * the embedding-space analog of [[Dedup.minHashCrossPairs]].
+    */
+  def srpCrossPairs(
+      train: DataFrame, trainId: String, bench: DataFrame, benchId: String,
+      vec: String, threshold: Double, dim: Int, bits: Int = 32): DataFrame = {
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
+    def blocks(df: DataFrame, id: String) = {
+      val sig = Tables.fanOut(df).select(col(id), col(vec),
+        srpSignature(col(vec), dim, bits).as("__sig"))
+      val bs = (0 until 4).map { j =>
+        struct(lit(j).as("blk"),
+          shiftrightunsigned(col("__sig"), j * blockBits).bitwiseAND(lit(mask)).as("key"))
+      }
+      sig.select(col(id), col(vec), explode(array(bs: _*)).as("bk"))
+        .select(col(id), col(vec), col("bk.blk"), col("bk.key"))
+    }
+    val b = blocks(bench, benchId).select(
+      col(benchId).as("__b_id"), col(vec).as("__b_vec"), col("blk"), col("key"))
+    val cand = blocks(train, trainId)
+      .join(broadcast(b), Seq("blk", "key"))
+      .select(col(trainId), col(vec), col("__b_id"), col("__b_vec"))
+      .distinct()
+    cand.withColumn("sim", VectorFunctions.cosine(col(vec), col("__b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col(trainId).as("train_id"), col("__b_id").as("bench_id"), col("sim"))
+  }
+
   /** Deterministic Lloyd k-means assignment (the offline step that builds
     * a REAL IVF index — upgrades the per-label-mean stand-in used by
     * [[ivfTopK]]'s fixture queries).
@@ -472,6 +506,54 @@ object Similarity {
        |                   JOIN vnorm nb ON nb.vec_id = vec_b)
        |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim_r FROM sims
        |WHERE sim >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** DuckDB replay of the CROSS-corpus SRP pipeline (benchmark = rows of
+    * `embeddings` with `vec_id % mod = r`, training = the rest): same
+    * plane literals / signature / block-key candidates as
+    * [[srpOracleSql]], restricted to train×bench pairs, then the per-
+    * train-vector contamination rollup — hash-exact against
+    * [[graft.operators.TrainingData.decontaminateSemantic]].
+    */
+  private[graft] def srpCrossOracleSql(
+      threshold: Double, dim: Int, bits: Int, mod: Int, r: Int): String = {
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
+    val planeRows = srpPlanes(bits, dim).zipWithIndex.map { case (plane, j) =>
+      plane.map(v => if (v > 0) "1.0" else "-1.0").mkString(s"($j, [", ",", "])")
+    }.mkString(",\n")
+    s"""WITH planes AS (
+       |  SELECT j, generate_subscripts(r, 1) AS pos, unnest(r) AS r
+       |  FROM (VALUES
+       |$planeRows
+       |  ) pl(j, r)),
+       |ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |proj AS (SELECT vec_id, j, SUM(x * r) AS p
+       |         FROM ev JOIN planes USING (pos) GROUP BY 1, 2),
+       |sig AS (SELECT vec_id,
+       |          CAST(SUM(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s
+       |        FROM proj GROUP BY 1),
+       |blk AS (SELECT vec_id, b AS blk, (s >> CAST(b * $blockBits AS INTEGER)) & $mask AS key
+       |        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS bench_id
+       |         FROM blk t JOIN blk e ON t.blk = e.blk AND t.key = e.key
+       |         WHERE t.vec_id % $mod <> $r AND e.vec_id % $mod = $r),
+       |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+       |dots AS (SELECT c.train_id, c.bench_id, SUM(a.x * b.x) AS dot
+       |         FROM cand c
+       |         JOIN ev a ON a.vec_id = c.train_id
+       |         JOIN ev b ON b.vec_id = c.bench_id AND b.pos = a.pos
+       |         GROUP BY 1, 2),
+       |hits AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+       |         FROM dots JOIN vnorm na ON na.vec_id = train_id
+       |                   JOIN vnorm nb ON nb.vec_id = bench_id
+       |         WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= $threshold
+       |         GROUP BY 1)
+       |SELECT e.vec_id, COALESCE(h.n_matches, 0) AS n_matches,
+       |  COALESCE(h.n_matches, 0) > 0 AS contaminated
+       |FROM embeddings e LEFT JOIN hits h ON h.train_id = e.vec_id
+       |WHERE e.vec_id % $mod <> $r ORDER BY e.vec_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- queries

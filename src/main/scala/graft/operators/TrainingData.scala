@@ -220,6 +220,28 @@ object TrainingData {
     * ([[Dedup.minHashCrossPairs]]), so the training corpus is scanned
     * once and never crossed against the benchmark.
     */
+  /** Semantic decontamination: flag training rows whose EMBEDDING is
+    * near-identical (cosine ≥ `threshold`) to any benchmark embedding —
+    * the representation-space member of the decontamination family
+    * ([[decontaminate]] = exact n-grams, [[decontaminateFuzzy]] = shingle
+    * Jaccard), catching reworded eval material that shares meaning but
+    * few surface n-grams. Candidates come from
+    * [[Similarity.srpCrossPairs]]'s broadcast SRP block join, so the
+    * training corpus is scanned once and never shuffled or self-joined.
+    */
+  def decontaminateSemantic(
+      docs: DataFrame, benchmark: DataFrame, id: String, vec: String,
+      threshold: Double, dim: Int, bits: Int = 32): DataFrame = {
+    val matches = Similarity
+      .srpCrossPairs(docs, id, benchmark, id, vec, threshold, dim, bits)
+      .groupBy("train_id").agg(count(lit(1)).as("n_matches"))
+      .withColumnRenamed("train_id", id)
+    docs.select(col(id))
+      .join(matches, Seq(id), "left")
+      .select(col(id), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def decontaminateFuzzy(
       docs: DataFrame, benchmark: DataFrame, id: String, shingles: Column,
       threshold: Double): DataFrame = {
@@ -503,6 +525,25 @@ object TrainingData {
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
         .orderBy("doc_id")
+    },
+
+    // ---- semantic decontamination: cosine ≥ 0.4 against the benchmark
+    // split (vec_id % 5 = 3 — the split size that plants verified cross
+    // hits at ALL fixture scales, measured 2/1/34 at sf0.001/0.01/0.1)
+    // of the embeddings fixture, candidates via the broadcast SRP block
+    // join. Oracle replays the ENTIRE LSH pipeline (planes → signatures
+    // → block keys → verify), so the row is hash-exact, not
+    // recall-waived ----
+    Q(
+      "decontaminate_semantic",
+      Similarity.srpCrossOracleSql(0.4, 64, 32, 5, 3),
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      decontaminateSemantic(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 3),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 3),
+        "vec_id", "embedding", 0.4, dim = 64)
+        .orderBy("vec_id")
     },
 
     // ---- deterministic stratified train/test split (90/10 on id hash) ----

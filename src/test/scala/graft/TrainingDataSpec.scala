@@ -196,6 +196,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(cross.count() > 0) // the fixture has cross-parity dup pairs
   }
 
+  test("decontaminateSemantic always flags exact embedding copies, and only real hits") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // plant benchmark rows that are EXACT copies of train vectors 1 and 2:
+    // identical vectors produce identical SRP signatures, so every block
+    // collides and the cosine-1.0 verify passes at any threshold — the
+    // structural recall floor of the SRP candidate generator
+    val bench = emb.filter(col("vec_id").isin(1L, 2L))
+      .withColumn("vec_id", col("vec_id") + 9000L)
+    val out = TrainingData.decontaminateSemantic(
+      emb, bench, "vec_id", "embedding", 0.99, dim = 64)
+    val flagged = out.filter(col("contaminated"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // at 0.99 nothing else in the fixture comes close (max pairwise ~0.6)
+    assert(flagged == Set(1L, 2L))
+    assert(out.count() == emb.count())
+    assert(out.filter(col("contaminated") && col("n_matches") === 0).isEmpty)
+    assert(out.filter(!col("contaminated") && col("n_matches") > 0).isEmpty)
+  }
+
   test("stratifiedSample returns k deterministic rows per stratum") {
     val docs = Tables.documents(spark, sf0001)
     val s1 = TrainingData.stratifiedSample(docs, "lang", "doc_id", 5)
