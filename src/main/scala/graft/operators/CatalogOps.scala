@@ -163,6 +163,55 @@ object CatalogOps {
         .orderBy("lang", "source")
     },
 
+    // ---- snapshot time travel: insert (v1) → row-level delete (v2) →
+    // merge (v3), then read BOTH the original snapshot (tableAt v1) and
+    // HEAD in one result. The oracle replays v1 as the raw fixture and
+    // HEAD as delete-then-merge SQL — proving old versions stay exactly
+    // readable after mutations (manifest log, not physical rewrite) ----
+    Q(
+      "catalog_time_travel",
+      """WITH del AS (
+        |  SELECT * FROM documents
+        |  WHERE NOT COALESCE(source = 'src0' OR n_chars % 17 = 3, FALSE)),
+        |upd AS (
+        |  SELECT doc_id, text, lang, 'merged' AS source,
+        |         CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |head AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT d.* FROM del d
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)),
+        |prof AS (
+        |  SELECT 'v1' AS snap, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'head', lang, CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+        |  FROM head GROUP BY lang)
+        |SELECT snap, lang, n_docs, total_chars FROM prof
+        |ORDER BY snap, lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs) // v1
+      cat.deleteRows("docs_wh",
+        col("source") === "src0" || col("n_chars") % 17 === 3) // v2
+      cat.merge("docs_wh", docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1000), "doc_id") // v3
+      def prof(df: org.apache.spark.sql.DataFrame, snap: String) =
+        df.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .select(lit(snap).as("snap"), col("lang"), col("n_docs"), col("total_chars"))
+      prof(cat.tableAt("docs_wh", 1), "v1")
+        .unionByName(prof(cat.table("docs_wh"), "head"))
+        .orderBy("snap", "lang")
+    },
+
     // ---- CSV ingest round-trip: fixture → Spark-written CSV →
     // insertCsv → read back. The md5-top-60 text fingerprint sum proves
     // the text column survived the CSV encode/parse cycle byte-exactly,

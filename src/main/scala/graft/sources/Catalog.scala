@@ -232,8 +232,112 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * (missing column → error), mirroring the reference's declared-schema
     * inserts.
     */
-  def insert(name: String, df: DataFrame): Unit =
-    writeData(name, projectToPhysical(name, df), dataDir(name).toString, SaveMode.Append)
+  def insert(name: String, df: DataFrame): Unit = {
+    val added = stageIn(name, projectToPhysical(name, df))
+    commitVersion(name, "insert", manifest(name, currentVersion(name)) ++ added)
+  }
+
+  // ------------------------------------------------ version manifests
+
+  private def versionsDir(name: String) = metaDir(name).resolve("versions")
+  private def manifestPath(name: String, v: Int) =
+    versionsDir(name).resolve(f"v$v%08d.txt")
+
+  /** Committed snapshot versions, ascending. Version 0 (the empty table
+    * right after [[create]]) is implicit and always readable.
+    */
+  def versions(name: String): Seq[Int] =
+    if (!Files.exists(versionsDir(name))) Seq.empty
+    else listDir(versionsDir(name)).map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt).sorted
+
+  def currentVersion(name: String): Int = versions(name).lastOption.getOrElse(0)
+
+  /** Data files (relative to the table's data dir) live at version `v`. */
+  private def manifest(name: String, v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else {
+      val p = manifestPath(name, v)
+      require(Files.exists(p),
+        s"version $v of table $name does not exist (never committed, or vacuumed)")
+      Files.readString(p).split("\n").toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
+
+  /** Atomic snapshot commit: write the next manifest to a temp file, then
+    * rename it into place — the rename IS the commit point. A crash
+    * before it leaves freshly staged data files orphaned (invisible to
+    * every reader, reclaimed by [[vacuum]]); a crash after it leaves the
+    * new version fully live. No reader ever observes a partial mutation —
+    * the discipline that replaces the pre-manifest `.bak` swap dance.
+    */
+  private def commitVersion(name: String, op: String, files: Seq[String]): Int = {
+    Files.createDirectories(versionsDir(name))
+    val v = currentVersion(name) + 1
+    val tmp = versionsDir(name).resolve(s".v$v.tmp")
+    Files.writeString(tmp, (s"# $op" +: files.sorted).mkString("\n"))
+    Files.move(tmp, manifestPath(name, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Stage a physical write under `<data>.stage_tmp`, then move the data
+    * files into the live tree (Hive layout preserved; Spark's per-job
+    * UUID part names make collisions impossible). Returns the moved
+    * files' data-dir-relative paths — the currency of manifests. Staged
+    * files are NOT readable until a subsequent [[commitVersion]] lists
+    * them.
+    */
+  private def stageIn(name: String, projected: DataFrame): Seq[String] = {
+    val dir = dataDir(name)
+    Files.createDirectories(dir)
+    val staged = Paths.get(dir.toString + ".stage_tmp")
+    deleteRecursively(staged)
+    writeData(name, projected, staged.toString, SaveMode.Overwrite)
+    val moved = walkAll(staged)
+      .filter(p => Files.isRegularFile(p))
+      .filterNot(p => p.getFileName.toString.startsWith("_") ||
+        p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val rel = staged.relativize(p)
+        val dst = dir.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(p, dst)
+        rel.toString
+      }
+    deleteRecursively(staged)
+    moved
+  }
+
+  /** Physically reclaim space: delete every data file not referenced by
+    * the last `retainLast` manifests (old snapshot files, crash orphans,
+    * stray checksum siblings), drop the older manifests, and prune
+    * now-empty partition dirs. After `vacuum(name)` only the files the
+    * retained versions can read remain on disk — time travel beyond them
+    * is gone, which is the explicit trade a vacuum makes.
+    */
+  def vacuum(name: String, retainLast: Int = 1): Unit = {
+    val dir = dataDir(name)
+    if (!Files.exists(dir)) return
+    val keep = math.max(1, retainLast)
+    val vs = versions(name)
+    val live = vs.takeRight(keep).flatMap(manifest(name, _)).toSet
+    walkAll(dir).filter(Files.isRegularFile(_)).foreach { f =>
+      val fn = f.getFileName.toString
+      // a .<file>.crc checksum shares the fate of its data file
+      val dataRel =
+        if (fn.startsWith(".") && fn.endsWith(".crc"))
+          dir.relativize(f.getParent.resolve(fn.stripPrefix(".").stripSuffix(".crc"))).toString
+        else dir.relativize(f).toString
+      if (!live.contains(dataRel)) Files.delete(f)
+    }
+    // prune empty (sub)dirs, deepest first
+    walkAll(dir).filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
+      .filter(d => d != dir && listDir(d).isEmpty)
+      .foreach(Files.delete)
+    vs.dropRight(keep).foreach(v => Files.deleteIfExists(manifestPath(name, v)))
+  }
 
   /** Logical columns (with write-time defaults for omitted defaulted
     * columns) cast and renamed to their PHYSICAL storage names — the
@@ -308,31 +412,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * Partitioned tables keep their Hive layout, compacted per partition.
     */
   def compact(name: String, targetFiles: Int = 1): Unit = {
-    val dir = dataDir(name)
-    // a created-but-never-inserted table has nothing to compact (and the
-    // staged swap below would throw moving a non-existent dir)
-    if (!Files.exists(dir)) return
+    // a created-but-never-inserted table has nothing to compact
+    if (manifest(name, currentVersion(name)).isEmpty) return
     // compact rewrites the PHYSICAL bytes as-is (no default coalescing):
     // a pre-addColumn file's nulls stay nulls on disk, so compaction never
-    // bakes read-time defaults into data files
-    val df = rawData(name)
-    val staged = Paths.get(dir.toString + ".compact_tmp")
-    var writer = df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
-    indexedColumns(name).foreach { c =>
-      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
-    }
-    partitionColumn(name)
-      .map(p => writer.partitionBy(p))
-      .getOrElse(writer)
-      .parquet(staged.toString)
-    // swap: old dir → .bak, staged → live, delete .bak (crash between the
-    // two moves leaves .bak intact for manual recovery — same discipline
-    // as a metastore-less table format without a manifest log)
-    val bak = Paths.get(dir.toString + ".compact_bak")
-    deleteRecursively(bak)
-    Files.move(dir, bak)
-    Files.move(staged, dir)
-    deleteRecursively(bak)
+    // bakes read-time defaults into data files. The new manifest lists
+    // ONLY the compacted files; the old fragments stay on disk for time
+    // travel until a vacuum reclaims them.
+    val added = stageIn(name, rawData(name).repartition(targetFiles))
+    commitVersion(name, "compact", added)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -342,16 +430,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       finally s.close()
     }
 
-  /** The data files as stored: physical column names, no default
-    * coalescing — the read [[table]] and [[compact]] build on.
+  /** The data files as stored at the HEAD version: physical column names,
+    * no default coalescing — the read [[table]] and [[compact]] build on.
     */
-  private def rawData(name: String): DataFrame = {
+  private def rawData(name: String): DataFrame =
+    rawDataAt(name, currentVersion(name))
+
+  private def rawDataAt(name: String, v: Int): DataFrame = {
     val dir = dataDir(name)
     val s = schema(name)
     spark.read
       .option("basePath", dir.toString)
       .schema(StructType(s.fields.map(f => f.copy(name = physicalName(f)))))
-      .parquet(dir.toString)
+      .parquet(manifest(name, v).map(rel => dir.resolve(rel).toString): _*)
   }
 
   /** Read a table back. Partition pruning applies when filtering on the
@@ -360,12 +451,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * written before an addColumn read their nulls coalesced to the
     * declared default (per-read, no physical backfill).
     */
-  def table(name: String): DataFrame = {
-    val dir = dataDir(name)
+  def table(name: String): DataFrame = tableAt(name, currentVersion(name))
+
+  /** Time travel: read the table AS OF snapshot version `v` (0 = the
+    * empty table right after create; [[versions]] lists what is
+    * readable). Column mapping and defaults are applied under the
+    * CURRENT declared schema — schema DDL is not itself versioned, the
+    * same contract as reading old files after an ALTER: physical-name
+    * mapping plus defaults make any retained snapshot readable under the
+    * live schema.
+    */
+  def tableAt(name: String, v: Int): DataFrame = {
     val s = schema(name)
-    if (!Files.exists(dir) || listDir(dir).forall(_.getFileName.toString.startsWith("_")))
+    if (manifest(name, v).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    else toLogical(name, rawData(name))
+    else toLogical(name, rawDataAt(name, v))
   }
 
   /** Physical → logical mapping: storage names back to declared names,
@@ -403,17 +503,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     toLogical(name, raw)
   }
 
-  /** List partition values present on disk. */
+  /** List partition values LIVE at the head version (manifest-derived:
+    * stale directories retained for time travel don't count).
+    */
   def partitions(name: String): Seq[String] = partitionColumn(name) match {
     case None => Seq.empty
     case Some(p) =>
-      val dir = dataDir(name)
-      if (!Files.exists(dir)) Seq.empty
-      else listDir(dir)
-        .map(_.getFileName.toString)
+      manifest(name, currentVersion(name))
+        .flatMap(_.split("/").headOption)
         .filter(_.startsWith(s"$p="))
         .map(_.stripPrefix(s"$p="))
-        .sorted
+        .distinct.sorted
   }
 
   /** Predicate-form delete — the reference's `t.delete(t.date == 'x')`
@@ -432,14 +532,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Partition-granularity delete (the only delete the reference has). */
+  /** Partition-granularity delete (the only delete the reference has).
+    * Metadata-only since the manifest log landed: the new version simply
+    * stops listing the partition's files — O(1) in data size, and the
+    * dropped partition stays time-travel-readable until a vacuum.
+    */
   def deletePartition(name: String, value: String): Unit = {
     val p = partitionColumn(name)
       .getOrElse(throw new IllegalArgumentException(s"table $name is not partitioned"))
-    val dir = dataDir(name).resolve(s"$p=$value")
-    if (Files.exists(dir)) {
-      walkAll(dir).reverse.foreach(Files.delete)
-    }
+    val prefix = s"$p=$value/"
+    val cur = manifest(name, currentVersion(name))
+    val remaining = cur.filterNot(_.startsWith(prefix))
+    if (remaining.size != cur.size)
+      commitVersion(name, s"deletePartition $p=$value", remaining)
   }
 
   /** Drop table + data. */
@@ -488,7 +593,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * `.bak` copy, never silent loss.
     */
   def deleteRows(name: String, condition: org.apache.spark.sql.Column): Long = {
-    if (!Files.exists(dataDir(name))) return 0L
+    if (manifest(name, currentVersion(name)).isEmpty) return 0L
     // manifest pass: affected files + per-file matched-row counts in ONE job
     val perFile = logicalWithFile(name).filter(condition)
       .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")).collect()
@@ -496,7 +601,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val affected = perFile.map(_.getString(0)).toSeq.sorted
     val retained = logicalOverFiles(name, affected)
       .filter(!coalesce(condition, lit(false)))
-    rewriteFiles(name, retained, affected)
+    val added = stageIn(name, projectToPhysical(name, retained))
+    commitVersion(name, "deleteRows",
+      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
     perFile.map(_.getLong(1)).sum
   }
 
@@ -529,7 +636,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         else col(f.name).cast(f.dataType)
       c.as(f.name)
     }.toSeq: _*)
-    if (!Files.exists(dataDir(name))) { insert(name, updLogical); return (0L, nUpd) }
+    if (manifest(name, currentVersion(name)).isEmpty) {
+      insert(name, updLogical); return (0L, nUpd)
+    }
     val perFile = logicalWithFile(name).join(keys, Seq(key), "left_semi")
       .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")).collect()
     if (perFile.isEmpty) { insert(name, updLogical); return (0L, nUpd) }
@@ -541,66 +650,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // (matched replacements and fresh inserts alike) form the staged write
     val retained = logicalOverFiles(name, affected).join(keys, Seq(key), "left_anti")
       .select(s.fieldNames.map(col).toSeq: _*)
-    rewriteFiles(name, retained.unionByName(updLogical), affected)
+    val added = stageIn(name, projectToPhysical(name, retained.unionByName(updLogical)))
+    commitVersion(name, "merge",
+      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
     (matched, nUpd - matchedKeys)
   }
 
-  /** Swap `affected` data files (as `file:` URIs) for the staged write of
-    * `replacement` (logical columns): stage → originals to `.bak` → move
-    * staged files into the live tree (Hive layout preserved, Spark's
-    * UUID part-file names make collisions impossible) → drop `.bak`.
-    *
-    * The staged write goes through [[projectToPhysical]], so for the
-    * affected files ONLY, read-time defaults get baked into the rewritten
-    * bytes — read-visible results are identical before and after (the
-    * read path applies the same coalesce), and untouched files keep their
-    * raw bytes exactly as [[compact]] preserves them.
+  /** `file:` URIs (as [[logicalWithFile]] tags them) → data-dir-relative
+    * manifest entries.
     */
-  private def rewriteFiles(name: String, replacement: DataFrame,
-      affected: Seq[String]): Unit = {
+  private def relativize(name: String, uris: Seq[String]): Seq[String] = {
     val dir = dataDir(name)
-    val staged = Paths.get(dir.toString + ".rewrite_tmp")
-    val bak = Paths.get(dir.toString + ".rewrite_bak")
-    deleteRecursively(staged)
-    deleteRecursively(bak)
-    // the staged job READS the affected originals — write it fully first
-    writeData(name, projectToPhysical(name, replacement),
-      staged.toString, SaveMode.Overwrite)
-    Files.createDirectories(bak)
-    affected.foreach { uri =>
-      val p = Paths.get(java.net.URI.create(uri))
-      val rel = dir.relativize(p)
-      val dst = bak.resolve(rel)
-      Files.createDirectories(dst.getParent)
-      Files.move(p, dst)
-      // local-FS checksum sibling travels with its data file
-      val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
-      if (Files.exists(crc)) Files.move(crc, dst.getParent.resolve(crc.getFileName))
-    }
-    walkAll(staged)
-      .filter(p => Files.isRegularFile(p))
-      .filterNot(p => p.getFileName.toString.startsWith("_") ||
-        p.getFileName.toString.startsWith("."))
-      .foreach { p =>
-        val rel = staged.relativize(p)
-        val dst = dir.resolve(rel)
-        Files.createDirectories(dst.getParent)
-        Files.move(p, dst)
-      }
-    deleteRecursively(bak)
-    deleteRecursively(staged)
-    // a partition whose every row was deleted leaves a Hive dir holding at
-    // most hidden cruft (_SUCCESS markers, stray .crc) — drop it so
-    // partitions() reflects live data only
-    partitionColumn(name).foreach { p =>
-      listDir(dir)
-        .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$p="))
-        .filter(d => listDir(d).forall { f =>
-          val n = f.getFileName.toString
-          n.startsWith(".") || n.startsWith("_")
-        })
-        .foreach(deleteRecursively)
-    }
+    uris.map(u => dir.relativize(Paths.get(java.net.URI.create(u))).toString)
   }
 }
 

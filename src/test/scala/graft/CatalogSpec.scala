@@ -284,8 +284,13 @@ class CatalogSpec extends SparkSpec {
     val before = fp(cat.table("frag"))
     assert(dataFiles() >= 16)
     cat.compact("frag", targetFiles = 2)
-    assert(dataFiles() == 2, "compaction must leave exactly targetFiles files")
+    // the fragments stay on disk for time travel until a vacuum reclaims
+    // them; the LIVE version reads exactly the 2 compacted files
+    assert(dataFiles() >= 18)
     assert(fp(cat.table("frag")) == before, "compaction must not change content")
+    cat.vacuum("frag")
+    assert(dataFiles() == 2, "vacuum must leave exactly the live compacted files")
+    assert(fp(cat.table("frag")) == before, "vacuum must not change content")
   }
 
   test("compact preserves the Hive partition layout of a partitioned table") {
@@ -386,19 +391,21 @@ class CatalogSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     cat.create("docs", docs.schema, Some("lang"))
     // fragment: several files per partition so granularity is observable
-    docs.repartition(4).write.mode("append")
-      .partitionBy("lang").parquet(
-        java.nio.file.Paths.get(cat.warehouse, "docs", "data").toString)
+    cat.insert("docs", docs.repartition(4))
     val before = dataFiles(cat, "docs")
     // target one partition's rows only → other partitions' files untouched
     val deleted = cat.deleteRows("docs", col("lang") === "en" && col("n_chars") % 2 === 0)
     assert(deleted > 0)
+    // vacuum to the live version so the physical tree IS the manifest view
+    cat.vacuum("docs")
     val after = dataFiles(cat, "docs")
     val untouchedBefore = before.filterNot(_._1.contains("lang=en"))
     val untouchedAfter = after.filterNot(_._1.contains("lang=en"))
     assert(untouchedAfter == untouchedBefore,
       "files outside lang=en must keep identical paths and sizes")
     assert(after.keySet.exists(_.contains("lang=en")), "retained en rows rewritten")
+    assert((before.keySet -- after.keySet).forall(_.contains("lang=en")),
+      "only en files may have been replaced")
   }
 
   test("deleteRows that empties a partition drops its directory") {
@@ -446,14 +453,72 @@ class CatalogSpec extends SparkSpec {
     val upd = docs.filter(col("lang") === "en" && col("doc_id") % 3 === 0)
       .withColumn("source", lit("merged"))
     cat.merge("docs", upd, "doc_id")
+    cat.vacuum("docs") // physical tree == live manifest view
     val after = dataFiles(cat, "docs")
     assert(after.filterNot(_._1.contains("lang=en"))
       == before.filterNot(_._1.contains("lang=en")))
+    assert((before.keySet -- after.keySet).forall(_.contains("lang=en")),
+      "only en files may have been replaced by the merge")
     // duplicate keys in updates → loud rejection, no mutation
     val dup = upd.unionByName(upd.limit(1))
     val snapshot = dataFiles(cat, "docs")
     assertThrows[IllegalArgumentException] { cat.merge("docs", dup, "doc_id") }
     assert(dataFiles(cat, "docs") == snapshot)
+  }
+
+  test("time travel: every committed version stays readable until vacuumed") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    assert(cat.currentVersion("docs") == 0)
+    assert(cat.tableAt("docs", 0).isEmpty)
+    cat.insert("docs", docs) // v1
+    val n = docs.count()
+    cat.deleteRows("docs", col("n_chars") % 2 === 0) // v2
+    val n2 = cat.table("docs").count()
+    val upd = docs.filter(col("doc_id") % 9 === 1).withColumn("source", lit("upd"))
+    cat.merge("docs", upd, "doc_id") // v3
+    cat.compact("docs") // v4
+    assert(cat.versions("docs") == Seq(1, 2, 3, 4))
+    // each snapshot replays its exact state
+    assert(cat.tableAt("docs", 1).count() == n)
+    assert(cat.tableAt("docs", 1).filter(col("source") === "upd").isEmpty)
+    assert(cat.tableAt("docs", 2).count() == n2)
+    assert(cat.tableAt("docs", 3).count() == cat.table("docs").count())
+    // HEAD == v4 == v3 content-wise (compact is layout-only)
+    val fp = (v: Int) => cat.tableAt("docs", v)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fp(3) == fp(4))
+    // unknown version fails loudly
+    assertThrows[IllegalArgumentException] { cat.tableAt("docs", 99).count() }
+    // vacuum(retainLast = 2) keeps v3/v4 readable, reclaims v1/v2
+    cat.vacuum("docs", retainLast = 2)
+    assert(cat.versions("docs") == Seq(3, 4))
+    assert(fp(3) == fp(4))
+    assertThrows[IllegalArgumentException] { cat.tableAt("docs", 1).count() }
+    assert(cat.table("docs").count() == cat.tableAt("docs", 4).count())
+  }
+
+  test("deletePartition is metadata-only and time-travel-reversible") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs) // v1
+    val enRows = docs.filter(col("lang") === "en").count()
+    cat.deletePartition("docs", "en") // v2: manifest stops listing en files
+    assert(!cat.partitions("docs").contains("en"))
+    assert(cat.table("docs").filter(col("lang") === "en").isEmpty)
+    // the partition's bytes are still there for the previous version
+    assert(cat.tableAt("docs", 1).filter(col("lang") === "en").count() == enRows)
+    // deleting an absent partition commits no version
+    val v = cat.currentVersion("docs")
+    cat.deletePartition("docs", "no_such_value")
+    assert(cat.currentVersion("docs") == v)
+    // vacuum makes the drop physical
+    cat.vacuum("docs")
+    val dir = java.nio.file.Paths.get(cat.warehouse, "docs", "data", "lang=en")
+    assert(!Files.exists(dir))
   }
 
   test("merge into an empty table is a pure insert") {
