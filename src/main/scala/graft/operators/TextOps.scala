@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, Q, Tables}
 import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table (SURVEY.md §2.9):
@@ -41,6 +42,57 @@ object TextOps {
        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS v FROM tf),
        |sc AS (SELECT doc_id, ${Det.davgSql("ln((c + 1.0) / (n_tok + v))")} AS avg_logp
        |       FROM tok JOIN tf USING (t) CROSS JOIN tot GROUP BY doc_id)""".stripMargin
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): for each trigram position in `docs`,
+    * the score is the UNNORMALIZED backoff chain over counts from `lm`
+    * (the training split) —
+    *   S = c3(w1w2w3)/c2(w1w2)            when the trigram was seen,
+    *   S = 0.4 · c2(w2w3)/c1(w2)          else when the bigram was seen,
+    *   S = 0.4² · (c1(w3)+1)/(N+V)        otherwise (add-1 unigram),
+    * and a document scores the average ln S over its trigram positions.
+    * The skipped normalization is the whole point at corpus scale —
+    * counts join by gram string under AQE (hash the grams to 60-bit keys
+    * for 8-byte joins at 100 TB; same shape), and only the 1-row (N, V)
+    * total is broadcast. Documents with fewer than 3 tokens have no
+    * trigram positions and are absent from the output.
+    */
+  def stupidBackoffScore(
+      docs: DataFrame, lm: DataFrame, id: String, text: Column): DataFrame = {
+    val c3 = lm.select(explode(TextFunctions.wordShinglesAll(text, 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c3"))
+    val c2 = lm.select(explode(TextFunctions.wordShinglesAll(text, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = lm.select(explode(TextFunctions.tokens(text)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum("c1").as("n"), count(lit(1)).as("v"))
+    val ws = col("__ws")
+    val i = col("__i")
+    val tri = docs.select(col(id), TextFunctions.tokens(text).as("__ws"))
+      .filter(size(ws) >= 3)
+      .select(col(id), ws, explode(sequence(lit(1), size(ws) - 2)).as("__i"))
+      .select(col(id),
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)).as("tg"),
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)).as("ctx2"),
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)).as("suf2"),
+        element_at(ws, i + 1).as("w2"),
+        element_at(ws, i + 2).as("w3"))
+    tri
+      .join(c3, Seq("tg"), "left")
+      .join(c2.select(col("bg").as("ctx2"), col("c2").as("c2ctx")), Seq("ctx2"), "left")
+      .join(c2.select(col("bg").as("suf2"), col("c2").as("c2suf")), Seq("suf2"), "left")
+      .join(c1.select(col("t").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(c1.select(col("t").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        when(col("c3").isNotNull, log(col("c3").cast("double") / col("c2ctx")))
+          .when(col("c2suf").isNotNull,
+            log(lit(0.4) * col("c2suf").cast("double") / col("c1w2")))
+          .otherwise(log(lit(0.16) * (coalesce(col("c1w3"), lit(0L)) + lit(1.0))
+            / (col("n") + col("v")))))
+      .groupBy(col(id)).agg(Det.davg(col("lp")).as("avg_logp3"))
+  }
 
   val queries: Seq[Q] = Seq(
     // ---- per-document stats: token counts, lengths, fingerprints ----
@@ -332,6 +384,65 @@ object TextOps {
         .withColumn("lp",
           log((col("cb") + 1).cast("double") / (col("c") + col("v"))))
         .groupBy("doc_id").agg(Det.davg(col("lp")).as("avg_logp2"))
+        .orderBy("doc_id")
+    },
+
+    // ---- trigram LM with Stupid Backoff (Brants et al. 2007): the model
+    // is counted on a TRAIN split (doc_id % 10 < 8) and scores the
+    // HELD-OUT docs, so unseen trigrams actually exercise the backoff
+    // chain — trigram MLE, else 0.4 · bigram MLE, else 0.4² · add-1
+    // unigram. This is the cheap high-order LM used at corpus scale
+    // precisely because the score needs no normalization — count tables
+    // join by gram under AQE, nothing but the 1-row (N, V) total is
+    // broadcast, and at 100 TB the gram keys would be 60-bit hashes
+    // (same join shape, 8-byte keys). Per-term micro quantization via
+    // Det.davg makes the 3-way CASE sum order-independent ----
+    Q(
+      "lm_trigram_backoff",
+      s"""WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents
+         |            WHERE doc_id % 10 < 8),
+         |ev0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |        WHERE doc_id % 10 >= 8),
+         |c3 AS (SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+         |         SELECT unnest(CASE WHEN len(ws) >= 3 THEN
+         |           list_transform(generate_series(1, len(ws) - 2),
+         |             i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+         |           ELSE [] END) AS tg FROM tr) GROUP BY 1),
+         |c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+         |         SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+         |           list_transform(generate_series(1, len(ws) - 1),
+         |             i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+         |           ELSE [] END) AS bg FROM tr) GROUP BY 1),
+         |c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+         |       FROM (SELECT unnest(ws) AS t FROM tr) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+         |               CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+         |tri AS (SELECT doc_id,
+         |          array_to_string(list_slice(ws, i, i + 2), ' ') AS tg,
+         |          array_to_string(list_slice(ws, i, i + 1), ' ') AS ctx2,
+         |          array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS suf2,
+         |          ws[i + 1] AS w2, ws[i + 2] AS w3
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+         |              FROM ev0 WHERE len(ws) >= 3)),
+         |sc AS (SELECT doc_id, ${Det.davgSql(
+              """CASE
+                |  WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / c2ctx)
+                |  WHEN c2suf IS NOT NULL THEN ln(0.4 * CAST(c2suf AS DOUBLE) / c1w2)
+                |  ELSE ln(0.16 * (COALESCE(c1w3, 0) + 1.0) / (n + v)) END"""
+                .stripMargin)} AS avg_logp3
+         |       FROM tri LEFT JOIN c3 USING (tg)
+         |       LEFT JOIN (SELECT bg AS ctx2, c2 AS c2ctx FROM c2) USING (ctx2)
+         |       LEFT JOIN (SELECT bg AS suf2, c2 AS c2suf FROM c2) USING (suf2)
+         |       LEFT JOIN (SELECT t AS w2, c1 AS c1w2 FROM c1) USING (w2)
+         |       LEFT JOIN (SELECT t AS w3, c1 AS c1w3 FROM c1) USING (w3)
+         |       CROSS JOIN tot GROUP BY doc_id)
+         |SELECT doc_id, avg_logp3 FROM sc ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      stupidBackoffScore(
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", col("text"))
         .orderBy("doc_id")
     },
 

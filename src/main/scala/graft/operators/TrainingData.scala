@@ -334,6 +334,32 @@ object TrainingData {
     * every sequence except a shard's last holds ≥ budget tokens.
     * Output: (id, shard, n_tok, seq_id).
     */
+  /** Context-window chunking: split each document's token stream into
+    * `chunkSize`-token windows starting every `stride` tokens (overlap =
+    * chunkSize − stride) — how long documents become model-context-sized
+    * training sequences while preserving continuity across window edges.
+    * Tail chunks may be short; every token is covered. Pure per-row
+    * explode, no shuffle at all until a consumer aggregates. Each chunk
+    * carries the 60-bit hash of its text, so chunk-level dedup /
+    * provenance joins ride an 8-byte key instead of the chunk body.
+    * Output: (id, chunk_idx, n_tokens, chunk_hash).
+    */
+  def chunkDocuments(
+      docs: DataFrame, id: String, text: Column,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs.select(col(id), TextFunctions.tokens(text).as("__toks"))
+      .select(col(id), col("__toks"),
+        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("__start"), lit(chunkSize)).as("__ctoks"))
+      .select(col(id), col("chunk_idx"),
+        size(col("__ctoks")).cast("long").as("n_tokens"),
+        TextFunctions.tokenHash60(array_join(col("__ctoks"), " ")).as("chunk_hash"))
+  }
+
   def packSequences(
       df: DataFrame, id: String, tokens: Column, budget: Int,
       shards: Int): DataFrame = {
@@ -657,6 +683,28 @@ object TrainingData {
         .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality_r"),
           hashSplit(col("doc_id"), 90).as("split"))
         .orderBy("doc_id")
+    },
+
+    // ---- context-window chunking: 64-token windows every 48 tokens
+    // (16-token overlap). The oracle replays the window arithmetic and
+    // the md5-60-bit chunk hash, so boundaries and content are both
+    // pinned ----
+    Q(
+      "doc_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |         unnest(generate_series(1, greatest(len(toks), 1), 48)) AS s,
+        |         generate_subscripts(
+        |           generate_series(1, greatest(len(toks), 1), 48), 1) AS ci
+        |       FROM t),
+        |ch AS (SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+        |         list_slice(toks, s, s + 63) AS ctoks FROM st)
+        |SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5(array_to_string(ctoks, ' ')), 1, 15))::BIGINT AS chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    ) { (s, d) =>
+      chunkDocuments(Tables.documents(s, d), "doc_id", col("text"), 64, 48)
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // ---- sequence packing: fixed 256-token training sequences, 8 hash

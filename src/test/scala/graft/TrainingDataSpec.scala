@@ -196,6 +196,60 @@ class TrainingDataSpec extends SparkSpec {
     assert(cross.count() > 0) // the fixture has cross-parity dup pairs
   }
 
+  test("chunkDocuments covers every token; overlap and tails behave") {
+    val docs = Tables.documents(spark, sf0001)
+    val chunks = TrainingData.chunkDocuments(docs, "doc_id", col("text"), 64, 48)
+    val docLens = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("len"))
+    // per doc: chunk count == ceil(max(len,1) / 48) over starts 1, 49, ...,
+    // total chunked tokens == len + 16 per non-final chunk (the overlap)
+    val agg = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), sum("n_tokens").as("tok_sum"),
+      max("n_tokens").as("max_ct"), min("n_tokens").as("min_ct"))
+    val joined = agg.join(docLens, "doc_id")
+      .withColumn("expect_chunks",
+        ceil(greatest(col("len"), lit(1)).cast("double") / 48).cast("long"))
+      // chunk sizes min(64, len−start+1) are non-increasing in start, so
+      // the smallest chunk is the last one: len − 48·(n_chunks−1)
+      .withColumn("expect_last", col("len") - (col("expect_chunks") - 1) * 48)
+    assert(joined.filter(col("n_chunks") =!= col("expect_chunks")).isEmpty)
+    assert(joined.filter(col("min_ct") =!= col("expect_last")).isEmpty)
+    assert(joined.filter(col("max_ct") > 64).isEmpty)
+    // coverage: chunked tokens ≥ len (every token appears), ≤ len + 16 per
+    // overlap (each non-final chunk re-reads at most 16 tokens)
+    assert(joined.filter(col("tok_sum") < col("len")).isEmpty)
+    assert(joined.filter(
+      col("tok_sum") > col("len") + (col("expect_chunks") - 1) * 16).isEmpty)
+    // every doc appears; chunk_idx is dense from 0
+    assert(agg.count() == docs.count())
+    assert(chunks.groupBy("doc_id").agg(min("chunk_idx").as("mn")).filter(col("mn") =!= 0).isEmpty)
+    intercept[IllegalArgumentException](
+      TrainingData.chunkDocuments(docs, "doc_id", col("text"), 32, 48)) // stride > chunk
+  }
+
+  test("stupidBackoffScore: self-scoring never backs off; short docs drop out") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf0001)
+    // scoring the LM corpus against itself: every trigram is in the count
+    // tables, so the score is the pure trigram MLE — c3 ≤ c2 per position
+    // forces every term (and the average) ≤ 0
+    val self = TextOps.stupidBackoffScore(docs, docs, "doc_id", col("text"))
+    assert(self.filter(col("avg_logp3") > 0).isEmpty)
+    val eligible = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 3).count()
+    assert(self.count() == eligible)
+    // held-out scoring is deterministic and bounded above by 0 too (every
+    // branch is the ln of a value in (0, 1]: MLE ratios ≤ 1, and the
+    // backoff factors only shrink them)
+    val lm = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val ev = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val a = TextOps.stupidBackoffScore(ev, lm, "doc_id", col("text")).collect()
+    val b = TextOps.stupidBackoffScore(ev, lm, "doc_id", col("text")).collect()
+    assert(a.forall(_.getDouble(1) <= 0))
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSet
+      == b.map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
   test("decontaminateSemantic always flags exact embedding copies, and only real hits") {
     val emb = Tables.embeddings(spark, sf0001)
     // plant benchmark rows that are EXACT copies of train vectors 1 and 2:
