@@ -38,7 +38,8 @@ object Bench {
     "q_heavy_hitters_cms", "dedup_bloom_shingles", "stream_session_agg",
     "stream_enrich_static", "dedup_substring", "dedup_semantic",
     "quality_buckets", "lm_bigram_score", "catalog_compact",
-    "dedup_semantic_scaled")
+    "dedup_semantic_scaled",
+    "decontaminate_semantic", "lm_trigram_backoff", "catalog_merge")
 
   /** Queries whose iterative checkpoint lifecycle makes a single timed
     * run noisy (block-manager churn from the previous query's cleanup can

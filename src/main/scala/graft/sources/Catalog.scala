@@ -254,6 +254,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   def currentVersion(name: String): Int = versions(name).lastOption.getOrElse(0)
 
+  /** (version, operation, liveFileCount) per retained snapshot, ascending —
+    * the DESCRIBE HISTORY view of the manifest log.
+    */
+  def history(name: String): Seq[(Int, String, Int)] =
+    versions(name).map { v =>
+      val lines = Files.readString(manifestPath(name, v)).split("\n").toSeq.map(_.trim)
+      val op = lines.headOption.filter(_.startsWith("# "))
+        .map(_.stripPrefix("# ")).getOrElse("unknown")
+      (v, op, lines.count(l => l.nonEmpty && !l.startsWith("#")))
+    }
+
   /** Data files (relative to the table's data dir) live at version `v`. */
   private def manifest(name: String, v: Int): Seq[String] =
     if (v == 0) Seq.empty

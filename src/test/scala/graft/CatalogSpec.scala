@@ -500,6 +500,22 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("docs").count() == cat.tableAt("docs", 4).count())
   }
 
+  test("history lists each snapshot's operation and live file count") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs)
+    cat.deleteRows("docs", col("lang") === "en")
+    cat.compact("docs")
+    val h = cat.history("docs")
+    assert(h.map(x => (x._1, x._2.split(" ").head)) ==
+      Seq((1, "insert"), (2, "deleteRows"), (3, "compact")))
+    assert(h.forall(_._3 > 0))
+    // after a vacuum only the retained tail remains
+    cat.vacuum("docs", retainLast = 1)
+    assert(cat.history("docs").map(_._1) == Seq(3))
+  }
+
   test("deletePartition is metadata-only and time-travel-reversible") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
