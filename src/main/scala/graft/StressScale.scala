@@ -236,6 +236,50 @@ object StressScale {
       .mkString("{", ",", "}"))
   }
 
+  /** COW DML scaling probe: a FIXED mutation (replica 0 keeps the original
+    * ids, so `doc_id < 1000` matches the same rows at every corpus scale)
+    * against a warehouse built from `<dir>`. Times the file-granular
+    * [[graft.sources.Catalog.deleteRows]] against the naive manifest-less
+    * alternative (rewrite the ENTIRE table minus matches), plus a
+    * fixed-size [[graft.sources.Catalog.merge]]. At 10× corpus the
+    * granular paths' rewrite term stays constant — only the linear
+    * manifest/predicate scan grows — while the naive rewrite grows with
+    * the table. One JSON line out.
+    */
+  private def dml(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    def freshTable(cat: graft.sources.Catalog, t: String): Unit = {
+      cat.create(t, docs.schema, partitionBy = Some("lang"))
+      cat.insert(t, docs.repartition(32))
+    }
+    val wh = java.nio.file.Files.createTempDirectory("graft_dml_").toString
+    val cat = new graft.sources.Catalog(spark, wh)
+    val cond = col("doc_id") < 1000 && col("doc_id") % 2 === 0
+    freshTable(cat, "t_del")
+    var t0 = System.nanoTime()
+    val deleted = cat.deleteRows("t_del", cond)
+    val granularSec = (System.nanoTime() - t0) / 1e9
+    // naive manifest-less COW: rewrite every file without the matches
+    freshTable(cat, "t_naive")
+    val naiveOut = java.nio.file.Paths.get(wh, "naive_rewrite").toString
+    t0 = System.nanoTime()
+    cat.table("t_naive").filter(!coalesce(cond, lit(false)))
+      .repartition(32).write.partitionBy("lang").parquet(naiveOut)
+    val naiveSec = (System.nanoTime() - t0) / 1e9
+    // fixed-size upsert: 500 replica-0 rows touched regardless of scale
+    freshTable(cat, "t_merge")
+    val upd = docs.filter(col("doc_id") < 500)
+      .withColumn("source", lit("upd"))
+    t0 = System.nanoTime()
+    val (matched, inserted) = cat.merge("t_merge", upd, "doc_id")
+    val mergeSec = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"dir":"$dir","n_docs":$n,"deleted":$deleted,""" +
+        f""""delete_granular_sec":$granularSec%.3f,"delete_fullrw_sec":$naiveSec%.3f,""" +
+        f""""merge_matched":$matched,"merge_inserted":$inserted,"merge_sec":$mergeSec%.3f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.toList match {
@@ -244,9 +288,10 @@ object StressScale {
       case "sem" :: dir :: k :: Nil => sem(spark, dir, k.toInt)
       case "sketch" :: dir :: Nil => sketch(spark, dir)
       case "simx" :: dir :: stride :: Nil => simx(spark, dir, stride.toLong)
+      case "dml" :: dir :: Nil => dml(spark, dir)
       case other => sys.error(
         s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k> " +
-          s"| sketch <dir> | simx <dir> <stride>; got $other")
+          s"| sketch <dir> | simx <dir> <stride> | dml <dir>; got $other")
     }
     spark.stop()
   }

@@ -265,6 +265,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       (v, op, lines.count(l => l.nonEmpty && !l.startsWith("#")))
     }
 
+  /** RESTORE TO VERSION: commit a NEW version whose manifest is snapshot
+    * `v`'s file list — a metadata-only rollback (no data movement, O(1)
+    * in table size), and itself time-travel-reversible: the rolled-back
+    * state stays in the history. `v` must still be retained (not
+    * vacuumed). Returns the new version number.
+    */
+  def restoreVersion(name: String, v: Int): Int = {
+    val files = manifest(name, v) // loud require if v was vacuumed/never existed
+    commitVersion(name, s"restore v$v", files)
+  }
+
   /** Data files (relative to the table's data dir) live at version `v`. */
   private def manifest(name: String, v: Int): Seq[String] =
     if (v == 0) Seq.empty
@@ -288,6 +299,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val v = currentVersion(name) + 1
     val tmp = versionsDir(name).resolve(s".v$v.tmp")
     Files.writeString(tmp, (s"# $op" +: files.sorted).mkString("\n"))
+    // optimistic single-writer check: POSIX rename REPLACES an existing
+    // target, so a lost-update race would otherwise be silent. (A real
+    // multi-writer deployment would commit via link(2)-style
+    // fail-if-exists — this guard turns the common race loud.)
+    require(!Files.exists(manifestPath(name, v)),
+      s"concurrent commit detected for $name v$v — another writer advanced the log")
     Files.move(tmp, manifestPath(name, v),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     v

@@ -516,6 +516,29 @@ class CatalogSpec extends SparkSpec {
     assert(cat.history("docs").map(_._1) == Seq(3))
   }
 
+  test("restoreVersion rolls back metadata-only and stays in the history") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs) // v1
+    val n = docs.count()
+    cat.deleteRows("docs", col("n_chars") % 3 === 0) // v2
+    assert(cat.table("docs").count() < n)
+    assert(cat.restoreVersion("docs", 1) == 3) // rollback the delete
+    assert(cat.table("docs").count() == n)
+    // the rollback is itself a version: the deleted state is still there
+    assert(cat.tableAt("docs", 2).count() < n)
+    assert(cat.history("docs").map(_._2) ==
+      Seq("insert", "deleteRows", "restore v1"))
+    // restoring to 0 empties the table; vacuumed versions are rejected
+    cat.restoreVersion("docs", 0)
+    assert(cat.table("docs").isEmpty)
+    cat.restoreVersion("docs", 3)
+    assert(cat.table("docs").count() == n)
+    cat.vacuum("docs", retainLast = 1)
+    assertThrows[IllegalArgumentException] { cat.restoreVersion("docs", 2) }
+  }
+
   test("deletePartition is metadata-only and time-travel-reversible") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
