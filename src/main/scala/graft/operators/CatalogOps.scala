@@ -212,6 +212,87 @@ object CatalogOps {
         .orderBy("snap", "lang")
     },
 
+    // ---- CDC change feed (tableChanges): insert (v1) → row-level delete
+    // (v2) → merge (v3), then read the row-level diff v1 → HEAD. The feed
+    // is computed file-granularly from the manifest diff, but COW rewrite
+    // churn cancels in the multiset EXCEPT ALL, so it must equal the pure
+    // logical diff — which is exactly what the oracle replays with
+    // EXCEPT ALL over the fixture ----
+    Q(
+      "catalog_changes",
+      """WITH del AS (
+        |  SELECT * FROM documents
+        |  WHERE NOT COALESCE(source = 'src0' OR n_chars % 17 = 3, FALSE)),
+        |upd AS (
+        |  SELECT doc_id, text, lang, 'merged' AS source,
+        |         CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000000 AS BIGINT), text, lang,
+        |         'fresh' AS source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |head AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT d.* FROM del d
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)),
+        |ins AS (SELECT * FROM head EXCEPT ALL SELECT * FROM documents),
+        |dels AS (SELECT * FROM documents EXCEPT ALL SELECT * FROM head)
+        |SELECT change_type, doc_id, lang, source, n_chars FROM (
+        |  SELECT 'insert' AS change_type, doc_id, lang, source, n_chars FROM ins
+        |  UNION ALL
+        |  SELECT 'delete', doc_id, lang, source, n_chars FROM dels)
+        |ORDER BY change_type, doc_id""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs) // v1
+      cat.deleteRows("docs_wh",
+        col("source") === "src0" || col("n_chars") % 17 === 3) // v2
+      cat.merge("docs_wh", docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(docs.filter(col("doc_id") % 11 === 5)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("source", lit("fresh"))), "doc_id") // v3
+      cat.tableChanges("docs_wh", 1, 3)
+        .select(col(Catalog.ChangeCol).as("change_type"),
+          col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("change_type", "doc_id")
+    },
+
+    // ---- RESTORE TO VERSION: insert (v1) → delete src0 rows (v2) →
+    // restore v1 (v3, metadata-only rollback) → a DIFFERENT delete (v4).
+    // HEAD must equal the fixture minus ONLY the second predicate — the
+    // src0 rows the rollback brought back must be present (if the restore
+    // silently no-opped, they'd be missing). head_version pins that the
+    // rollback COMMITTED a new version instead of rewriting history ----
+    Q(
+      "catalog_restore",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(4 AS INT) AS head_version
+        |FROM documents
+        |WHERE NOT COALESCE(n_chars % 13 = 7, FALSE)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs) // v1
+      cat.deleteRows("docs_wh", col("source") === "src0") // v2
+      cat.restoreVersion("docs_wh", 1) // v3: src0 rows live again
+      cat.deleteRows("docs_wh", col("n_chars") % 13 === 7) // v4
+      cat.table("docs_wh")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .withColumn("head_version", lit(cat.currentVersion("docs_wh")))
+        .orderBy("lang", "source")
+    },
+
     // ---- CSV ingest round-trip: fixture → Spark-written CSV →
     // insertCsv → read back. The md5-top-60 text fingerprint sum proves
     // the text column survived the CSV encode/parse cycle byte-exactly,

@@ -276,6 +276,36 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     commitVersion(name, s"restore v$v", files)
   }
 
+  /** CDC change feed between two retained snapshots: the row-level
+    * multiset diff `tableAt(toV) ∖ tableAt(fromV)` tagged 'insert' plus
+    * the reverse tagged 'delete', in a `_change` column appended to the
+    * logical schema.
+    *
+    * Computed FILE-GRANULARLY from the manifest diff: only files some
+    * intervening commit added or removed are ever read — never the whole
+    * table — so an incremental consumer pays for the churn, not the
+    * corpus. Rows that merely moved files (COW rewrite survivors,
+    * compaction) appear on both sides and cancel in the EXCEPT ALL, which
+    * makes the feed exactly the logical snapshot diff: a pure compact()
+    * between the two versions contributes nothing.
+    */
+  def tableChanges(name: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV,
+      s"tableChanges($name): fromV $fromV must be <= toV $toV")
+    val from = manifest(name, fromV).toSet
+    val to = manifest(name, toV).toSet
+    val dir = dataDir(name)
+    def readSide(files: Set[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema(name))
+      else logicalOverFiles(name, files.toSeq.sorted.map(rel => dir.resolve(rel).toString))
+    val added = readSide(to -- from)
+    val removed = readSide(from -- to)
+    added.exceptAll(removed).withColumn(Catalog.ChangeCol, lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn(Catalog.ChangeCol, lit("delete")))
+  }
+
   /** Data files (relative to the table's data dir) live at version `v`. */
   private def manifest(name: String, v: Int): Seq[String] =
     if (v == 0) Seq.empty
@@ -696,4 +726,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 object Catalog {
   /** Source-file tag column used by the row-level DML manifest passes. */
   private[sources] val FileCol = "__graft_src_file"
+
+  /** Change-type column ('insert' | 'delete') appended by [[Catalog.tableChanges]]. */
+  val ChangeCol = "_change"
 }

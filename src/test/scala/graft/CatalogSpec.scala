@@ -539,6 +539,40 @@ class CatalogSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { cat.restoreVersion("docs", 2) }
   }
 
+  test("tableChanges is the logical snapshot diff; churn and compaction cancel") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    val batch1 = docs.filter(col("doc_id") % 2 === 0)
+    val batch2 = docs.filter(col("doc_id") % 2 === 1)
+    cat.insert("docs", batch1) // v1
+    cat.insert("docs", batch2) // v2
+    // adjacent append: feed = batch2 as inserts, nothing deleted
+    val feed12 = cat.tableChanges("docs", 1, 2)
+    assert(feed12.filter(col(Catalog.ChangeCol) === "delete").isEmpty)
+    assert(feed12.filter(col(Catalog.ChangeCol) === "insert").count() == batch2.count())
+    // compaction rewrites every file but changes no rows → empty feed
+    cat.compact("docs") // v3
+    assert(cat.tableChanges("docs", 2, 3).isEmpty)
+    // row-level delete: feed = exactly the deleted rows, despite the COW
+    // rewrite churning whole files (survivor rows must cancel)
+    val pred = col("n_chars") % 5 === 0
+    val expectedDeleted = cat.table("docs").filter(pred).count()
+    cat.deleteRows("docs", pred) // v4
+    val feed34 = cat.tableChanges("docs", 3, 4)
+    assert(feed34.filter(col(Catalog.ChangeCol) === "insert").isEmpty)
+    assert(feed34.filter(col(Catalog.ChangeCol) === "delete").count() == expectedDeleted)
+    // restore shows up in the feed as the mirror image of the delete
+    cat.restoreVersion("docs", 3) // v5
+    val feed45 = cat.tableChanges("docs", 4, 5)
+    assert(feed45.filter(col(Catalog.ChangeCol) === "insert").count() == expectedDeleted)
+    assert(feed45.filter(col(Catalog.ChangeCol) === "delete").isEmpty)
+    // spanning diff delete→restore nets to zero; full span = all rows inserted
+    assert(cat.tableChanges("docs", 3, 5).isEmpty)
+    assert(cat.tableChanges("docs", 0, 5).count() == docs.count())
+    assertThrows[IllegalArgumentException] { cat.tableChanges("docs", 3, 1) }
+  }
+
   test("deletePartition is metadata-only and time-travel-reversible") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
