@@ -465,6 +465,145 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, sim_r FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  /** Product-quantization ANN (PQ, Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): each vector is split
+    * into `m` subvectors; every subspace trains its own Lloyd codebook of
+    * `kc` codewords; a vector's index entry is its `m` nearest-codeword
+    * codes — a 64-float embedding compresses to 4 small ints at m=4, and
+    * the corpus is never decoded again. Queries rank candidates by
+    * ASYMMETRIC distance (ADC): per query an m×kc lookup table of exact
+    * query-subvector ↔ codeword squared-L2 distances is built, and a
+    * candidate's approximate distance is the sum of its m table entries.
+    *
+    * Determinism contract (the [[kMeansAssign]] discipline, per
+    * subspace): shared seeds = the `kc` smallest-id vectors, fixed
+    * `iters` rounds, 6dp-rounded argmin with ties to the smallest code,
+    * Det-micros centroid means. ADC table entries are micros-quantized
+    * BIGINTs, so each candidate's m-term sum is integer-exact and
+    * summation-order-independent — the oracle replay is hash-exact.
+    *
+    * Scale shape: training/encoding are linear passes through the
+    * codegen'd [[graft.plans.VectorKernels.l2ArgMin]] kernel on sliced
+    * subvector views (codebooks = m·kc·(dim/m) doubles of model state,
+    * the sanctioned MLlib-style driver round-trip). The ADC scan is one
+    * broadcast-hash join of the (vec, sub, code) table against the
+    * |Q|·m·kc lookup table — batch-sized, same [[BroadcastProbeLimit]]
+    * reasoning as [[ivfTopK]] — plus an integer sum and per-query top-k.
+    * After encoding, no shuffle ever touches the raw vectors: at 100 TB
+    * the served index is the code table, ~64× smaller than the corpus.
+    */
+  def pqTopK(corpus: DataFrame, id: String, vec: String, m: Int, kc: Int,
+      iters: Int, k: Int, queryPred: Column): DataFrame = {
+    val spark = corpus.sparkSession
+    val vd = VectorFunctions.asDouble(col(vec))
+    val dim = corpus.select(size(col(vec)).as("d")).head.getInt(0)
+    require(m > 0 && dim % m == 0, s"pq: dim $dim not divisible into m=$m subspaces")
+    val subLen = dim / m
+    def subCol(j: Int) = slice(vd, j * subLen + 1, subLen)
+    val subIdx = (col("pos") / lit(subLen)).cast("int")
+
+    // train: seeds are the kc smallest-id vectors' subvectors, then
+    // `iters` Lloyd rounds — one linear kernel pass + one Det-micros
+    // mean aggregation per round
+    var cents: IndexedSeq[Seq[(Long, Seq[Double])]] = {
+      val seeds = corpus.filter(col(id) < kc)
+        .select(col(id).cast("long"), vd).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).sortBy(_._1).toSeq
+      (0 until m).map(j => seeds.map { case (cl, v) =>
+        cl -> (v.slice(j * subLen, (j + 1) * subLen): Seq[Double]) })
+    }
+    for (_ <- 1 to iters) {
+      val codes = array((0 until m).map(j =>
+        graft.plans.VectorKernels.l2ArgMin(subCol(j), cents(j))): _*)
+      val updated = corpus
+        .select(codes.as("codes"), posexplode(vd).as(Seq("pos", "x")))
+        .select(subIdx.as("sub"), element_at(col("codes"), subIdx + 1).as("cl"),
+          (col("pos") % subLen).as("spos"), col("x"))
+        .groupBy("sub", "cl", "spos").agg(graft.Det.davg(col("x")).as("m"))
+        .collect()
+      cents = (0 until m).map { j =>
+        updated.filter(_.getInt(0) == j)
+          .groupBy(_.getLong(1)).map { case (cl, rows) =>
+            cl -> (rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toVector: Seq[Double])
+          }.toSeq.sortBy(_._1)
+      }
+    }
+
+    // encode: one pass, n·m (neighbor, sub, code) rows — the PQ index
+    val codeCol = array((0 until m).map(j =>
+      graft.plans.VectorKernels.l2ArgMin(subCol(j), cents(j))): _*)
+    val codeRows = corpus
+      .select(col(id).as("neighbor_id"), posexplode(codeCol).as(Seq("sub", "code")))
+
+    // query-side ADC lookup tables: micros-quantized subspace distances
+    val centRows = for {
+      j <- 0 until m; (cl, v) <- cents(j); (x, p) <- v.zipWithIndex
+    } yield (j, cl, p, x)
+    val centsDf = spark.createDataFrame(centRows).toDF("sub", "cl", "spos", "cm")
+    val qd = corpus.filter(queryPred)
+      .select(col(id).as("query_id"), posexplode(vd).as(Seq("pos", "x")))
+      .select(col("query_id"), subIdx.as("sub"), (col("pos") % subLen).as("spos"), col("x"))
+      .join(broadcast(centsDf), Seq("sub", "spos"))
+      .groupBy("query_id", "sub", "cl")
+      .agg(round(sum((col("x") - col("cm")) * (col("x") - col("cm"))) * 1e6, 0)
+        .cast("long").as("du"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_u").asc, col("neighbor_id"))
+    codeRows.join(broadcast(qd),
+        codeRows("sub") === qd("sub") && col("code") === col("cl"))
+      .groupBy("query_id", "neighbor_id").agg(sum("du").as("adist_u"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist_u")
+  }
+
+  /** DuckDB replay of [[pqTopK]]: per-subspace Lloyd (the subspace is a
+    * grouping key, so one unrolled chain trains all m codebooks), codes,
+    * micros-quantized ADC tables, integer sums, per-query top-k.
+    */
+  private[graft] def pqOracleSql(m: Int, kc: Int, iters: Int, topK: Int,
+      queryCut: Int, dim: Int = 64): String = {
+    val subLen = dim / m
+    val rounds = (1 to iters).map { i =>
+      s"""pd$i AS (SELECT s.vec_id, s.sub, c.cl, ROUND(SUM((s.x - c.m)*(s.x - c.m)), 6) AS dist
+         |         FROM sv s JOIN pc${i - 1} c ON c.pos = s.pos GROUP BY 1, 2, 3),
+         |pa$i AS (SELECT vec_id, sub, cl FROM (
+         |    SELECT vec_id, sub, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+         |    FROM pd$i) WHERE rn = 1),
+         |pc$i AS (SELECT a.cl, s.sub, s.pos,
+         |           CAST(SUM(CAST(ROUND((s.x)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS m
+         |         FROM pa$i a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+         |         GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |sv AS (SELECT vec_id, CAST(FLOOR((pos - 1) / $subLen.0) AS INTEGER) AS sub, pos, x FROM ev),
+       |pc0 AS (SELECT vec_id AS cl, sub, pos, x AS m FROM sv WHERE vec_id < $kc),
+       |$rounds,
+       |fd AS (SELECT s.vec_id, s.sub, c.cl, ROUND(SUM((s.x - c.m)*(s.x - c.m)), 6) AS dist
+       |       FROM sv s JOIN pc$iters c ON c.pos = s.pos GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cl AS code FROM (
+       |    SELECT vec_id, sub, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+       |    FROM fd) WHERE rn = 1),
+       |qd AS (SELECT s.vec_id AS query_id, s.sub, c.cl,
+       |         CAST(ROUND(SUM((s.x - c.m)*(s.x - c.m)) * 1000000.0, 0) AS BIGINT) AS du
+       |       FROM sv s JOIN pc$iters c ON c.pos = s.pos
+       |       WHERE s.vec_id < $queryCut GROUP BY 1, 2, 3),
+       |adc AS (SELECT q.query_id, co.vec_id AS neighbor_id,
+       |          CAST(SUM(q.du) AS BIGINT) AS adist_u
+       |        FROM codes co JOIN qd q ON q.sub = co.sub AND q.cl = co.code
+       |        WHERE co.vec_id <> q.query_id GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id, adist_u,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_u, neighbor_id) AS BIGINT) AS rank
+       |           FROM adc)
+       |SELECT query_id, neighbor_id, rank, adist_u FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of the full SRP pipeline: the ±1 planes are fixed-seed
     * literals, so signatures, block keys, candidates, and the exact-cosine
     * verify are all reproducible in SQL — the LSH path gets a hash-exact
@@ -718,6 +857,16 @@ object Similarity {
         "cluster", 5, 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim"), 6).as("sim_r"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- product quantization: m=4 subspace codebooks of kc=8 codewords
+    // (2 Lloyd rounds each), corpus encoded to 4 codes per vector, ADC
+    // ranking via micros-quantized lookup-table sums. The oracle replays
+    // training, encoding, and the ADC scan — hash-exact ----
+    Q("ann_topk_pq", pqOracleSql(4, 8, 2, 5, 20)) { (s, d) =>
+      pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 4, kc = 8, iters = 2, k = 5, queryPred = col("vec_id") < 20)
         .orderBy("query_id", "rank")
     },
 

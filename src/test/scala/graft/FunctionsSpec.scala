@@ -330,6 +330,36 @@ class FunctionsSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 $mean") // int8 error ~1% of cosine
   }
 
+  test("pqTopK: planted duplicate attains the minimum ADC distance; recall floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // plant an exact copy of vec 3 under a fresh id: it must encode to the
+    // query's own argmin codes, so no candidate can score below it
+    val dup = emb.filter(col("vec_id") === 3).withColumn("vec_id", lit(990L))
+    val topk = Similarity.pqTopK(emb.unionByName(dup), "vec_id", "embedding",
+      m = 4, kc = 8, iters = 2, k = 5, queryPred = col("vec_id") === 3).collect()
+    assert(topk.length == 5)
+    assert(topk.map(_.getLong(2)).sorted.toSeq == (1L to 5L).toSeq)
+    assert(!topk.exists(_.getLong(1) == 3L)) // self excluded
+    val dupRow = topk.find(_.getLong(1) == 990L)
+    assert(dupRow.isDefined, "exact duplicate missing from PQ top-k")
+    assert(dupRow.get.getLong(3) == topk.map(_.getLong(3)).min)
+    // coarse-quantized ranking still recalls a meaningful share of the
+    // exact top-k (4 subspaces × 8 codes is the fixture-sized codebook)
+    val q = emb.filter(col("vec_id") < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exactL2 = topSets(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id"))
+    val pq = topSets(Similarity.pqTopK(emb, "vec_id", "embedding",
+      m = 4, kc = 8, iters = 2, k = 5, queryPred = col("vec_id") < 10)
+      .select("query_id", "neighbor_id"))
+    val recalls = exactL2.map { case (qid, ex) =>
+      (pq.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean PQ recall@5 $mean")
+  }
+
   test("bruteForceTopK self-consistent: rank 1 is the max-cosine neighbor") {
     val emb = Tables.embeddings(spark, sf0001)
     val topk = Similarity.bruteForceTopK(
