@@ -212,6 +212,31 @@ object CatalogOps {
         .orderBy("snap", "lang")
     },
 
+    // ---- bucketed co-located join: both sides written bucketed by the
+    // join key (8 buckets), so the join plans with zero shuffle exchanges
+    // (PlanSpec asserts the no-Exchange plan with broadcast disabled —
+    // here the oracle checks the results round-trip the bucketed layout
+    // bit-for-bit) ----
+    Q(
+      "catalog_bucketed_join",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND((o_totalprice)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      graft.sources.Bucketing.writeBucketed(
+        Tables.customer(s, d), "bkt_customer", s"$wh/bkt_customer", 8, "c_custkey")
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, d), "bkt_orders", s"$wh/bkt_orders", 8, "o_custkey")
+      s.table("bkt_orders").join(s.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+
     // ---- CDC change feed (tableChanges): insert (v1) → row-level delete
     // (v2) → merge (v3), then read the row-level diff v1 → HEAD. The feed
     // is computed file-granularly from the manifest diff, but COW rewrite

@@ -122,6 +122,25 @@ class PlanSpec extends SparkSpec {
       s"expected AQE skew-split SMJ; got:\n${plan.take(1500)}")
   }
 
+  test("bucketed tables co-locate: the fact-fact join plans zero exchanges") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt_test_").toString
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, sf0001), "bkt_o_spec", s"$wh/o", 8, "o_custkey")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.customer(s, sf0001), "bkt_c_spec", s"$wh/c", 8, "c_custkey")
+    val j = s.table("bkt_o_spec").join(s.table("bkt_c_spec"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side; got:\n${plan.take(1500)}")
+    // and the co-located plan returns exactly the unbucketed join's rows
+    val plainCount = Tables.orders(s, sf0001).join(Tables.customer(s, sf0001),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(j.count() == plainCount)
+  }
+
   test("ivfTopK drops the probed-set broadcast past BroadcastProbeLimit") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf0001)
