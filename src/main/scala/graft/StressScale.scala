@@ -249,9 +249,14 @@ object StressScale {
   private def dml(spark: SparkSession, dir: String): Unit = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
+    // range-cluster the insert on doc_id: file-granular DML can only skip
+    // files when the predicate column is clustered (the reason table
+    // formats pair COW DML with clustering/Z-order). A round-robin insert
+    // is the degenerate case — every file contains matches and the
+    // granular path degrades to the full rewrite plus a manifest pass.
     def freshTable(cat: graft.sources.Catalog, t: String): Unit = {
       cat.create(t, docs.schema, partitionBy = Some("lang"))
-      cat.insert(t, docs.repartition(32))
+      cat.insert(t, docs.repartitionByRange(32, col("doc_id")))
     }
     val wh = java.nio.file.Files.createTempDirectory("graft_dml_").toString
     val cat = new graft.sources.Catalog(spark, wh)
