@@ -50,11 +50,21 @@ object Dump {
     */
   def repl(
       spark: SparkSession, sfDir: String,
-      lines: Iterator[String], out: String => Unit, limit: Int = 20): Unit = {
+      lines: Iterator[String], out: String => Unit, limit: Int = 20,
+      warehouse: Option[String] = None): Unit = {
     graft.sources.GraftSql.registerFixtures(spark, sfDir)
     out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, " +
       "\\schema <t> prints DDL columns, \\explain <sql> shows the physical plan, " +
+      "\\history <t> / \\restore <t> <v> operate on the bound warehouse, " +
       "\\timing toggles timing, \\q quits")
+    lazy val cat: Option[graft.sources.Catalog] =
+      warehouse.map(new graft.sources.Catalog(spark, _))
+    def withCat(f: graft.sources.Catalog => Unit): Unit = cat match {
+      case Some(c) =>
+        try f(c) catch { case e: Exception => out(s"error: ${e.getMessage}") }
+      case None =>
+        out("error: no warehouse bound — set SPARK_GRAFT_WAREHOUSE or pass one")
+    }
     var done = false
     var timing = false
     val buf = new StringBuilder
@@ -92,6 +102,21 @@ object Dump {
             s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
             .mkString(s"$t (\n", ",\n", "\n)"))
           catch { case e: Exception => out(s"error: ${e.getMessage}") }
+        }
+        else if (line.startsWith("\\history ")) withCat { c =>
+          // DESCRIBE HISTORY over the manifest log of the bound warehouse
+          val t = line.drop(9).trim
+          out(c.history(t).map { case (v, op, nf) =>
+            f"  v$v%-4d $op%-24s $nf%4d files" }
+            .mkString(s"$t history (HEAD v${c.currentVersion(t)})\n", "\n", ""))
+        }
+        else if (line.startsWith("\\restore ")) withCat { c =>
+          line.drop(9).trim.split("\\s+") match {
+            case Array(t, v) if v.forall(_.isDigit) =>
+              val nv = c.restoreVersion(t, v.toInt)
+              out(s"$t restored to v$v as new version v$nv")
+            case _ => out("usage: \\restore <table> <version>")
+          }
         }
         else if (line.startsWith("\\explain "))
           try out(spark.sql(line.drop(9).trim.stripSuffix(";"))
@@ -131,7 +156,7 @@ object Dump {
         repl(spark, sfDir,
           Iterator.continually(scala.io.StdIn.readLine("graft> "))
             .takeWhile(_ != null),
-          println(_), n)
+          println(_), n, warehouse = sys.env.get("SPARK_GRAFT_WAREHOUSE"))
     } finally spark.stop()
   }
 }

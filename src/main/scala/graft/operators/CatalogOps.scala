@@ -33,6 +33,38 @@ object CatalogOps {
     dir.toString
   }
 
+  /** Incremental view maintenance over the CDC feed: roll a materialized
+    * additive aggregate (a COUNT plus SUM columns per group) forward from
+    * snapshot `fromV` to `toV` WITHOUT rescanning the table — feed
+    * inserts add, deletes subtract, groups whose count reaches zero drop
+    * out, groups born in the delta appear. Only additive aggregates
+    * qualify (count/sum; avg = sum/count at read time) — that's the
+    * standard IVM restriction. At 100 TB this turns "recompute the
+    * corpus-wide profile after a trickle mutation" into a pass over just
+    * the churned files ([[graft.sources.Catalog.tableChanges]] reads
+    * nothing else).
+    *
+    * `sumCols` maps output column name → input column; `prior` must
+    * carry `keys ++ (countCol +: sumCols.keys)`.
+    */
+  def rollForward(cat: Catalog, table: String, fromV: Int, toV: Int,
+      prior: org.apache.spark.sql.DataFrame, keys: Seq[String], countCol: String,
+      sumCols: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val sign = when(col(Catalog.ChangeCol) === "insert", 1L).otherwise(-1L)
+    val aggs = sum(sign).as("__dn") +: sumCols.toSeq.map { case (out, in) =>
+      sum(sign * col(in)).as(s"__d_$out") }
+    val deltas = cat.tableChanges(table, fromV, toV)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rolled = keys.map(col) ++
+      ((countCol, "__dn") +: sumCols.keys.toSeq.map(k => (k, s"__d_$k"))).map {
+        case (out, d) =>
+          (coalesce(col(out), lit(0L)) + coalesce(col(d), lit(0L))).as(out)
+      }
+    prior.join(deltas, keys, "full_outer")
+      .select(rolled: _*)
+      .filter(col(countCol) > 0)
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- full ingest round-trip: per-(lang) profile must survive the
     // write/read cycle bit-for-bit ----
@@ -315,6 +347,54 @@ object CatalogOps {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .withColumn("head_version", lit(cat.currentVersion("docs_wh")))
+        .orderBy("lang", "source")
+    },
+
+    // ---- incremental view maintenance: materialize the per-(lang,
+    // source) profile at v1, mutate (deleteRows v2, merge v3), then roll
+    // the profile forward from the CDC feed ALONE — no HEAD rescan. The
+    // oracle recomputes the head profile from scratch; matching it proves
+    // delta-add/delta-subtract/group-birth/group-death all land exactly ----
+    Q(
+      "catalog_incremental_agg",
+      """WITH del AS (
+        |  SELECT * FROM documents
+        |  WHERE NOT COALESCE(source = 'src0' OR n_chars % 17 = 3, FALSE)),
+        |upd AS (
+        |  SELECT doc_id, text, lang, 'merged' AS source,
+        |         CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000000 AS BIGINT), text, lang,
+        |         'fresh' AS source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |head AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT d.* FROM del d
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id))
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM head GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_wh", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_wh", docs) // v1
+      val prior = cat.tableAt("docs_wh", 1) // the materialized view build
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      cat.deleteRows("docs_wh",
+        col("source") === "src0" || col("n_chars") % 17 === 3) // v2
+      cat.merge("docs_wh", docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(docs.filter(col("doc_id") % 11 === 5)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("source", lit("fresh"))), "doc_id") // v3
+      rollForward(cat, "docs_wh", 1, 3, prior, Seq("lang", "source"),
+        "n_docs", Map("total_chars" -> "n_chars"))
         .orderBy("lang", "source")
     },
 

@@ -659,6 +659,36 @@ class CatalogSpec extends SparkSpec {
     assert(out(2).startsWith("error:"))
   }
 
+  test("repl \\history and \\restore operate on the bound warehouse") {
+    val wh = Files.createTempDirectory("graft_repl_wh_").toString
+    val cat = new Catalog(spark, wh)
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs", docs.schema, Some("lang"))
+    cat.insert("docs", docs) // v1
+    cat.deleteRows("docs", col("source") === "src0") // v2
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        "\\history docs",
+        "\\restore docs 1",
+        "\\history docs",
+        "\\restore docs", // malformed
+        "\\q"),
+      out += _, warehouse = Some(wh))
+    assert(out(1).startsWith("docs history (HEAD v2)"))
+    assert(out(1).contains("insert") && out(1).contains("deleteRows"))
+    assert(out(2) == "docs restored to v1 as new version v3")
+    assert(out(3).contains("restore v1") && out(3).startsWith("docs history (HEAD v3)"))
+    assert(out(4).startsWith("usage:"))
+    assert(cat.table("docs").count() == docs.count()) // the restore took
+    // without a bound warehouse the commands refuse loudly
+    val out2 = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(spark, sf0001,
+      Iterator("\\history docs", "\\q"), out2 += _)
+    assert(out2(1).startsWith("error: no warehouse bound"))
+  }
+
   test("repl buffers multi-line statements and toggles \\timing") {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     graft.dsl.Dump.repl(
