@@ -494,64 +494,138 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, id: String, vec: String, m: Int, kc: Int,
       iters: Int, k: Int, queryPred: Column): DataFrame = {
-    val spark = corpus.sparkSession
+    val model = pqTrain(corpus, id, vec, m, kc, iters)
+    val codeRows = pqCodeRows(corpus, id, vec, model)
+    val qd = pqLookupTables(corpus.filter(queryPred), id, vec, model)
+      .withColumnRenamed("cl", "code")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_u").asc, col("neighbor_id"))
+    codeRows.join(broadcast(qd), Seq("sub", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum("du").as("adist_u"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist_u")
+  }
+
+  /** Trained PQ codebooks: per subspace, (code id, centroid) pairs. */
+  private[graft] final case class PqModel(
+      m: Int, subLen: Int, cents: IndexedSeq[Seq[(Long, Seq[Double])]])
+
+  private def pqSubCol(vec: String, model: PqModel, j: Int): Column =
+    slice(VectorFunctions.asDouble(col(vec)), j * model.subLen + 1, model.subLen)
+
+  /** Train the m per-subspace Lloyd codebooks (seeds = the kc smallest-id
+    * vectors' subvectors; fixed `iters` rounds; one linear kernel pass +
+    * one Det-micros mean aggregation per round).
+    */
+  private[graft] def pqTrain(corpus: DataFrame, id: String, vec: String,
+      m: Int, kc: Int, iters: Int): PqModel = {
     val vd = VectorFunctions.asDouble(col(vec))
     val dim = corpus.select(size(col(vec)).as("d")).head.getInt(0)
     require(m > 0 && dim % m == 0, s"pq: dim $dim not divisible into m=$m subspaces")
     val subLen = dim / m
-    def subCol(j: Int) = slice(vd, j * subLen + 1, subLen)
     val subIdx = (col("pos") / lit(subLen)).cast("int")
-
-    // train: seeds are the kc smallest-id vectors' subvectors, then
-    // `iters` Lloyd rounds — one linear kernel pass + one Det-micros
-    // mean aggregation per round
-    var cents: IndexedSeq[Seq[(Long, Seq[Double])]] = {
+    var model = PqModel(m, subLen, {
       val seeds = corpus.filter(col(id) < kc)
         .select(col(id).cast("long"), vd).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).sortBy(_._1).toSeq
       (0 until m).map(j => seeds.map { case (cl, v) =>
         cl -> (v.slice(j * subLen, (j + 1) * subLen): Seq[Double]) })
-    }
+    })
     for (_ <- 1 to iters) {
       val codes = array((0 until m).map(j =>
-        graft.plans.VectorKernels.l2ArgMin(subCol(j), cents(j))): _*)
+        graft.plans.VectorKernels.l2ArgMin(pqSubCol(vec, model, j), model.cents(j))): _*)
       val updated = corpus
         .select(codes.as("codes"), posexplode(vd).as(Seq("pos", "x")))
         .select(subIdx.as("sub"), element_at(col("codes"), subIdx + 1).as("cl"),
           (col("pos") % subLen).as("spos"), col("x"))
         .groupBy("sub", "cl", "spos").agg(graft.Det.davg(col("x")).as("m"))
         .collect()
-      cents = (0 until m).map { j =>
+      model = model.copy(cents = (0 until m).map { j =>
         updated.filter(_.getInt(0) == j)
           .groupBy(_.getLong(1)).map { case (cl, rows) =>
             cl -> (rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toVector: Seq[Double])
           }.toSeq.sortBy(_._1)
-      }
+      })
     }
+    model
+  }
 
-    // encode: one pass, n·m (neighbor, sub, code) rows — the PQ index
-    val codeCol = array((0 until m).map(j =>
-      graft.plans.VectorKernels.l2ArgMin(subCol(j), cents(j))): _*)
-    val codeRows = corpus
-      .select(col(id).as("neighbor_id"), posexplode(codeCol).as(Seq("sub", "code")))
+  /** Encode: one pass, n·m (neighbor_id, sub, code) rows — the PQ index. */
+  private[graft] def pqCodeRows(corpus: DataFrame, id: String, vec: String,
+      model: PqModel): DataFrame = {
+    val codeCol = array((0 until model.m).map(j =>
+      graft.plans.VectorKernels.l2ArgMin(pqSubCol(vec, model, j), model.cents(j))): _*)
+    corpus.select(col(id).as("neighbor_id"), posexplode(codeCol).as(Seq("sub", "code")))
+  }
 
-    // query-side ADC lookup tables: micros-quantized subspace distances
+  /** Query-side ADC lookup tables: (query_id, sub, cl, du) with du the
+    * micros-quantized exact query-subvector ↔ codeword squared-L2
+    * distance, so downstream m-term sums are integer-exact.
+    */
+  private[graft] def pqLookupTables(queries: DataFrame, id: String, vec: String,
+      model: PqModel): DataFrame = {
+    val spark = queries.sparkSession
+    val vd = VectorFunctions.asDouble(col(vec))
+    val subIdx = (col("pos") / lit(model.subLen)).cast("int")
     val centRows = for {
-      j <- 0 until m; (cl, v) <- cents(j); (x, p) <- v.zipWithIndex
+      j <- 0 until model.m; (cl, v) <- model.cents(j); (x, p) <- v.zipWithIndex
     } yield (j, cl, p, x)
     val centsDf = spark.createDataFrame(centRows).toDF("sub", "cl", "spos", "cm")
-    val qd = corpus.filter(queryPred)
+    queries
       .select(col(id).as("query_id"), posexplode(vd).as(Seq("pos", "x")))
-      .select(col("query_id"), subIdx.as("sub"), (col("pos") % subLen).as("spos"), col("x"))
+      .select(col("query_id"), subIdx.as("sub"), (col("pos") % model.subLen).as("spos"), col("x"))
       .join(broadcast(centsDf), Seq("sub", "spos"))
       .groupBy("query_id", "sub", "cl")
       .agg(round(sum((col("x") - col("cm")) * (col("x") - col("cm"))) * 1e6, 0)
         .cast("long").as("du"))
+  }
 
+  /** IVF-PQ — the canonical billion-scale ANN index shape (FAISS
+    * `IVFPQ`, non-residual variant): a coarse k-means quantizer of
+    * `nlist` clusters routes each query to its `nprobe`
+    * nearest-by-cosine clusters, and ONLY vectors in the probed clusters
+    * are ranked, by PQ asymmetric distance over their m codes. Combines
+    * [[kMeansAssign]] (coarse index build), the [[ivfTopK]] probe chain,
+    * and the [[pqTopK]] ADC machinery — both determinism contracts
+    * compose, so the whole index is still hash-exactly replayable.
+    *
+    * Scale shape: scan cost drops from O(n·m) table lookups per query to
+    * O(n·m·nprobe/nlist); memory stays the m-codes table. The probed
+    * cluster list (|Q|·nprobe rows, no vectors) is broadcast — orders of
+    * magnitude smaller than [[ivfTopK]]'s vector-carrying probed set, so
+    * the [[BroadcastProbeLimit]] switch is not needed until far larger
+    * batches.
+    */
+  def ivfPqTopK(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, nprobe: Int, m: Int, kc: Int, iters: Int, k: Int,
+      queryPred: Column): DataFrame = {
+    val assign = kMeansAssign(corpus, id, vec, nlist, iters)
+      .select(col(id), col("cluster"))
+    val indexed = corpus.join(assign, id)
+    // probe: rank the coarse clusters' mean centroids by cosine per query
+    val cents = centroids(indexed, "cluster", vec)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cluster"))
+    val probed = corpus.filter(queryPred)
+      .select(col(id).as("query_id"), col(vec).as("qv"))
+      .join(broadcast(cents))
+      .withColumn("csim", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val model = pqTrain(corpus, id, vec, m, kc, iters)
+    val codeRows = pqCodeRows(corpus, id, vec, model)
+    val qd = pqLookupTables(corpus.filter(queryPred), id, vec, model)
+      .withColumnRenamed("cl", "code")
+    val cand = assign.select(col(id).as("neighbor_id"), col("cluster"))
+      .join(broadcast(probed), Seq("cluster"))
+      .select("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist_u").asc, col("neighbor_id"))
-    codeRows.join(broadcast(qd),
-        codeRows("sub") === qd("sub") && col("code") === col("cl"))
+    cand.join(codeRows, Seq("neighbor_id"))
+      .join(broadcast(qd), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "neighbor_id").agg(sum("du").as("adist_u"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -563,8 +637,11 @@ object Similarity {
     * grouping key, so one unrolled chain trains all m codebooks), codes,
     * micros-quantized ADC tables, integer sums, per-query top-k.
     */
-  private[graft] def pqOracleSql(m: Int, kc: Int, iters: Int, topK: Int,
-      queryCut: Int, dim: Int = 64): String = {
+  /** PQ CTE chain (assumes `ev(vec_id, x, pos)` is already defined):
+    * subspace Lloyd rounds → `codes(vec_id, sub, code)` and the
+    * query-side lookup tables `qd(query_id, sub, cl, du)`.
+    */
+  private def pqCtes(m: Int, kc: Int, iters: Int, queryCut: Int, dim: Int): String = {
     val subLen = dim / m
     val rounds = (1 to iters).map { i =>
       s"""pd$i AS (SELECT s.vec_id, s.sub, c.cl, ROUND(SUM((s.x - c.m)*(s.x - c.m)), 6) AS dist
@@ -578,9 +655,7 @@ object Similarity {
          |         FROM pa$i a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
          |         GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
-       |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
-       |sv AS (SELECT vec_id, CAST(FLOOR((pos - 1) / $subLen.0) AS INTEGER) AS sub, pos, x FROM ev),
+    s"""sv AS (SELECT vec_id, CAST(FLOOR((pos - 1) / $subLen.0) AS INTEGER) AS sub, pos, x FROM ev),
        |pc0 AS (SELECT vec_id AS cl, sub, pos, x AS m FROM sv WHERE vec_id < $kc),
        |$rounds,
        |fd AS (SELECT s.vec_id, s.sub, c.cl, ROUND(SUM((s.x - c.m)*(s.x - c.m)), 6) AS dist
@@ -592,7 +667,17 @@ object Similarity {
        |qd AS (SELECT s.vec_id AS query_id, s.sub, c.cl,
        |         CAST(ROUND(SUM((s.x - c.m)*(s.x - c.m)) * 1000000.0, 0) AS BIGINT) AS du
        |       FROM sv s JOIN pc$iters c ON c.pos = s.pos
-       |       WHERE s.vec_id < $queryCut GROUP BY 1, 2, 3),
+       |       WHERE s.vec_id < $queryCut GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  private val EvCte: String =
+    """ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |              generate_subscripts(embedding, 1) AS pos FROM embeddings)""".stripMargin
+
+  private[graft] def pqOracleSql(m: Int, kc: Int, iters: Int, topK: Int,
+      queryCut: Int, dim: Int = 64): String =
+    s"""WITH $EvCte,
+       |${pqCtes(m, kc, iters, queryCut, dim)},
        |adc AS (SELECT q.query_id, co.vec_id AS neighbor_id,
        |          CAST(SUM(q.du) AS BIGINT) AS adist_u
        |        FROM codes co JOIN qd q ON q.sub = co.sub AND q.cl = co.code
@@ -602,7 +687,44 @@ object Similarity {
        |           FROM adc)
        |SELECT query_id, neighbor_id, rank, adist_u FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** DuckDB replay of [[ivfPqTopK]]: coarse Lloyd chain ([[kMeansCtes]],
+    * which defines `ev` and `kassign`), the PQ chain over the same `ev`,
+    * the cosine probe over per-cluster mean centroids, then ADC
+    * restricted to probed clusters.
+    */
+  private[graft] def ivfPqOracleSql(nlist: Int, nprobe: Int, m: Int, kc: Int,
+      iters: Int, topK: Int, queryCut: Int, dim: Int = 64): String =
+    s"""WITH ${kMeansCtes(nlist.toString, iters)},
+       |${pqCtes(m, kc, iters, queryCut, dim)},
+       |cent AS (SELECT ka.cluster AS bucket, ev.pos, AVG(ev.x) AS m
+       |         FROM ev JOIN kassign ka ON ka.vec_id = ev.vec_id GROUP BY 1, 2),
+       |cnorm AS (SELECT bucket, SUM(m*m) AS n2 FROM cent GROUP BY 1),
+       |vnorm AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+       |qdots AS (SELECT ev.vec_id AS query_id, c.bucket, SUM(ev.x * c.m) AS dot
+       |          FROM ev JOIN cent c ON c.pos = ev.pos
+       |          WHERE ev.vec_id < $queryCut GROUP BY 1, 2),
+       |csims AS (SELECT q.query_id, q.bucket,
+       |            q.dot / (sqrt(vn.n2) * sqrt(cn.n2)) AS csim
+       |          FROM qdots q JOIN vnorm vn ON vn.vec_id = q.query_id
+       |                       JOIN cnorm cn ON cn.bucket = q.bucket),
+       |probed AS (SELECT query_id, bucket FROM (
+       |    SELECT query_id, bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY csim DESC, bucket) AS crank
+       |    FROM csims) WHERE crank <= $nprobe),
+       |cand AS (SELECT p.query_id, ka.vec_id AS neighbor_id
+       |         FROM probed p JOIN kassign ka ON ka.cluster = p.bucket
+       |         WHERE ka.vec_id <> p.query_id),
+       |adc AS (SELECT c.query_id, c.neighbor_id, CAST(SUM(q.du) AS BIGINT) AS adist_u
+       |        FROM cand c JOIN codes co ON co.vec_id = c.neighbor_id
+       |                    JOIN qd q ON q.query_id = c.query_id
+       |                             AND q.sub = co.sub AND q.cl = co.code
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id, adist_u,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_u, neighbor_id) AS BIGINT) AS rank
+       |           FROM adc)
+       |SELECT query_id, neighbor_id, rank, adist_u FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replay of the full SRP pipeline: the ±1 planes are fixed-seed
     * literals, so signatures, block keys, candidates, and the exact-cosine
@@ -867,6 +989,17 @@ object Similarity {
     Q("ann_topk_pq", pqOracleSql(4, 8, 2, 5, 20)) { (s, d) =>
       pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         m = 4, kc = 8, iters = 2, k = 5, queryPred = col("vec_id") < 20)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- IVF-PQ: coarse k-means (nlist=8) routes each query to its
+    // nprobe=3 nearest clusters by cosine; only vectors there are ranked,
+    // by PQ asymmetric distance over their 4 codes. The oracle replays
+    // the coarse index, codebooks, probe, and restricted ADC scan ----
+    Q("ann_topk_ivfpq", ivfPqOracleSql(8, 3, 4, 8, 2, 5, 20)) { (s, d) =>
+      ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        nlist = 8, nprobe = 3, m = 4, kc = 8, iters = 2, k = 5,
+        queryPred = col("vec_id") < 20)
         .orderBy("query_id", "rank")
     },
 

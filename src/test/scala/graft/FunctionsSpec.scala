@@ -360,6 +360,34 @@ class FunctionsSpec extends SparkSpec {
     assert(mean >= 0.2, s"mean PQ recall@5 $mean")
   }
 
+  test("ivfPqTopK with nprobe = nlist equals plain pqTopK (full probe)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val ivfpq = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      nlist = 4, nprobe = 4, m = 4, kc = 8, iters = 2, k = 5,
+      queryPred = col("vec_id") < 10))
+    val pq = rows(Similarity.pqTopK(emb, "vec_id", "embedding",
+      m = 4, kc = 8, iters = 2, k = 5, queryPred = col("vec_id") < 10))
+    assert(ivfpq.toSeq == pq.toSeq,
+      "probing every coarse cluster must be exactly the unrestricted ADC scan")
+    // and a narrower probe returns a subset of candidates, never a superset
+    val narrow = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      nlist = 4, nprobe = 1, m = 4, kc = 8, iters = 2, k = 5,
+      queryPred = col("vec_id") < 10).collect()
+    assert(narrow.nonEmpty)
+    val pqPairs = pq.map(t => (t._1, t._2, t._4)).toSet
+    // every (query, neighbor) the narrow probe scores carries the SAME
+    // integer ADC distance the full scan computed (ranks may differ)
+    narrow.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(pqPairs.contains(key) ||
+        !pq.exists(t => t._1 == key._1 && t._2 == key._2),
+        s"narrow-probe pair $key disagrees with the full ADC scan")
+    }
+  }
+
   test("bruteForceTopK self-consistent: rank 1 is the max-cosine neighbor") {
     val emb = Tables.embeddings(spark, sf0001)
     val topk = Similarity.bruteForceTopK(
