@@ -134,6 +134,53 @@ object EventsOps {
         .orderBy("event_type", "hour_start")
     },
 
+    // ---- time-series resample + gap fill: per user, the last observed
+    // value of each active hour, re-gridded to EVERY hour between the
+    // user's first and last activity, missing hours forward-filled. The
+    // grid explode is per-row (no shuffle beyond the hourly pre-agg) and
+    // the fill is one bounded-frame window — both linear. Deterministic:
+    // "last in hour" = max (ts, event_id) struct, value passes through
+    // untouched so the double hashes exactly ----
+    Q(
+      "events_resample_ffill",
+      """WITH hourly AS (
+        |  SELECT user_id, hour_start, value AS v FROM (
+        |    SELECT user_id, DATE_TRUNC('hour', ts) AS hour_start, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id < 30) WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(MIN(hour_start), MAX(hour_start), INTERVAL 1 HOUR)) AS hour_start
+        |  FROM hourly GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.hour_start, h.v
+        |      FROM grid g LEFT JOIN hourly h
+        |        ON h.user_id = g.user_id AND h.hour_start = g.hour_start)
+        |SELECT user_id, hour_start,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+        |  CAST(v IS NOT NULL AS INTEGER) AS observed
+        |FROM j ORDER BY user_id, hour_start""".stripMargin,
+    ) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hour_start").as("h0"), max("hour_start").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hour_start"))
+      val wf = Window.partitionBy("user_id").orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour_start"), "left")
+        .select(col("user_id"), col("hour_start"),
+          last(col("v"), ignoreNulls = true).over(wf).as("value_ffill"),
+          col("v").isNotNull.cast("int").as("observed"))
+        .orderBy("user_id", "hour_start")
+    },
+
     // ---- W1: remaining window-function surface — ntile, dense_rank,
     // first/last value over the full partition frame ----
     Q(

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the time-series resample + forward-fill operator. */
+class EventsSpec extends SparkSpec {
+
+  test("events_resample_ffill: contiguous hourly grid per user, ffill carries last observed value") {
+    val df = SparkEntry.queries("events_resample_ffill")(spark, sf0001).cache()
+    try {
+      // 1. The grid is gap-free: per user, row count == hours between min and max + 1.
+      val grid = df.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("rows"),
+          (unix_timestamp(max("hour_start")) - unix_timestamp(min("hour_start"))).as("spanSec"))
+        .withColumn("expected", col("spanSec") / 3600 + 1)
+      assert(grid.filter(col("rows") =!= col("expected")).count() === 0L)
+
+      // 2. Observed rows pass their value through; the first row of every user is observed
+      //    (grid starts at the first activity), so value_ffill is never null.
+      assert(df.filter(col("value_ffill").isNull).count() === 0L)
+
+      // 3. Forward fill: on a gap row, value_ffill equals the previous row's value_ffill.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("hour_start")
+      val gaps = df
+        .withColumn("prev", lag("value_ffill", 1).over(w))
+        .filter(col("observed") === 0)
+      assert(gaps.count() > 0L, "fixture must contain at least one gap hour")
+      assert(gaps.filter(col("value_ffill") =!= col("prev")).count() === 0L)
+    } finally df.unpersist()
+  }
+}
