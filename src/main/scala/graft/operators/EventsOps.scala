@@ -436,5 +436,33 @@ object EventsOps {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     },
+
+    // ---- per-group top-k WITHOUT a window sort: a size-k partial
+    // aggregate (functions.TopKAggregator) keeps ≤ k rows per group per
+    // map task, so the shuffle carries k·groups·partitions tuples instead
+    // of the whole table. The oracle states the SEMANTICS via the naive
+    // ROW_NUMBER window — the plans differ (that is the point), the
+    // results must not. EventsSpec asserts the plan has no Window node ----
+    Q(
+      "q_group_topk",
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank
+        |  FROM events)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    ) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("event_type"),
+          (col("pos") + 1L).cast("long").as("rank"),
+          col("t._2").as("event_id"),
+          col("t._1").as("value"))
+        .orderBy("event_type", "rank")
+    },
   )
 }

@@ -30,4 +30,25 @@ class EventsSpec extends SparkSpec {
       assert(gaps.filter(col("value_ffill") =!= col("prev")).count() === 0L)
     } finally df.unpersist()
   }
+
+  test("q_group_topk: partial-aggregate plan (no Window), equals the window formulation") {
+    val df = SparkEntry.queries("q_group_topk")(spark, sf0001)
+
+    // The whole point of the aggregator: no Window node, and the aggregate
+    // is split partial/merge so each map task forwards at most k rows/group.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"top-k must not plan a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+
+    // Semantics witness: identical rows to the naive ROW_NUMBER plan.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").desc)
+    val naive = Tables.events(spark, sf0001)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("event_type", "rank", "event_id", "value")
+    assert(df.except(naive).count() === 0L)
+    assert(naive.except(df).count() === 0L)
+    assert(df.count() === naive.count())
+  }
 }
