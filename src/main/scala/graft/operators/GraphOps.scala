@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship tables (SURVEY.md §2.9 extension
+  * tier, sibling of the connected-components duplicate-cluster resolver
+  * in [[TrainingData]]).
+  *
+  * PageRank here runs on an INTEGER-NANOS lattice: every rank is a BIGINT
+  * count of 1e-9 units, every division is integer division (`DIV`), so
+  * the computation is bit-identical across engines and the DuckDB oracle
+  * replays all three unrolled iterations hash-exactly — same discipline
+  * as the unrolled Lloyd rounds in [[Similarity]].
+  *
+  * Scale shape: each iteration is one shuffle join (edges keyed by src ⋈
+  * ranks keyed by id) plus one partial-aggregated groupBy(dst) — both
+  * linear in |E| and key-partitioned, so a 1000-executor cluster runs
+  * each round as a standard co-partitioned join. The ONLY broadcast is
+  * the 1-row node-count scalar (PlanSpec-allowlisted). Iterations are
+  * unrolled statically — no driver-side collect/count inside the loop; a
+  * convergence-stopped variant would ride `Dataset.observe` on the
+  * round's own job exactly like connectedComponents does.
+  */
+object GraphOps {
+
+  /** Damped PageRank (d = 0.85), 3 unrolled iterations, on the undirected
+    * co-transaction graph: one edge pair customer↔supplier per distinct
+    * (o_custkey, l_suppkey) appearing together in an order. Supplier ids
+    * are offset by 1e6 into a disjoint node-id space.
+    */
+  private val iterations = 3
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "graph_pagerank",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s + 1000000 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT s + 1000000 AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |        FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT id, 1000000000 // nn.n AS r FROM nodes, nn),
+        |s1 AS (SELECT e.dst AS id, CAST(SUM(r0.r // d.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r0 ON r0.id = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id,
+        |         150000000 // nn.n + (85 * COALESCE(s1.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.id = nodes.id),
+        |s2 AS (SELECT e.dst AS id, CAST(SUM(r1.r // d.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r1 ON r1.id = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id,
+        |         150000000 // nn.n + (85 * COALESCE(s2.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.id = nodes.id),
+        |s3 AS (SELECT e.dst AS id, CAST(SUM(r2.r // d.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r2 ON r2.id = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id,
+        |         150000000 // nn.n + (85 * COALESCE(s3.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.id = nodes.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_nanos
+        |FROM r3 ORDER BY rank_nanos DESC, id LIMIT 50""".stripMargin,
+    ) { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .join(
+          Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs
+        .select(col("c").as("src"), (col("s") + 1000000L).as("dst"))
+        .unionAll(pairs.select((col("s") + 1000000L).as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val nTot = nodes.agg(count(lit(1)).as("n"))
+      // (src, dst, outdeg) — reused by every iteration's contribution join.
+      val edgesDeg = edges.join(deg, "src")
+
+      var r = nodes
+        .crossJoin(broadcast(nTot))
+        .select(col("id"), expr("1000000000 DIV n").as("r"))
+      for (_ <- 1 to iterations) {
+        val contrib = edgesDeg
+          .join(r.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(expr("r DIV outdeg")).as("s"))
+        r = nodes
+          .crossJoin(broadcast(nTot))
+          .join(contrib, Seq("id"), "left")
+          .select(
+            col("id"),
+            (expr("150000000 DIV n")
+              + expr("(85 * COALESCE(s, 0)) DIV 100")).as("r"))
+      }
+      r.select(col("id"), col("r").as("rank_nanos"))
+        .orderBy(col("rank_nanos").desc, col("id"))
+        .limit(50)
+    },
+  )
+}

@@ -192,7 +192,8 @@ class PlanSpec extends SparkSpec {
       "tfidf_top_terms", "lm_unigram_score", "quality_buckets",
       "q_heavy_hitters_cms", "dedup_bloom_shingles", "lm_bigram_score",
       "bm25_score", // 1-row (N, avgdl) corpus-stats scalar broadcast
-      "lm_trigram_backoff") // 1-row (N, V) train-vocab scalar broadcast
+      "lm_trigram_backoff", // 1-row (N, V) train-vocab scalar broadcast
+      "graph_pagerank") // 1-row node-count scalar broadcast per iteration
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
