@@ -22,7 +22,7 @@ object CatalogOps {
     * deleted on JVM exit so repeated Verify/Bench runs leave no tmp
     * growth behind.
     */
-  private def tempWarehouse(): String = {
+  private[graft] def tempWarehouse(): String = {
     val dir = Files.createTempDirectory("graft_wh_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val s = Files.walk(dir)

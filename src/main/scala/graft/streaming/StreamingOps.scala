@@ -540,5 +540,107 @@ object StreamingOps {
         })
       }.orderBy("user_id")
     },
+
+    // ---- streaming CDC upsert: a file-source CDC feed replayed one file
+    // per micro-batch (maxFilesPerTrigger=1, mtime-ordered) through
+    // foreachBatch → Catalog.merge — Structured Streaming driving the
+    // warehouse's row-level COW DML. The three update batches OVERLAP on
+    // doc_id % 4 = 1, so the result is only correct if the stream applies
+    // them as three ordered merges (a single collapsed batch would fail
+    // merge's key-uniqueness check; a reordered replay would leave those
+    // keys labeled b0). The oracle replays the same three merges as
+    // chained anti-join CTEs. At 100 TB each micro-batch rewrites only the
+    // files containing matched keys, so sink cost tracks update volume,
+    // not table size ----
+    Q(
+      "stream_upsert_merge",
+      """WITH b0 AS (
+        |  SELECT doc_id, text, lang, 'b0' AS source,
+        |         CAST(n_chars + 1 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 4 <= 1),
+        |b1 AS (
+        |  SELECT doc_id, text, lang, 'b1' AS source,
+        |         CAST(n_chars + 2 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 4 IN (1, 2)),
+        |b2 AS (
+        |  SELECT doc_id, text, lang, 'b2' AS source,
+        |         CAST(n_chars + 3 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000000 AS BIGINT), text, lang, 'b2' AS source,
+        |         CAST(n_chars + 3 AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 4),
+        |a0 AS (SELECT * FROM b0 UNION ALL
+        |       SELECT d.* FROM documents d
+        |       WHERE NOT EXISTS (SELECT 1 FROM b0 u WHERE u.doc_id = d.doc_id)),
+        |a1 AS (SELECT * FROM b1 UNION ALL
+        |       SELECT a.* FROM a0 a
+        |       WHERE NOT EXISTS (SELECT 1 FROM b1 u WHERE u.doc_id = a.doc_id)),
+        |a2 AS (SELECT * FROM b2 UNION ALL
+        |       SELECT a.* FROM a1 a
+        |       WHERE NOT EXISTS (SELECT 1 FROM b2 u WHERE u.doc_id = a.doc_id))
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM a2 GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val wh = graft.operators.CatalogOps.tempWarehouse()
+      val cat = new graft.sources.Catalog(s, wh)
+      cat.create("docs_cdc", docs.schema)
+      cat.insert("docs_cdc", docs)
+      val b0 = docs.filter(col("doc_id") % 4 <= 1)
+        .withColumn("source", lit("b0"))
+        .withColumn("n_chars", col("n_chars") + 1L)
+      val b1 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+        .withColumn("source", lit("b1"))
+        .withColumn("n_chars", col("n_chars") + 2L)
+      val b2 = docs.filter(col("doc_id") % 4 === 3)
+        .unionByName(docs.filter(col("doc_id") % 10 === 4)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+        .withColumn("source", lit("b2"))
+        .withColumn("n_chars", col("n_chars") + 3L)
+      val work = java.nio.file.Files.createTempDirectory("graft_cdc_")
+      try {
+        val feed = java.nio.file.Files.createDirectory(work.resolve("feed"))
+        // one parquet FILE per CDC batch; strictly increasing mtimes pin
+        // the file source's replay order to commit order
+        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, k) =>
+          val tmp = work.resolve(s"w$k")
+          b.select(docs.columns.map(col).toSeq: _*)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).next()
+          val dst = feed.resolve(s"b$k.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+          deleteRecursively(tmp)
+        }
+        val session = s.newSession()
+        session.conf.set("spark.sql.shuffle.partitions", "4")
+        val query = session.readStream
+          .schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.toString)
+          .writeStream
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            cat.merge("docs_cdc", df, "doc_id"); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally deleteRecursively(work)
+      cat.table("docs_cdc")
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source")
+    },
   )
 }

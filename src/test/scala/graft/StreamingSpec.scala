@@ -117,4 +117,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming CDC upsert equals the batch replay of the three ordered merges") {
+    val df = SparkEntry.queries("stream_upsert_merge")(spark, sf0001)
+
+    // Independent batch formulation: apply the same three key-overlapping
+    // update batches as chained last-writer-wins anti-joins. If the stream
+    // collapsed the feed into one batch, merge's key-uniqueness check
+    // throws (b0 and b1 overlap on doc_id % 4 = 1); if it reordered
+    // batches, those keys would come back labeled b0 and this compare
+    // fails — so equality here pins both the batching AND the order.
+    val docs = Tables.documents(spark, sf0001)
+    val b0 = docs.filter(col("doc_id") % 4 <= 1)
+      .withColumn("source", lit("b0")).withColumn("n_chars", col("n_chars") + 1L)
+    val b1 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+      .withColumn("source", lit("b1")).withColumn("n_chars", col("n_chars") + 2L)
+    val b2 = docs.filter(col("doc_id") % 4 === 3)
+      .unionByName(docs.filter(col("doc_id") % 10 === 4)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+      .withColumn("source", lit("b2")).withColumn("n_chars", col("n_chars") + 3L)
+    val applied = Seq(b0, b1, b2).foldLeft(docs) { (acc, b) =>
+      b.unionByName(acc.join(b.select("doc_id"), Seq("doc_id"), "left_anti"))
+    }
+    val expected = applied.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+    assert(df.except(expected).count() === 0L)
+    assert(expected.except(df).count() === 0L)
+    assert(df.count() === expected.count())
+    // every batch label survives into the final state
+    assert(df.filter(col("source").isin("b0", "b1", "b2"))
+      .select("source").distinct().count() === 3L)
+  }
 }
