@@ -437,6 +437,77 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- robust outlier detection: per-group lower-median + MAD (median
+    // absolute deviation) on the integer-micros lattice, flagging values
+    // beyond 3×MAD — the data-cleaning gate that survives heavy-tailed
+    // value distributions where mean/stddev break. Medians are DISCRETE
+    // order statistics (rn = (n+1) DIV 2 in a (v, id) total order), so
+    // both engines pick the identical element — no interpolation, no
+    // double arithmetic. Exact medians need one per-group sort each; at
+    // 100 TB the approx_percentile sketch path (q_percentile_approx)
+    // replaces them, same trade as q_percentile ----
+    Q(
+      "q_mad_outliers",
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_mic
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, v_mic AS med_micros FROM (
+        |    SELECT event_type, v_mic,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY v_mic, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM v) WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT v.event_type, v.event_id, m.med_micros,
+        |         ABS(v.v_mic - m.med_micros) AS d_mic
+        |  FROM v JOIN med m ON m.event_type = v.event_type),
+        |mad AS (
+        |  SELECT event_type, d_mic AS mad_micros FROM (
+        |    SELECT event_type, d_mic,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY d_mic, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(d.med_micros) AS med_micros,
+        |  MIN(ma.mad_micros) AS mad_micros,
+        |  CAST(SUM(CASE WHEN d.d_mic > 3 * ma.mad_micros
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad ma ON ma.event_type = d.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    ) { (s, d) =>
+      val v = Tables.events(s, d).select(
+        col("event_type"), col("event_id"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("v_mic"))
+      val wAll = Window.partitionBy("event_type")
+      val med = v
+        .withColumn("rn",
+          row_number().over(wAll.orderBy("v_mic", "event_id")))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col("v_mic").as("med_micros"))
+      val dev = v.join(med, "event_type")
+        .select(col("event_type"), col("event_id"), col("med_micros"),
+          abs(col("v_mic") - col("med_micros")).as("d_mic"))
+      val mad = dev
+        .withColumn("rn",
+          row_number().over(wAll.orderBy("d_mic", "event_id")))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col("d_mic").as("mad_micros"))
+      dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("med_micros")).as("med_micros"),
+          min(col("mad_micros")).as("mad_micros"),
+          sum(when(col("d_mic") > lit(3L) * col("mad_micros"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // ---- per-group top-k WITHOUT a window sort: a size-k partial
     // aggregate (functions.TopKAggregator) keeps ≤ k rows per group per
     // map task, so the shuffle carries k·groups·partitions tuples instead

@@ -51,4 +51,16 @@ class EventsSpec extends SparkSpec {
     assert(naive.except(df).count() === 0L)
     assert(df.count() === naive.count())
   }
+
+  test("q_mad_outliers: groups cover the table, MAD positive, outliers are a minority") {
+    val df = SparkEntry.queries("q_mad_outliers")(spark, sf0001).cache()
+    try {
+      val total = df.agg(sum("n")).first().getLong(0)
+      assert(total === Tables.events(spark, sf0001).count())
+      assert(df.filter(col("mad_micros") <= 0).count() === 0L)
+      // 3×MAD on a continuous-valued fixture: some but few outliers
+      assert(df.filter(col("n_outliers") <= 0).count() === 0L)
+      assert(df.filter(col("n_outliers") * 5 > col("n")).count() === 0L)
+    } finally df.unpersist()
+  }
 }
