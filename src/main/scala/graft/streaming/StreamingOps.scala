@@ -544,32 +544,35 @@ object StreamingOps {
     // ---- streaming CDC upsert: a file-source CDC feed replayed one file
     // per micro-batch (maxFilesPerTrigger=1, mtime-ordered) through
     // foreachBatch → Catalog.merge — Structured Streaming driving the
-    // warehouse's row-level COW DML. The three update batches OVERLAP on
-    // doc_id % 4 = 1, so the result is only correct if the stream applies
-    // them as three ordered merges (a single collapsed batch would fail
-    // merge's key-uniqueness check; a reordered replay would leave those
-    // keys labeled b0). The oracle replays the same three merges as
-    // chained anti-join CTEs. At 100 TB each micro-batch rewrites only the
-    // files containing matched keys, so sink cost tracks update volume,
-    // not table size ----
+    // warehouse's row-level COW DML. The update batches OVERLAP on
+    // doc_id ∈ [200, 300), so the result is only correct if the stream
+    // applies them as three ordered merges (a single collapsed batch
+    // would fail merge's key-uniqueness check; a reordered replay would
+    // leave those keys labeled b0). The oracle replays the same three
+    // merges as chained anti-join CTEs. The table is inserted
+    // range-clustered on the merge key and the CDC batches are id-RANGE
+    // slices (ids 0..499 exist at every fixture scale), so each merge's
+    // COW rewrite really is file-granular — at sf0.1 the updates touch
+    // 10% of the key space and the other ~90% of files pass through
+    // untouched; sink cost tracks update volume, not table size ----
     Q(
       "stream_upsert_merge",
       """WITH b0 AS (
         |  SELECT doc_id, text, lang, 'b0' AS source,
         |         CAST(n_chars + 1 AS BIGINT) AS n_chars
-        |  FROM documents WHERE doc_id % 4 <= 1),
+        |  FROM documents WHERE doc_id < 300),
         |b1 AS (
         |  SELECT doc_id, text, lang, 'b1' AS source,
         |         CAST(n_chars + 2 AS BIGINT) AS n_chars
-        |  FROM documents WHERE doc_id % 4 IN (1, 2)),
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 400),
         |b2 AS (
         |  SELECT doc_id, text, lang, 'b2' AS source,
         |         CAST(n_chars + 3 AS BIGINT) AS n_chars
-        |  FROM documents WHERE doc_id % 4 = 3
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 500
         |  UNION ALL
         |  SELECT CAST(doc_id + 10000000 AS BIGINT), text, lang, 'b2' AS source,
         |         CAST(n_chars + 3 AS BIGINT)
-        |  FROM documents WHERE doc_id % 10 = 4),
+        |  FROM documents WHERE doc_id < 50),
         |a0 AS (SELECT * FROM b0 UNION ALL
         |       SELECT d.* FROM documents d
         |       WHERE NOT EXISTS (SELECT 1 FROM b0 u WHERE u.doc_id = d.doc_id)),
@@ -589,15 +592,17 @@ object StreamingOps {
       val wh = graft.operators.CatalogOps.tempWarehouse()
       val cat = new graft.sources.Catalog(s, wh)
       cat.create("docs_cdc", docs.schema)
-      cat.insert("docs_cdc", docs)
-      val b0 = docs.filter(col("doc_id") % 4 <= 1)
+      // range-clustered on the merge key: each file holds a contiguous
+      // id slice, so range-keyed merges can skip the unmatched files
+      cat.insert("docs_cdc", docs.repartitionByRange(8, col("doc_id")))
+      val b0 = docs.filter(col("doc_id") < 300)
         .withColumn("source", lit("b0"))
         .withColumn("n_chars", col("n_chars") + 1L)
-      val b1 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+      val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
         .withColumn("source", lit("b1"))
         .withColumn("n_chars", col("n_chars") + 2L)
-      val b2 = docs.filter(col("doc_id") % 4 === 3)
-        .unionByName(docs.filter(col("doc_id") % 10 === 4)
+      val b2 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .unionByName(docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + 10000000L))
         .withColumn("source", lit("b2"))
         .withColumn("n_chars", col("n_chars") + 3L)

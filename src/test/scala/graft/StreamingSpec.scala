@@ -124,16 +124,16 @@ class StreamingSpec extends SparkSpec {
     // Independent batch formulation: apply the same three key-overlapping
     // update batches as chained last-writer-wins anti-joins. If the stream
     // collapsed the feed into one batch, merge's key-uniqueness check
-    // throws (b0 and b1 overlap on doc_id % 4 = 1); if it reordered
+    // throws (b0 and b1 overlap on doc_id ∈ [200, 300)); if it reordered
     // batches, those keys would come back labeled b0 and this compare
     // fails — so equality here pins both the batching AND the order.
     val docs = Tables.documents(spark, sf0001)
-    val b0 = docs.filter(col("doc_id") % 4 <= 1)
+    val b0 = docs.filter(col("doc_id") < 300)
       .withColumn("source", lit("b0")).withColumn("n_chars", col("n_chars") + 1L)
-    val b1 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+    val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
       .withColumn("source", lit("b1")).withColumn("n_chars", col("n_chars") + 2L)
-    val b2 = docs.filter(col("doc_id") % 4 === 3)
-      .unionByName(docs.filter(col("doc_id") % 10 === 4)
+    val b2 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      .unionByName(docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 10000000L))
       .withColumn("source", lit("b2")).withColumn("n_chars", col("n_chars") + 3L)
     val applied = Seq(b0, b1, b2).foldLeft(docs) { (acc, b) =>
