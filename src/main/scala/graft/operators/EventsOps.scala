@@ -437,6 +437,100 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- funnel conversion: first view → first qualifying click within
+    // 24 h → first qualifying purchase within 24 h of that click, per user.
+    // Each stage is one key-partitioned join + MIN aggregate on user_id
+    // (linear, no windows over the full table); the per-stage outputs are
+    // 1-row aggregates combined by UNION (no scalar cross joins). Gaps
+    // are BIGINT micros so the stage sums are order-independent ----
+    Q(
+      "events_funnel",
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS vts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS cts, MIN(v.vts) AS vts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.vts
+        |    AND epoch_us(e.ts) <= v.vts + 86400000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pts, MIN(c.cts) AS cts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.cts
+        |    AND epoch_us(e.ts) <= c.cts + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT stage, n_users, sum_gap_us FROM (
+        |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(0 AS BIGINT) AS sum_gap_us FROM v
+        |  UNION ALL
+        |  SELECT '2_click', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(cts - vts), 0) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(pts - cts), 0) AS BIGINT) FROM p)
+        |ORDER BY stage""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val twoH = 86400000000L
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("vts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("vts") && col("ts_us") <= col("vts") + twoH)
+        .groupBy("user_id").agg(min("ts_us").as("cts"), min("vts").as("vts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") > col("cts") && col("ts_us") <= col("cts") + twoH)
+        .groupBy("user_id").agg(min("ts_us").as("pts"), min("cts").as("cts"))
+      v.agg(count(lit(1)).as("n_users"), lit(0L).as("sum_gap_us"))
+        .select(lit("1_view").as("stage"), col("n_users"), col("sum_gap_us"))
+        .unionAll(c
+          .agg(count(lit(1)).as("n_users"),
+            coalesce(sum(col("cts") - col("vts")), lit(0L)).as("sum_gap_us"))
+          .select(lit("2_click").as("stage"), col("n_users"), col("sum_gap_us")))
+        .unionAll(p
+          .agg(count(lit(1)).as("n_users"),
+            coalesce(sum(col("pts") - col("cts")), lit(0L)).as("sum_gap_us"))
+          .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_gap_us")))
+        .orderBy("stage")
+    },
+
+    // ---- exponentially decayed activity score: per user, over the (ts,
+    // id)-ordered event sequence, Σ_{k=0..15} v[i−k] // 2^k — a
+    // recency-halved rolling sum on the integer-micros lattice. The
+    // bounded 16-lag frame makes the recursion a FIXED expression (no
+    // running state), one window sort per user partition, and integer
+    // division term-by-term keeps both engines bit-identical ----
+    Q(
+      "events_decayed_sum",
+      "WITH v AS (\n" +
+        "  SELECT user_id, event_id,\n" +
+        "    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_mic,\n" +
+        "    epoch_us(ts) AS ts_us\n" +
+        "  FROM events WHERE user_id < 40)\n" +
+        "SELECT user_id, event_id,\n" +
+        (0 until 16).map { k =>
+          s"  COALESCE(LAG(v_mic, $k) OVER (PARTITION BY user_id " +
+            s"ORDER BY ts_us, event_id), 0) // ${1L << k}"
+        }.mkString("", " +\n", " AS decayed_mic\n") +
+        "FROM v ORDER BY user_id, event_id",
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val lags = (0 until 16).map(k =>
+        coalesce(lag(col("v_mic"), k).over(w), lit(0L)).as(s"l$k"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("v_mic"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .select(Seq(col("user_id"), col("event_id")) ++ lags: _*)
+        .withColumn("decayed_mic",
+          expr((0 until 16).map(k => s"(l$k DIV ${1L << k})").mkString(" + ")))
+        .select("user_id", "event_id", "decayed_mic")
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- robust outlier detection: per-group lower-median + MAD (median
     // absolute deviation) on the integer-micros lattice, flagging values
     // beyond 3×MAD — the data-cleaning gate that survives heavy-tailed

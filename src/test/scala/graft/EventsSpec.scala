@@ -52,6 +52,51 @@ class EventsSpec extends SparkSpec {
     assert(df.count() === naive.count())
   }
 
+  test("events_funnel: stages shrink monotonically, gaps bounded by the 24 h window") {
+    val rows = SparkEntry.queries("events_funnel")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("1_view", "2_click", "3_purchase"))
+    val Seq(v, c, p) = rows.map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // Funnel can only narrow, and every stage must fire on the fixture.
+    assert(v._1 >= c._1 && c._1 >= p._1)
+    assert(p._1 > 0L, "fixture must drive at least one user through all stages")
+    // View stage has no gap by definition; later stages have strictly
+    // positive per-user gaps, each below the 24 h qualification window.
+    assert(v._2 === 0L)
+    for ((n, gap) <- Seq(c, p)) {
+      assert(gap > 0L)
+      assert(gap <= n * 86400000000L)
+    }
+    // Stage-1 cardinality is just the distinct viewers.
+    val viewers = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(v._1 === viewers)
+  }
+
+  test("events_decayed_sum: first row per user is its own value; decay bounded by the raw window sum") {
+    val df = SparkEntry.queries("events_decayed_sum")(spark, sf0001).cache()
+    try {
+      val base = Tables.events(spark, sf0001)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("v_mic"),
+          expr("ts_ns div 1000").as("ts_us"))
+      assert(df.count() === base.count())
+
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val joined = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("win_sum", sum("v_mic").over(w.rowsBetween(-15, 0)))
+        .join(df, Seq("user_id", "event_id"))
+      // A user's first event has no history: the score IS its value.
+      assert(joined.filter(col("rn") === 1)
+        .filter(col("decayed_mic") =!= col("v_mic")).count() === 0L)
+      // Every row: own value <= score <= undecayed 16-row window sum.
+      assert(joined.filter(col("decayed_mic") < col("v_mic")).count() === 0L)
+      assert(joined.filter(col("decayed_mic") > col("win_sum")).count() === 0L)
+    } finally df.unpersist()
+  }
+
   test("q_mad_outliers: groups cover the table, MAD positive, outliers are a minority") {
     val df = SparkEntry.queries("q_mad_outliers")(spark, sf0001).cache()
     try {
