@@ -531,6 +531,100 @@ object EventsOps {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- cohort retention matrix: users grouped by first-activity day,
+    // counted on each later activity day. (user, day) is pre-distinct'd
+    // so the matrix cell is a plain COUNT (no COUNT DISTINCT shuffle);
+    // cohort assignment is one groupBy(user) MIN + a key-partitioned join
+    // back — two linear shuffles on high-cardinality keys, and the
+    // day-level matrix output is bounded by span², independent of row
+    // count. Retention ratio in integer ppm (BIGINT division) so the
+    // compare is exact ----
+    Q(
+      "events_retention_cohort",
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id),
+        |m AS (SELECT f.cohort_day,
+        |        CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |        CAST(COUNT(*) AS BIGINT) AS n_active
+        |      FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2),
+        |s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |      FROM f GROUP BY 1)
+        |SELECT CAST(m.cohort_day AS TIMESTAMP) AS cohort_day, m.day_offset,
+        |  m.n_active, s.cohort_size,
+        |  (m.n_active * 1000000) // s.cohort_size AS retention_ppm
+        |FROM m JOIN s ON s.cohort_day = m.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    ) { (s, d) =>
+      val a = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val f = a.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val m = a.join(f, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = f.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+      m.join(sizes, "cohort_day")
+        .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+          col("day_offset"), col("n_active"), col("cohort_size"),
+          expr("(n_active * 1000000) div cohort_size").as("retention_ppm"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // ---- last-touch attribution: each purchase credits the user's most
+    // recent click within a 3-day lookback, else 'organic'. ONE linear
+    // window pass (last ignoreNulls over the per-user event sequence)
+    // instead of the purchases×clicks range join — the formulation that
+    // survives 100 TB: no pair table, the shuffle is the user_id
+    // partition it would need anyway, and ties resolve on the same
+    // (ts_us, event_id) total order in both engines. Channel = campaign
+    // bucket from the click's JSON props ----
+    Q(
+      "events_attribution",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS rev_mic,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |lc AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |      OVER w AS cts,
+        |    LAST_VALUE(CASE WHEN event_type = 'click'
+        |        THEN 'ch' || CAST(k % 10 AS VARCHAR) END IGNORE NULLS)
+        |      OVER w AS cch
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CASE WHEN cts IS NOT NULL AND cts >= ts_us - 259200000000
+        |         THEN cch ELSE 'organic' END AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(rev_mic) AS BIGINT) AS revenue_mic
+        |FROM lc WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("rev_mic"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val clickTs = when(col("event_type") === "click", col("ts_us"))
+      val clickCh = when(col("event_type") === "click",
+        concat(lit("ch"), (col("k") % 10).cast("string")))
+      ev
+        .withColumn("cts", last(clickTs, ignoreNulls = true).over(w))
+        .withColumn("cch", last(clickCh, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("cts").isNotNull && col("cts") >= col("ts_us") - 259200000000L,
+            col("cch")).otherwise(lit("organic")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), sum("rev_mic").as("revenue_mic"))
+        .orderBy("channel")
+    },
+
     // ---- robust outlier detection: per-group lower-median + MAD (median
     // absolute deviation) on the integer-micros lattice, flagging values
     // beyond 3×MAD — the data-cleaning gate that survives heavy-tailed

@@ -498,5 +498,54 @@ object Relational {
         )
         .orderBy("l_orderkey", "l_linenumber")
     },
+
+    // ---- RFM customer segmentation: recency / frequency / monetary
+    // quartiles over the per-customer order aggregate, reported per
+    // segment. NTILE(4) over a (value, custkey) TOTAL order is
+    // deterministic and engine-identical (both engines deal remainder
+    // rows to the leading buckets); monetary is integer micros. The
+    // quartile windows are global sorts — but over the CUSTOMER-level
+    // aggregate (three orders of magnitude below fact-row count); at
+    // 100 TB the cut points come from approx_percentile instead (same
+    // trade documented on q_mad_outliers / q_percentile) ----
+    Q(
+      "q_rfm_segments",
+      """WITH rfm AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS r_days,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS m_mic
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT custkey, m_mic,
+        |    NTILE(4) OVER (ORDER BY r_days, custkey) AS r_q,
+        |    NTILE(4) OVER (ORDER BY freq, custkey) AS f_q,
+        |    NTILE(4) OVER (ORDER BY m_mic, custkey) AS m_q
+        |  FROM rfm)
+        |SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+        |    CAST(m_q AS VARCHAR) AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(m_mic) AS BIGINT) AS m_mic_total
+        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rfm = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          datediff(to_date(max(col("o_orderdate"))),
+            lit("1970-01-01").cast("date")).cast("long").as("r_days"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 1000000.0 + 0.5).cast("long")).as("m_mic"))
+      rfm
+        .withColumn("r_q", ntile(4).over(Window.orderBy("r_days", "custkey")))
+        .withColumn("f_q", ntile(4).over(Window.orderBy("freq", "custkey")))
+        .withColumn("m_q", ntile(4).over(Window.orderBy("m_mic", "custkey")))
+        .groupBy(concat(col("r_q").cast("string"), col("f_q").cast("string"),
+          col("m_q").cast("string")).as("segment"))
+        .agg(count(lit(1)).as("n_customers"), sum("m_mic").as("m_mic_total"))
+        .orderBy("segment")
+    },
   )
 }

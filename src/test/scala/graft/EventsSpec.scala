@@ -97,6 +97,40 @@ class EventsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("events_retention_cohort: day-0 is the full cohort, retention never exceeds it") {
+    val df = SparkEntry.queries("events_retention_cohort")(spark, sf0001).cache()
+    try {
+      // Offset 0 is the cohort's own first-activity day: everyone is active.
+      val day0 = df.filter(col("day_offset") === 0)
+      assert(day0.filter(col("n_active") =!= col("cohort_size")).count() === 0L)
+      assert(day0.filter(col("retention_ppm") =!= 1000000L).count() === 0L)
+      // A cell can never retain more users than the cohort holds.
+      assert(df.filter(col("n_active") > col("cohort_size")).count() === 0L)
+      // Cohorts partition the user base exactly once.
+      val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+      val cohortTotal = df.select("cohort_day", "cohort_size").distinct()
+        .agg(sum("cohort_size")).first().getLong(0)
+      assert(cohortTotal === users)
+    } finally df.unpersist()
+  }
+
+  test("events_attribution: purchases and revenue fully partitioned across channels") {
+    val df = SparkEntry.queries("events_attribution")(spark, sf0001).cache()
+    try {
+      val purchases = Tables.events(spark, sf0001)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)), sum(floor(col("value") * 1000000.0 + 0.5).cast("long")))
+        .first()
+      // Attribution is a partition of the purchase set, not a sample.
+      assert(df.agg(sum("n_purchases")).first().getLong(0) === purchases.getLong(0))
+      assert(df.agg(sum("revenue_mic")).first().getLong(0) === purchases.getLong(1))
+      // Both branches of the lookback gate fire on the fixture.
+      val channels = df.select("channel").collect().map(_.getString(0)).toSet
+      assert(channels.contains("organic"))
+      assert(channels.exists(_.startsWith("ch")))
+    } finally df.unpersist()
+  }
+
   test("q_mad_outliers: groups cover the table, MAD positive, outliers are a minority") {
     val df = SparkEntry.queries("q_mad_outliers")(spark, sf0001).cache()
     try {
