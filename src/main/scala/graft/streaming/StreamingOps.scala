@@ -647,5 +647,57 @@ object StreamingOps {
           max(col("doc_id")).as("max_id"))
         .orderBy("lang", "source")
     },
+
+    // ---- streaming heavy hitters: the count-min sketch built AS A
+    // STREAMING AGGREGATE — the sketch Aggregator's merge is associative
+    // and commutative, so micro-batch partials combine exactly like
+    // map-side partials in batch and the final sketch is bit-identical
+    // to the batch build regardless of batch boundaries. This is the
+    // 100 TB streaming-frequency path: state is the depth×width cell
+    // array (32 KiB), NOT per-key counters — unbounded key cardinality,
+    // bounded state, no watermark needed (Complete mode over a global
+    // 1-row aggregate). The md5-derived hashes make it engine-portable:
+    // the oracle REBUILDS the identical sketch in SQL, estimates
+    // included. Probe side = exact top-10 user ids (batch), joined to
+    // the 1-row streamed sketch by broadcast (PlanSpec-allowlisted) ----
+    Q(
+      "stream_heavy_hitters",
+      """WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS token FROM events),
+        |cells AS (
+        |  SELECT r, ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 1024 AS b,
+        |    COUNT(*) AS c
+        |  FROM toks CROSS JOIN (SELECT unnest([0,1,2,3]) AS r) GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY token
+        |  ORDER BY n_exact DESC, token LIMIT 10)
+        |SELECT e.token, e.n_exact, CAST(MIN(c.c) AS BIGINT) AS cms_est,
+        |  CAST(MIN(c.c) AS BIGINT) >= e.n_exact AS never_under
+        |FROM exact e JOIN cells c
+        |  ON c.b = ('0x' || substr(md5('cm' || CAST(c.r AS VARCHAR) || ':' || e.token), 1, 15))::BIGINT % 1024
+        |GROUP BY e.token, e.n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin,
+    ) { (s, d) =>
+      import graft.functions.CountMinSketch
+      val sketch = withStagedEvents(d) { stageDir =>
+        runToFiles(s, "stream_hh", { session =>
+          val stream = session.readStream
+            .schema(eventsSchema)
+            .parquet(stageDir)
+            .select(col("user_id").cast("string").as("token"))
+            .agg(CountMinSketch.sketchAgg(
+              CountMinSketch.buckets(col("token"))).as("cms"))
+          (stream, org.apache.spark.sql.streaming.OutputMode.Complete())
+        })
+      }
+      val toks = graft.Tables.events(s, d)
+        .select(col("user_id").cast("string").as("token"))
+      toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(10)
+        .crossJoin(broadcast(sketch))
+        .select(col("token"), col("n_exact"),
+          CountMinSketch.estimate(col("cms"), col("token")).as("cms_est"))
+        .withColumn("never_under", col("cms_est") >= col("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
   )
 }

@@ -193,7 +193,8 @@ class PlanSpec extends SparkSpec {
       "q_heavy_hitters_cms", "dedup_bloom_shingles", "lm_bigram_score",
       "bm25_score", // 1-row (N, avgdl) corpus-stats scalar broadcast
       "lm_trigram_backoff", // 1-row (N, V) train-vocab scalar broadcast
-      "graph_pagerank") // 1-row node-count scalar broadcast per iteration
+      "graph_pagerank", // 1-row node-count scalar broadcast per iteration
+      "stream_heavy_hitters") // 1-row streamed CMS sketch broadcast (32 KiB)
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

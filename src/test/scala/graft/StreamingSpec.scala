@@ -150,4 +150,29 @@ class StreamingSpec extends SparkSpec {
     assert(df.filter(col("source").isin("b0", "b1", "b2"))
       .select("source").distinct().count() === 3L)
   }
+
+  test("streaming CMS heavy hitters equal the batch-built sketch's estimates") {
+    import graft.functions.CountMinSketch
+    val streamed = SparkEntry.queries("stream_heavy_hitters")(spark, sf0001).cache()
+    try {
+      // CMS never under-counts — the structural guarantee, on every row.
+      assert(streamed.filter(!col("never_under")).count() === 0L)
+      // Batch twin: identical pipeline, sketch built without streaming.
+      // Merge associativity+commutativity says batch boundaries can't
+      // change a single cell, so the estimates must be BIT-equal.
+      val toks = Tables.events(spark, sf0001)
+        .select(col("user_id").cast("string").as("token"))
+      val sketch = toks.agg(CountMinSketch.sketchAgg(
+        CountMinSketch.buckets(col("token"))).as("cms"))
+      val batch = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(10)
+        .crossJoin(broadcast(sketch))
+        .select(col("token"), col("n_exact"),
+          CountMinSketch.estimate(col("cms"), col("token")).as("cms_est"))
+        .withColumn("never_under", col("cms_est") >= col("n_exact"))
+      assert(streamed.except(batch).count() === 0L)
+      assert(batch.except(streamed).count() === 0L)
+      assert(streamed.count() === batch.count())
+    } finally streamed.unpersist()
+  }
 }
