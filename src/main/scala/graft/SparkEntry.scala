@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TrainingData.queries ++
       operators.Similarity.queries ++
       operators.SkewJoin.queries ++
+      operators.DataQuality.queries ++
       operators.GraphOps.queries ++
       operators.RangeJoin.queries ++
       operators.CatalogOps.queries ++

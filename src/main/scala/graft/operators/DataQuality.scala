@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality primitives: column profiling (ANALYZE-style statistics)
+  * and declarative constraint auditing — the validation layer a training
+  * pipeline runs before and after every ingest.
+  *
+  * Scale shape: all ROW-LEVEL checks against one table compose into a
+  * SINGLE scan + aggregate pass (one `sum(when(violated,1))` per check —
+  * adding a check adds a column, not a job); only set-level checks pay
+  * their own shuffle (uniqueness = one groupBy on the key; foreign keys =
+  * one anti join, which AQE broadcasts when the parent is dim-sized and
+  * which a bloom pre-filter cuts further at fact-fact scale — see
+  * [[BloomJoin]]). Profiling uses exact multi-column `COUNT(DISTINCT)`
+  * (Catalyst's Expand plan, one pass); at 100 TB swap the exact distinct
+  * for `approx_count_distinct` — same plan minus the Expand multiplier.
+  */
+object DataQuality {
+
+  /** One declarative row-level constraint: `violated` flags a BAD row. */
+  final case class RowCheck(name: String, violated: Column)
+
+  /** All row-level checks in ONE aggregate pass over `df`:
+    * `(check_name, violations)`, one row per check.
+    */
+  def rowCheckReport(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      sum(when(c.violated, 1L).otherwise(0L)).as(s"v$i")
+    }
+    val stackArgs = checks.zipWithIndex
+      .map { case (c, i) => s"'${c.name}', v$i" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${checks.size}, $stackArgs) AS (check_name, violations)")
+  }
+
+  /** Key-uniqueness audit: violations = number of DISTINCT keys that
+    * appear more than once (one groupBy shuffle on the key).
+    */
+  def uniqueReport(df: DataFrame, key: String, name: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"))
+
+  /** Referential-integrity audit: violations = child rows whose key has
+    * no parent (anti join; parent side broadcast at dim scale by AQE).
+    */
+  def fkReport(child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String, name: String): DataFrame =
+    child.join(parent, col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"))
+
+  val queries: Seq[Q] = Seq(
+    // ---- ANALYZE-style per-column profile of orders: row count, null
+    // count, exact distinct count, min/max — ONE aggregate pass (the
+    // multi-distinct Expand plan). Numeric min/max are published on the
+    // integer-micros lattice (rendered as strings alongside the
+    // categorical min/max) so the cross-engine compare is exact;
+    // timestamp columns would profile the same way via epoch micros. ----
+    Q(
+      "profile_table",
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        |    COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        |    COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+        |    MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+        |    COUNT(o_orderpriority) AS nn4, COUNT(DISTINCT o_orderpriority) AS nd4,
+        |    MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4,
+        |    COUNT(o_totalprice) AS nn5,
+        |    COUNT(DISTINCT CAST(FLOOR(o_totalprice*1000000.0 + 0.5) AS BIGINT)) AS nd5,
+        |    CAST(MIN(CAST(FLOOR(o_totalprice*1000000.0 + 0.5) AS BIGINT)) AS VARCHAR) AS mn5,
+        |    CAST(MAX(CAST(FLOOR(o_totalprice*1000000.0 + 0.5) AS BIGINT)) AS VARCHAR) AS mx5
+        |  FROM orders)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_null,
+        |         nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+        |  UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM a
+        |  UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM a)
+        |ORDER BY col_name""".stripMargin,
+    ) { (s, d) =>
+      val priceQ = expr("CAST(FLOOR(o_totalprice*1000000.0 + 0.5) AS BIGINT)")
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("nn1"),
+          countDistinct(col("o_orderkey")).as("nd1"),
+          min(col("o_orderkey")).cast("string").as("mn1"),
+          max(col("o_orderkey")).cast("string").as("mx1"),
+          count(col("o_custkey")).as("nn2"),
+          countDistinct(col("o_custkey")).as("nd2"),
+          min(col("o_custkey")).cast("string").as("mn2"),
+          max(col("o_custkey")).cast("string").as("mx2"),
+          count(col("o_orderstatus")).as("nn3"),
+          countDistinct(col("o_orderstatus")).as("nd3"),
+          min(col("o_orderstatus")).as("mn3"),
+          max(col("o_orderstatus")).as("mx3"),
+          count(col("o_orderpriority")).as("nn4"),
+          countDistinct(col("o_orderpriority")).as("nd4"),
+          min(col("o_orderpriority")).as("mn4"),
+          max(col("o_orderpriority")).as("mx4"),
+          count(col("o_totalprice")).as("nn5"),
+          countDistinct(priceQ).as("nd5"),
+          min(priceQ).cast("string").as("mn5"),
+          max(priceQ).cast("string").as("mx5"),
+        )
+        .selectExpr(
+          """stack(5,
+            |  'o_orderkey', nn1, nd1, mn1, mx1,
+            |  'o_custkey', nn2, nd2, mn2, mx2,
+            |  'o_orderstatus', nn3, nd3, mn3, mx3,
+            |  'o_orderpriority', nn4, nd4, mn4, mx4,
+            |  'o_totalprice', nn5, nd5, mn5, mx5
+            |) AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin,
+          "n_rows")
+        .select(
+          col("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy("col_name")
+    },
+
+    // ---- declarative constraint audit: three row-level checks in one
+    // orders pass + one customer pass, a key-uniqueness check, and an
+    // orders→customer FK check. The acctbal check has REAL violations in
+    // the fixture (negative balances), so the failure path is exercised,
+    // not just the all-green path. ----
+    Q(
+      "dq_checks",
+      """WITH rc AS (SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_pos
+        |  FROM orders),
+        |uq AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM
+        |       (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)),
+        |fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |cb AS (SELECT CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |       FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'customer.c_acctbal.non_negative' AS check_name,
+        |         v AS violations, v = 0 AS pass FROM cb
+        |  UNION ALL SELECT 'orders.o_custkey.fk_customer', v, v = 0 FROM fk
+        |  UNION ALL SELECT 'orders.o_orderkey.not_null', v_nn, v_nn = 0 FROM rc
+        |  UNION ALL SELECT 'orders.o_orderkey.unique', v, v = 0 FROM uq
+        |  UNION ALL SELECT 'orders.o_orderstatus.domain', v_dom, v_dom = 0 FROM rc
+        |  UNION ALL SELECT 'orders.o_totalprice.positive', v_pos, v_pos = 0 FROM rc)
+        |ORDER BY check_name""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val report = rowCheckReport(o, Seq(
+        RowCheck("orders.o_orderkey.not_null", col("o_orderkey").isNull),
+        RowCheck("orders.o_orderstatus.domain",
+          !col("o_orderstatus").isin("O", "F", "P")),
+        RowCheck("orders.o_totalprice.positive", col("o_totalprice") <= 0.0),
+      ))
+        .unionAll(rowCheckReport(c, Seq(
+          RowCheck("customer.c_acctbal.non_negative", col("c_acctbal") < 0.0))))
+        .unionAll(uniqueReport(o, "o_orderkey", "orders.o_orderkey.unique"))
+        .unionAll(fkReport(o, "o_custkey", c, "c_custkey",
+          "orders.o_custkey.fk_customer"))
+      report
+        .select(col("check_name"), col("violations"),
+          (col("violations") === 0).as("pass"))
+        .orderBy("check_name")
+    },
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.DataQuality
+import graft.operators.DataQuality.RowCheck
+import org.apache.spark.sql.functions._
+
+/** Constraint-audit semantics on synthetic data with KNOWN violations. */
+class DataQualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("rowCheckReport counts each check independently in one pass") {
+    val df = Seq(
+      (Some(1L), "ok", 5.0),
+      (None, "ok", -1.0),
+      (Some(3L), "bad", 0.0),
+      (Some(4L), "ok", 2.0),
+    ).toDF("id", "status", "v")
+    val rep = DataQuality.rowCheckReport(df, Seq(
+      RowCheck("id.not_null", col("id").isNull),
+      RowCheck("status.domain", !col("status").isin("ok")),
+      RowCheck("v.positive", col("v") <= 0.0),
+    )).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === Map("id.not_null" -> 1L, "status.domain" -> 1L, "v.positive" -> 2L))
+    // one aggregate over the table: the report plan has exactly one scan
+    val plan = DataQuality.rowCheckReport(df, Seq(
+      RowCheck("a", col("id").isNull), RowCheck("b", col("v") <= 0.0)))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("\n").count(_.contains("LocalRelation")) == 1)
+  }
+
+  test("uniqueReport counts duplicated keys, not duplicated rows") {
+    val df = Seq(1L, 2L, 2L, 2L, 3L, 3L, 4L).toDF("k")
+    val rep = DataQuality.uniqueReport(df, "k", "k.unique").collect().head
+    assert(rep.getString(0) === "k.unique")
+    assert(rep.getLong(1) === 2L) // keys 2 and 3 are duplicated
+  }
+
+  test("fkReport counts orphaned child rows") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "c"), (9L, "d")).toDF("fk", "x")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val rep = DataQuality.fkReport(child, "fk", parent, "pk", "fk.ok").collect().head
+    assert(rep.getLong(1) === 2L) // both fk=9 rows are orphans
+  }
+
+  test("dq_checks fixture row: acctbal check has real violations, rest pass") {
+    val rows = SparkEntry.queries("dq_checks")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size === 6)
+    val (acctViol, acctPass) = rows("customer.c_acctbal.non_negative")
+    assert(acctViol > 0L && !acctPass)
+    (rows - "customer.c_acctbal.non_negative").foreach { case (name, (v, p)) =>
+      assert(v === 0L && p, s"$name expected clean")
+    }
+  }
+
+  test("profile_table: distinct key count equals row count, no nulls") {
+    val rows = SparkEntry.queries("profile_table")(spark, sf0001).collect()
+    assert(rows.length === 5)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    val nRows = byCol("o_orderkey").getLong(1)
+    assert(nRows > 0)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nRows)      // same n_rows on every line
+      assert(r.getLong(2) === 0L)         // fixture has no nulls
+      assert(r.getLong(3) > 0L)           // n_distinct
+    }
+    assert(byCol("o_orderkey").getLong(3) === nRows) // key is unique
+    assert(byCol("o_orderstatus").getLong(3) <= 3L)
+  }
+}
