@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.SkewJoin.queries ++
       operators.DataQuality.queries ++
+      operators.BloomJoin.queries ++
       operators.GraphOps.queries ++
       operators.RangeJoin.queries ++
       operators.CatalogOps.queries ++

@@ -867,5 +867,41 @@ object TextOps {
           (coalesce(col("sc"), lit(0L)).cast("double") / 1000000.0).as("bm25"))
         .orderBy("doc_id")
     },
+
+    // ---- inverted-index construction (term → document-frequency +
+    // posting list): the retrieval-side artifact a corpus pipeline builds
+    // once and queries many times. One explode + distinct + groupBy(term)
+    // — all key-partitioned; posting lists are materialized sorted and
+    // CAPPED (first 20 doc ids) so a stopword's postings cannot blow up a
+    // row at corpus scale (the full list lives in the df count; real
+    // deployments shard postings beyond the cap into segment files).
+    // Lists render as comma-joined strings (the q_array_agg discipline)
+    // for an exact cross-engine compare; top-100 by (df, term) is a total
+    // order since terms are unique. ----
+    Q(
+      "text_inverted_index",
+      """WITH td AS (SELECT DISTINCT doc_id, t FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0)
+        |SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        |FROM td GROUP BY t
+        |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .distinct()
+        .groupBy("term")
+        .agg(
+          count(lit(1)).as("df"),
+          array_join(
+            transform(
+              slice(array_sort(collect_list(col("doc_id"))), 1, 20),
+              _.cast("string")),
+            ",").as("postings"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(100)
+    },
   )
 }
