@@ -25,6 +25,7 @@ object SparkEntry {
       operators.GraphOps.queries ++
       operators.RangeJoin.queries ++
       operators.CatalogOps.queries ++
+      operators.Scd2.queries ++
       streaming.StreamingOps.queries ++
       streaming.KafkaOps.queries
 
