@@ -903,5 +903,59 @@ object TextOps {
         .orderBy(col("df").desc, col("term"))
         .limit(100)
     },
+
+    // ---- vocabulary-coded tokenization (the corpus→ids step of training
+    // prep): vocab = top-20 tokens by (freq, token), id = dense rank;
+    // out-of-vocab → -1 (the 31-token fixture vocabulary guarantees live
+    // unks at every scale). The vocab is MODEL-sized by construction, so
+    // its single-partition rank window and broadcast to the encode join
+    // are the sanctioned model-state tier — the corpus itself is scanned
+    // once, keyed by (doc, position), and re-assembled with an
+    // order-stamped array aggregation. Publishes per-doc token/unk counts
+    // plus the first 20 ids (comma-joined, the q_array_agg discipline). ----
+    Q(
+      "token_ids",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) - 1 AS BIGINT) AS id
+        |          FROM tf ORDER BY c DESC, t LIMIT 20),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ptok AS (SELECT doc_id, i, ws[i] AS t FROM
+        |         (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM d)),
+        |enc AS (SELECT p.doc_id, p.i, COALESCE(v.id, -1) AS id
+        |        FROM ptok p LEFT JOIN vocab v ON v.t = p.t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  array_to_string(list(id ORDER BY i)[1:20], ',') AS ids_head
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(
+        col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("i", "t")))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(20)
+        .select(col("t"),
+          (row_number().over(Window.orderBy(col("c").desc, col("t"))) - 1)
+            .cast("long").as("id"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .select(col("doc_id"), col("i"),
+          coalesce(col("id"), lit(-1L)).as("id"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === -1L, 1L).otherwise(0L)).as("n_unk"),
+          array_join(
+            transform(
+              slice(
+                transform(
+                  array_sort(collect_list(struct(col("i"), col("id")))),
+                  p => p.getField("id")),
+                1, 20),
+              _.cast("string")),
+            ",").as("ids_head"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -547,4 +547,21 @@ class FunctionsSpec extends SparkSpec {
     assert(f1.map(r => (r.getLong(0), r.getSeq[Float](4))).toMap ==
       f2.map(r => (r.getLong(0), r.getSeq[Float](4))).toMap)
   }
+
+  test("token_ids: dense in-vocab ids, live unk path, position-ordered heads") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("token_ids")(spark, sf0001).cache()
+    try {
+      // every doc encoded; unk tokens exist (vocab 20 < corpus vocab 31)
+      assert(rows.count() === Tables.documents(spark, sf0001).count())
+      assert(rows.filter(col("n_unk") > 0).count() > 0L)
+      assert(rows.filter(col("n_unk") > col("n_tokens")).count() === 0L)
+      // ids_head values are all in [-1, 19] and count ≤ 20 per doc
+      val bad = rows.filter(
+        exists(split(col("ids_head"), ","),
+          s => s.cast("long") < -1 || s.cast("long") > 19)).count()
+      assert(bad === 0L)
+      assert(rows.filter(size(split(col("ids_head"), ",")) > 20).count() === 0L)
+    } finally rows.unpersist()
+  }
 }
