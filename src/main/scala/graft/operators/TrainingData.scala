@@ -823,5 +823,59 @@ object TrainingData {
         .select("source", "doc_id", "rn")
         .orderBy("source", "rn")
     },
+
+    // ---- temperature-balanced language resampling (the XLM-R/mC4 α
+    // exponent): sampled share ∝ p_lang^α with α = 1/2, realized as the
+    // largest pure DOWNSAMPLE with that target — which collapses to the
+    // per-language keep-rate r_l = √(n_min/n_l) (the smallest language
+    // keeps 100%, a 4×-bigger one 50%). Rates come from a lang-sized
+    // aggregate (model state); the corpus pays ONE linear scan with a
+    // per-row md5 coin against the broadcast rate — no shuffle of the
+    // data itself, so the plan is a pure map at 100 TB. Rates are
+    // quantized to integer micros BEFORE the coin compare (the bucket-cut
+    // discipline), making kept-set membership hash-exact cross-engine. ----
+    Q(
+      "corpus_lang_balance",
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+        |           FROM documents GROUP BY lang),
+        |mn AS (SELECT MIN(n_l) AS n_min FROM n),
+        |r AS (SELECT lang, n_l,
+        |        CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE) / n_l) * 1000000.0) AS BIGINT)
+        |          AS rate_micros
+        |      FROM n CROSS JOIN mn),
+        |k AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |        CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS kept_chars
+        |      FROM documents d JOIN r ON r.lang = d.lang
+        |      WHERE ('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |              % 1000000 < r.rate_micros
+        |      GROUP BY d.lang)
+        |SELECT r.lang, r.n_l AS n_docs,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+        |  r.rate_micros
+        |FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val mn = n.agg(min("n_l").as("n_min"))
+      val rates = n.crossJoin(broadcast(mn))
+        .select(col("lang"), col("n_l"),
+          floor(sqrt(col("n_min").cast("double") / col("n_l")) * 1000000.0)
+            .cast("long").as("rate_micros"))
+      val coin = pmod(
+        graft.functions.TextFunctions.tokenHash60(
+          concat(col("lang"), lit(":"), col("doc_id").cast("string"))),
+        lit(1000000L))
+      val kept = docs.join(broadcast(rates), "lang")
+        .filter(coin < col("rate_micros"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_l").as("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+          col("rate_micros"))
+        .orderBy("lang")
+    },
   )
 }

@@ -195,7 +195,8 @@ class PlanSpec extends SparkSpec {
       "lm_trigram_backoff", // 1-row (N, V) train-vocab scalar broadcast
       "graph_pagerank", // 1-row node-count scalar broadcast per iteration
       "stream_heavy_hitters", // 1-row streamed CMS sketch broadcast (32 KiB)
-      "q_bloom_semi_reduction") // 1-row bloom sketch broadcast (128 KiB)
+      "q_bloom_semi_reduction", // 1-row bloom sketch broadcast (128 KiB)
+      "corpus_lang_balance") // 1-row min-language-count scalar broadcast
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

@@ -62,4 +62,18 @@ class Scd2Spec extends SparkSpec {
       .groupBy("k").count().filter(col("count") > 1).count()
     assert(dupCurrent === 0L)
   }
+
+  test("point-in-time join resolves each fact to exactly one version") {
+    // For every (fact batch, key) there must be EXACTLY one valid
+    // version — the PIT window is a partition of batch time per key.
+    val rows = SparkEntry.queries("catalog_scd2_asof")(spark, sf0001).collect()
+    val byKey = rows.map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch 0 predates every move: no fact may see a moved segment
+    assert(!byKey.contains((0, "moved")))
+    assert(byKey((0, "orig")) > 0L)
+    assert(byKey.getOrElse((1, "moved"), 0L) > 0L)
+    // total fact rows joined == total orders (no loss, no duplication)
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.orders(spark, sf0001).count())
+  }
 }

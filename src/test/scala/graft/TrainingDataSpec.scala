@@ -327,4 +327,29 @@ class TrainingDataSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("weight must be > 0")), s"weight=$bad: $e")
     }
   }
+
+  test("corpus_lang_balance: smallest language keeps all, rates decrease with size") {
+    val rows = SparkEntry.queries("corpus_lang_balance")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val minDocs = rows.map(_._2).min
+    rows.foreach { case (lang, nDocs, nKept, rate) =>
+      assert(nKept <= nDocs)
+      if (nDocs == minDocs)
+        assert(rate === 1000000L && nKept === nDocs,
+          s"$lang is a smallest language and must keep everything")
+      // r = √(n_min/n_l) quantized down, always in (0, 1e6]
+      assert(rate > 0L && rate <= 1000000L)
+    }
+    // monotone: more docs → no higher rate
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, _, _, r1), (_, _, _, r2)) => assert(r2 <= r1)
+      case _ => ()
+    }
+    // kept share tracks the rate to within binomial noise (±15 pp)
+    rows.foreach { case (lang, nDocs, nKept, rate) =>
+      val share = nKept.toDouble / nDocs
+      assert(math.abs(share - rate / 1e6) < 0.15, s"$lang share $share vs rate $rate")
+    }
+  }
 }
