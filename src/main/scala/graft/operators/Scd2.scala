@@ -106,9 +106,14 @@ object Scd2 {
       .unionByName(cust.filter(col("k") % 7 === 3 && col("k") % 5 =!= 2))
       .unionByName(cust.filter(col("k") % 11 === 5)
         .withColumn("k", col("k") + 1000000L))
+    // merge drives several actions over the delta (key-uniqueness audit,
+    // file tagging, staged write); persist so the change-detection join
+    // runs once, not once per action
     val delta = scd2Updates(
       cat.table(tableName), batch, "k", Seq("seg", "bal"), batchNo = 1)
-    cat.merge(tableName, delta, "sk")
+      .persist()
+    try cat.merge(tableName, delta, "sk")
+    finally delta.unpersist(false)
   }
 
   val queries: Seq[Q] = Seq(
