@@ -54,7 +54,8 @@ object Dump {
       warehouse: Option[String] = None): Unit = {
     graft.sources.GraftSql.registerFixtures(spark, sfDir)
     out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, " +
-      "\\schema <t> prints DDL columns, \\explain <sql> shows the physical plan, " +
+      "\\schema <t> prints DDL columns, \\profile <t> column stats, " +
+      "\\explain <sql> shows the physical plan, " +
       "\\history <t> / \\restore <t> <v> operate on the bound warehouse, " +
       "\\timing toggles timing, \\q quits")
     lazy val cat: Option[graft.sources.Catalog] =
@@ -102,6 +103,22 @@ object Dump {
             s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
             .mkString(s"$t (\n", ",\n", "\n)"))
           catch { case e: Exception => out(s"error: ${e.getMessage}") }
+        }
+        else if (line.startsWith("\\profile ")) {
+          // ANALYZE-style per-column stats (null/distinct/min/max), one
+          // aggregate pass — see operators.DataQuality.profile
+          val t = line.drop(9).trim
+          try {
+            val df = spark.table(t)
+            // atomic columns only — nested/binary have no portable order
+            val cols = df.schema.fields.collect {
+              case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+                !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+                f.dataType != org.apache.spark.sql.types.BinaryType => f.name
+            }.toSeq
+            out(dump(graft.operators.DataQuality.profile(df, cols), cols.size))
+          } catch { case e: Exception => out(s"error: ${e.getMessage}") }
         }
         else if (line.startsWith("\\history ")) withCat { c =>
           // DESCRIBE HISTORY over the manifest log of the bound warehouse

@@ -23,6 +23,45 @@ object DataQuality {
   /** One declarative row-level constraint: `violated` flags a BAD row. */
   final case class RowCheck(name: String, violated: Column)
 
+  /** ANALYZE-style profile of `cols`: one row per column with
+    * `(col_name, n_rows, n_null, n_distinct, min_s, max_s)` — computed in
+    * ONE aggregate pass (plus Catalyst's Expand for the exact
+    * multi-distinct). Floating columns are profiled on the integer-micros
+    * lattice so min/max/distinct are engine-portable; everything else
+    * renders via string cast. Backs the registered `profile_table` row
+    * and the REPL's `\profile <table>`.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    require(cols.nonEmpty, "profile needs at least one column")
+    val keyed = cols.map { c =>
+      df.schema(c).dataType match {
+        case DoubleType | FloatType =>
+          expr(s"CAST(FLOOR(`$c`*1000000.0 + 0.5) AS BIGINT)")
+        case _ => col(c)
+      }
+    }
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.zip(keyed).zipWithIndex.flatMap { case ((c, key), i) =>
+        Seq(
+          count(col(c)).as(s"nn$i"), countDistinct(key).as(s"nd$i"),
+          min(key).cast("string").as(s"mn$i"),
+          max(key).cast("string").as(s"mx$i"))
+      }
+    val stackArgs = cols.indices
+      .map(i => s"'${cols(i)}', nn$i, nd$i, mn$i, mx$i")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_s, max_s)",
+        "n_rows")
+      .select(
+        col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
   /** All row-level checks in ONE aggregate pass over `df`:
     * `(check_name, violations)`, one row per check.
     */
@@ -93,45 +132,9 @@ object DataQuality {
         |  UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM a)
         |ORDER BY col_name""".stripMargin,
     ) { (s, d) =>
-      val priceQ = expr("CAST(FLOOR(o_totalprice*1000000.0 + 0.5) AS BIGINT)")
-      Tables.orders(s, d)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(col("o_orderkey")).as("nn1"),
-          countDistinct(col("o_orderkey")).as("nd1"),
-          min(col("o_orderkey")).cast("string").as("mn1"),
-          max(col("o_orderkey")).cast("string").as("mx1"),
-          count(col("o_custkey")).as("nn2"),
-          countDistinct(col("o_custkey")).as("nd2"),
-          min(col("o_custkey")).cast("string").as("mn2"),
-          max(col("o_custkey")).cast("string").as("mx2"),
-          count(col("o_orderstatus")).as("nn3"),
-          countDistinct(col("o_orderstatus")).as("nd3"),
-          min(col("o_orderstatus")).as("mn3"),
-          max(col("o_orderstatus")).as("mx3"),
-          count(col("o_orderpriority")).as("nn4"),
-          countDistinct(col("o_orderpriority")).as("nd4"),
-          min(col("o_orderpriority")).as("mn4"),
-          max(col("o_orderpriority")).as("mx4"),
-          count(col("o_totalprice")).as("nn5"),
-          countDistinct(priceQ).as("nd5"),
-          min(priceQ).cast("string").as("mn5"),
-          max(priceQ).cast("string").as("mx5"),
-        )
-        .selectExpr(
-          """stack(5,
-            |  'o_orderkey', nn1, nd1, mn1, mx1,
-            |  'o_custkey', nn2, nd2, mn2, mx2,
-            |  'o_orderstatus', nn3, nd3, mn3, mx3,
-            |  'o_orderpriority', nn4, nd4, mn4, mx4,
-            |  'o_totalprice', nn5, nd5, mn5, mx5
-            |) AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin,
-          "n_rows")
-        .select(
-          col("col_name"), col("n_rows"),
-          (col("n_rows") - col("n_nonnull")).as("n_null"),
-          col("n_distinct"), col("min_s"), col("max_s"))
-        .orderBy("col_name")
+      profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice"))
     },
 
     // ---- declarative constraint audit: three row-level checks in one

@@ -173,5 +173,38 @@ object GraphOps {
         .orderBy(col("tri_cnt").desc, col("part_id"))
         .limit(50)
     },
+
+    // ---- degree distribution of the FULL (unfiltered) co-purchase
+    // graph in log2 buckets — the skew diagnostic run before any graph
+    // algorithm to pick orientation/salting strategy. Two key-partitioned
+    // aggregations over the edge list; no filter needed because nothing
+    // here fans out quadratically. ----
+    Q(
+      "graph_degree_hist",
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |        (SELECT pa AS n FROM pairs UNION ALL SELECT pb FROM pairs)
+        |        GROUP BY n)
+        |SELECT CAST(FLOOR(ln(d) / ln(2)) AS BIGINT) AS deg_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .distinct()
+      pairs.select(col("pa").as("n")).unionAll(pairs.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .groupBy(floor(log(col("d").cast("double")) / math.log(2.0)).cast("long")
+          .as("deg_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+        .orderBy("deg_bucket")
+    },
   )
 }

@@ -904,6 +904,36 @@ object TextOps {
         .limit(100)
     },
 
+    // ---- exact multimodal dedup: group by content hash of the BINARY
+    // payload, keep the lowest-id copy. Duplicates are PLANTED by
+    // deriving content from doc_id % 40 (each payload replicated across
+    // ~n/40 docs), so the oracle replays group membership closed-form —
+    // which checks both the dedup semantics AND codec injectivity
+    // (distinct content ids must never hash-collide). Only the 16-byte
+    // hash + small columns reach the shuffle; payload bytes stay in the
+    // map stage — the property that matters when payloads are MBs. ----
+    Q(
+      "media_dedup",
+      """WITH d AS (SELECT doc_id, doc_id % 40 AS cid FROM documents)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+        |  CASE cid % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM d GROUP BY cid ORDER BY canonical_doc""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(40L)).as("cid"))
+      val media = graft.functions.Multimodal.mediaBinaryFromIds(
+        docs.select(col("cid")).distinct(), "cid")
+      docs.join(media, col("cid") === col("media_id"))
+        .groupBy(md5(col("payload")).as("content_hash"))
+        .agg(
+          min(col("doc_id")).as("canonical_doc"),
+          min(col("kind")).as("kind"),
+          count(lit(1)).as("n_copies"))
+        .select(col("canonical_doc"), col("kind"), col("n_copies"))
+        .orderBy("canonical_doc")
+    },
+
     // ---- vocabulary-coded tokenization (the corpus→ids step of training
     // prep): vocab = top-20 tokens by (freq, token), id = dense rank;
     // out-of-vocab → -1 (the 31-token fixture vocabulary guarantees live

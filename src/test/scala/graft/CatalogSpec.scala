@@ -659,6 +659,19 @@ class CatalogSpec extends SparkSpec {
     assert(out(2).startsWith("error:"))
   }
 
+  test("repl \\profile prints per-column stats for atomic columns") {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator("\\profile region", "\\profile embeddings", "\\profile nowhere", "\\q"),
+      out += _)
+    assert(out(1).contains("col_name") && out(1).contains("n_distinct"))
+    assert(out(1).contains("r_regionkey") && out(1).contains("r_name"))
+    // array embedding column skipped, atomic vec_id/label profiled
+    assert(out(2).contains("vec_id") && !out(2).contains("embedding"))
+    assert(out(3).startsWith("error:"))
+  }
+
   test("repl \\history and \\restore operate on the bound warehouse") {
     val wh = Files.createTempDirectory("graft_repl_wh_").toString
     val cat = new Catalog(spark, wh)
