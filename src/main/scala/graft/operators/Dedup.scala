@@ -117,6 +117,37 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact pairwise CONTAINMENT — |A∩B| / min(|A|,|B|) — over a shingle
+    * set: the quote/subset detector (a short document fully contained in
+    * a long one scores 1.0 while its Jaccard can be arbitrarily low, so
+    * a Jaccard gate never finds it). Same distributive skeleton and
+    * hot-shingle cap as [[exactJaccardPairs]]; only the denominator
+    * differs.
+    */
+  def containmentPairs(
+      docs: DataFrame, id: String, shingles: Column,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
+      withShingleCache(docs, id, shingles) { sh0 =>
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("sh").count().filter(col("count") > cap).select("sh")
+        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => sh0
+    }
+    val sz = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(id).as("doc_a"), col("sh"))
+    val b = sh.select(col(id).as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sz.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** MinHash signatures: one row per doc, `numHashes` min-hash values.
     * Column names m0..m{n-1}. Linear scan + one groupBy(id).
     */
@@ -632,6 +663,32 @@ object Dedup {
     ) { (s, d) =>
       exactJaccardPairs(Tables.documents(s, d), "doc_id", shingles3(col("text")),
         threshold = 0.6, maxDocFreq = Some(5))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- containment pairs (quote/subset detection): |A∩B|/min(|A|,|B|)
+    // ≥ 0.9 over the capped 3-shingle sets. Catches the near-total
+    // inclusion a Jaccard threshold structurally misses; same sparse
+    // prefix-join cost profile as the capped Jaccard row ----
+    Q(
+      "dedup_containment",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                                             FOR i IN range(1, len(ws)-1)])) AS s
+        |        FROM w WHERE len(ws) >= 3),
+        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 5),
+        |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  i*1.0/LEAST(sa.n, sb.n) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE i*1.0/LEAST(sa.n, sb.n) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      containmentPairs(Tables.documents(s, d), "doc_id", shingles3(col("text")),
+        threshold = 0.9, maxDocFreq = Some(5))
         .orderBy("doc_a", "doc_b")
     },
 

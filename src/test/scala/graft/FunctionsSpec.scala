@@ -199,6 +199,21 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("containment finds a full quote that Jaccard structurally misses") {
+    // doc 2 is a verbatim quote of doc 1 inside a much longer text:
+    // containment(min side) = 1.0 but Jaccard ≈ |A|/|B| stays below gate
+    val quote = "alpha beta gamma delta epsilon"
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$long $quote"))
+      .toDF("doc_id", "text")
+    val sh = TextFunctions.wordShingles(col("text"), 3)
+    val cont = Dedup.containmentPairs(docs, "doc_id", sh, 0.9).collect()
+    assert(cont.length == 1)
+    assert((cont.head.getLong(0), cont.head.getLong(1)) == (1L, 2L))
+    assert(cont.head.getDouble(2) == 1.0)
+    assert(Dedup.exactJaccardPairs(docs, "doc_id", sh, 0.8).collect().isEmpty)
+  }
+
   test("repeatedNgramCoverage counts only cross-document repeated windows") {
     // doc1/doc2 share a verbatim 10-token run → three common 8-windows;
     // doc3 shares nothing; doc4 repeats an 8-gram only WITHIN itself
