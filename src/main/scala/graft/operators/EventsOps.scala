@@ -723,5 +723,112 @@ object EventsOps {
           col("t._1").as("value"))
         .orderBy("event_type", "rank")
     },
+
+    // ---- GLOBAL running sum as a distributed two-phase prefix scan.
+    // A single empty-partition window (`SUM() OVER (ORDER BY …)`) drags
+    // the whole table through ONE task — the classic scale killer. The
+    // scalable decomposition: (1) within-bucket running sums, bucketed
+    // by a DETERMINISTIC time grain (hour) so no range-sampling is
+    // involved; (2) per-bucket totals, cumulated over the tiny
+    // (one-row-per-hour) totals table; (3) offsets broadcast-joined
+    // back. Exact because prefix sums are associative over contiguous
+    // ordered buckets; deterministic because sums run on the integer
+    // micros lattice. At 100 TB the per-hour partitions are still
+    // bounded (hour grain ↔ data rate), and the offsets table stays
+    // hours-sized — the recursion trivially nests (day→hour) if not.
+    // The oracle states the SEMANTICS via the naive global window; the
+    // plans differ (that is the point), the results must not.
+    // EventsSpec asserts the plan has no empty-partition window over
+    // the event table itself ----
+    Q(
+      "q_global_running_sum",
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    SUM(CAST(ROUND(value*1000000.0, 0) AS BIGINT)) OVER (
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |  FROM events)
+        |SELECT event_id, CAST(rm AS DOUBLE)/1000000.0 AS running_value
+        |FROM r WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * lit(1000000.0)).cast("long").as("m"),
+          date_trunc("hour", col("ts")).as("b"))
+      val wIn = Window.partitionBy("b").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = ev.withColumn("within", sum(col("m")).over(wIn))
+      val wOff = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ev.groupBy("b").agg(sum(col("m")).as("btot"))
+        .withColumn("offset", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("b"), col("offset"))
+      within.join(broadcast(offsets), Seq("b"))
+        .filter(col("user_id") < 20)
+        .select(col("event_id"),
+          ((col("within") + col("offset")).cast("double") / lit(1000000.0))
+            .as("running_value"))
+        .orderBy("event_id")
+    },
+
+    // ---- max concurrency via sweep line, same two-phase scan per
+    // event_type: each event opens a half-open [ts, ts+30 min) interval;
+    // +1/−1 deltas, running-summed in (t, delta, event_id) order (closes
+    // sort before opens at a shared instant, so touching intervals never
+    // overlap). A plain per-type window is skewed at scale — event_type
+    // is low-cardinality — so the running sum is decomposed over
+    // (event_type, hour) buckets exactly like q_global_running_sum; the
+    // offsets table is types×hours-sized. Peak time = earliest instant
+    // attaining the max (two-step agg + tiny broadcast join back) ----
+    Q(
+      "events_max_concurrency",
+      """WITH deltas AS (
+        |  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 30 MINUTE, -1, event_id FROM events),
+        |conc AS (
+        |  SELECT event_type, t,
+        |    SUM(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM deltas),
+        |m AS (SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrency
+        |      FROM conc GROUP BY event_type)
+        |SELECT m.event_type, m.max_concurrency, MIN(conc.t) AS peak_time
+        |FROM conc JOIN m ON conc.event_type = m.event_type
+        |  AND conc.c = m.max_concurrency
+        |GROUP BY m.event_type, m.max_concurrency
+        |ORDER BY m.event_type""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"))
+      val deltas = ev
+        .select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"),
+          col("event_id"))
+        .unionAll(ev.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+        .withColumn("b", date_trunc("hour", col("t")))
+      val wIn = Window.partitionBy("event_type", "b")
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = deltas.withColumn("within", sum(col("delta")).over(wIn))
+      val wOff = Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = deltas.groupBy("event_type", "b")
+        .agg(sum(col("delta")).as("btot"))
+        .withColumn("offset", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("event_type"), col("b"), col("offset"))
+      val conc = within.join(broadcast(offsets), Seq("event_type", "b"))
+        .select(col("event_type"), col("t"),
+          (col("within") + col("offset")).as("c"))
+      val maxes = conc.groupBy("event_type")
+        .agg(max(col("c")).as("max_concurrency"))
+      conc.join(broadcast(maxes), Seq("event_type"))
+        .filter(col("c") === col("max_concurrency"))
+        .groupBy("event_type", "max_concurrency")
+        .agg(min(col("t")).as("peak_time"))
+        .orderBy("event_type")
+    },
   )
 }

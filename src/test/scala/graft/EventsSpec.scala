@@ -142,4 +142,73 @@ class EventsSpec extends SparkSpec {
       assert(df.filter(col("n_outliers") * 5 > col("n")).count() === 0L)
     } finally df.unpersist()
   }
+
+  /** Any unpartitioned window in the plan must run over a pre-aggregated
+    * (bucket-totals) subtree, never the raw event rows — the single-task
+    * global sort is confined to the hours-sized offsets table. */
+  private def assertGlobalWindowsPreAggregated(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val unpartitioned = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.nonEmpty, "expected an offsets window in the plan")
+    unpartitioned.foreach { w =>
+      val aggBelow = w.child.collect { case a: Aggregate => a }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window must sit over bucket totals, not raw rows:\n$w")
+    }
+  }
+
+  test("q_global_running_sum: two-phase prefix scan equals the naive global window") {
+    // plan assert on an uncached invocation (cache() swaps in InMemoryRelation)
+    assertGlobalWindowsPreAggregated(
+      SparkEntry.queries("q_global_running_sum")(spark, sf0001))
+    val df = SparkEntry.queries("q_global_running_sum")(spark, sf0001).cache()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val naive = Tables.events(spark, sf0001)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * lit(1000000.0)).cast("long").as("m"),
+          col("ts"))
+        .withColumn("rm", sum(col("m")).over(
+          Window.orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("user_id") < 20)
+        .select(col("event_id"),
+          (col("rm").cast("double") / lit(1000000.0)).as("running_value"))
+      assert(df.count() === naive.count())
+      assert(df.join(naive, Seq("event_id", "running_value")).count() === df.count())
+    } finally df.unpersist()
+  }
+
+  test("events_max_concurrency: decomposed sweep line equals the naive per-type window") {
+    val df = SparkEntry.queries("events_max_concurrency")(spark, sf0001).cache()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, sf0001)
+        .select(col("event_type"), col("ts"), col("event_id"))
+      val deltas = ev
+        .select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"),
+          col("event_id"))
+        .unionAll(ev.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      val conc = deltas.withColumn("c", sum(col("delta")).over(
+        Window.partitionBy("event_type")
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val naive = conc.groupBy("event_type")
+        .agg(max(col("c")).as("max_concurrency"))
+      val naivePeak = conc.join(naive, Seq("event_type"))
+        .filter(col("c") === col("max_concurrency"))
+        .groupBy("event_type", "max_concurrency")
+        .agg(min(col("t")).as("peak_time"))
+      assert(df.count() === naivePeak.count())
+      assert(df.join(naivePeak,
+        Seq("event_type", "max_concurrency", "peak_time")).count() === df.count())
+      // Sweep-line sanity: concurrency peaks at >= 1 (every event overlaps itself)
+      assert(df.filter(col("max_concurrency") < 1).count() === 0L)
+    } finally df.unpersist()
+  }
 }
