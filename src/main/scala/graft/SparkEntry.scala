@@ -26,6 +26,7 @@ object SparkEntry {
       operators.RangeJoin.queries ++
       operators.CatalogOps.queries ++
       operators.Scd2.queries ++
+      operators.EntityResolution.queries ++
       streaming.StreamingOps.queries ++
       streaming.KafkaOps.queries
 
