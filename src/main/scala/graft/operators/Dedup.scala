@@ -410,6 +410,59 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Persist a MinHash LSH index over a corpus: the banded bucket keys
+    * and hashed-shingle arrays written ONCE as catalog tables
+    * (`<name>_bands`, `<name>_arr`), so incremental batches probe stored
+    * state instead of re-scanning corpus text. This is the index-reuse
+    * companion of [[graft.functions.BloomMembership]]'s incremental
+    * exact-shingle dedup: Bloom answers "any shingle seen before?" in
+    * fixed memory; this index answers "WHICH near-duplicate, at what
+    * Jaccard" with corpus-linear state that amortizes across every
+    * future batch. At 100 TB the two tables are ~(numHashes/bandRows +
+    * ~1)×|corpus| small rows — a fraction of corpus text — and the probe
+    * cost is linear in the BATCH, not the corpus.
+    */
+  def buildMinHashIndex(
+      cat: graft.sources.Catalog, name: String,
+      docs: DataFrame, id: String, shingles: Column,
+      numHashes: Int = 32, bandRows: Int = 2): Unit = {
+    val arr = hashedShingleArr(docs, id, shingles)
+    val bands = bandKeys(arr, id, numHashes, bandRows)
+    cat.create(s"${name}_arr", arr.schema)
+    cat.insert(s"${name}_arr", arr)
+    cat.create(s"${name}_bands", bands.schema)
+    cat.insert(s"${name}_bands", bands)
+  }
+
+  /** Probe a new batch against a [[buildMinHashIndex]] index: returns
+    * (doc_a = indexed id, doc_b = batch id, jaccard ≥ threshold). The
+    * corpus side contributes only its STORED band/array tables (no text
+    * re-scan, no signature recompute); band parameters must match the
+    * build's. Result is identical to [[minHashCrossPairs]] on the same
+    * two corpora (spec-asserted) — the index round-trip changes nothing.
+    */
+  def probeMinHashIndex(
+      cat: graft.sources.Catalog, name: String,
+      batch: DataFrame, id: String, shingles: Column, threshold: Double,
+      numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    val arrB = hashedShingleArr(batch, id, shingles)
+    val cand = cat.table(s"${name}_bands").as("x")
+      .join(bandKeys(arrB, id, numHashes, bandRows).as("y"), Seq("band", "key"))
+      .select(col(s"x.$id").as("doc_a"), col(s"y.$id").as("doc_b"))
+      .distinct()
+    cand
+      .join(cat.table(s"${name}_arr")
+        .select(col(id).as("doc_a"), col("arr").as("arr_a")), "doc_a")
+      .join(arrB.select(col(id).as("doc_b"), col("arr").as("arr_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double")
+          / (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 60-bit SimHash of the token multiset: per-bit majority vote of
     * [[TextFunctions.tokenHash60]] (md5-derived — engine-portable, which is
     * what lets the DuckDB oracle recompute identical signatures; 60 bits
@@ -801,6 +854,41 @@ object Dedup {
           sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"),
           expr("bool_and(claimed OR NOT seen)").as("no_false_neg"))
         .orderBy("doc_id")
+    },
+
+    // ---- persisted MinHash LSH index + incremental probe: the corpus
+    // (doc_id % 5 <> 3) is indexed ONCE into catalog tables (banded
+    // bucket keys + hashed shingle arrays); the incoming batch (doc_id %
+    // 5 = 3) probes stored state — no corpus text re-scan, probe cost
+    // linear in the batch. Oracle = exact cross-side 3-shingle Jaccard
+    // (band recall at J>=0.8 is 1-8e-8 with 16 bands x 2 rows, same as
+    // dedup_minhash); a spec asserts probe == minHashCrossPairs on the
+    // same split, so the catalog round-trip changes nothing ----
+    Q(
+      "dedup_minhash_index",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws)-1)])) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |          WHERE a.doc_id % 5 <> 3 AND b.doc_id % 5 = 3 GROUP BY 1,2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  i*1.0/(sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE i*1.0/(sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      val wh = CatalogOps.tempWarehouse()
+      val cat = new graft.sources.Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      buildMinHashIndex(cat, "mh_idx",
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 3), "doc_id",
+        shingles3(col("text")))
+      probeMinHashIndex(cat, "mh_idx",
+        docs.filter(pmod(col("doc_id"), lit(5)) === 3), "doc_id",
+        shingles3(col("text")), threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
     },
   )
 }

@@ -579,4 +579,25 @@ class FunctionsSpec extends SparkSpec {
       assert(rows.filter(size(split(col("ids_head"), ",")) > 20).count() === 0L)
     } finally rows.unpersist()
   }
+
+  test("persisted MinHash index probe equals the direct two-sided cross pairs") {
+    val wh = graft.operators.CatalogOps.tempWarehouse()
+    val cat = new graft.sources.Catalog(spark, wh)
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+    val sh3 = (c: org.apache.spark.sql.Column) => TextFunctions.wordShingles(c, 3)
+    Dedup.buildMinHashIndex(cat, "mh_idx", corpus, "doc_id", sh3(col("text")))
+    val probed = Dedup.probeMinHashIndex(
+      cat, "mh_idx", batch, "doc_id", sh3(col("text")), threshold = 0.8)
+    val direct = Dedup.minHashCrossPairs(
+      corpus, "doc_id", sh3(col("text")),
+      batch, "doc_id", sh3(col("text")), threshold = 0.8)
+    assert(probed.count() === direct.count())
+    assert(probed.join(direct, Seq("doc_a", "doc_b", "jaccard")).count()
+      === direct.count())
+    // and the index is genuinely persisted: both tables exist with rows
+    assert(cat.table("mh_idx_bands").count() > 0L)
+    assert(cat.table("mh_idx_arr").count() > 0L)
+  }
 }
