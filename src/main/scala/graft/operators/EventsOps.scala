@@ -830,5 +830,138 @@ object EventsOps {
         .agg(min(col("t")).as("peak_time"))
         .orderBy("event_type")
     },
+
+    // ---- OHLC downsampling: per (event_type, hour) open/high/low/close
+    // value bars — ONE partial-aggregable groupBy; open/close picked by
+    // min/max over (ts, event_id, v) structs (event_id unique → total
+    // order; value never drives the comparison). Values on the integer
+    // micros lattice so the bar is hash-exact cross-engine ----
+    Q(
+      "events_ohlc_bars",
+      """WITH e AS (
+        |  SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start, ts, event_id,
+        |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_mic
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+        |      ORDER BY ts, event_id) AS rna,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+        |      ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM e)
+        |SELECT event_type, hour_start,
+        |  MAX(CASE WHEN rna = 1 THEN v_mic END) AS open_mic,
+        |  MAX(v_mic) AS high_mic, MIN(v_mic) AS low_mic,
+        |  MAX(CASE WHEN rnd = 1 THEN v_mic END) AS close_mic,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v_mic) AS BIGINT) AS vol_mic
+        |FROM r GROUP BY event_type, hour_start
+        |ORDER BY event_type, hour_start""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v_mic"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .groupBy("event_type", "hour_start")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("v_mic")))
+            .getField("v_mic").as("open_mic"),
+          max(col("v_mic")).as("high_mic"),
+          min(col("v_mic")).as("low_mic"),
+          max(struct(col("ts"), col("event_id"), col("v_mic")))
+            .getField("v_mic").as("close_mic"),
+          count(lit(1)).as("n"),
+          sum(col("v_mic")).as("vol_mic"))
+        .orderBy("event_type", "hour_start")
+    },
+
+    // ---- clickstream path analysis: entry path = first 3 event types of
+    // each 30-min-gap session, counted across sessions, top 20. The
+    // per-session collect is session-bounded; the path groupBy runs over
+    // one row per session; output is bounded by the type-alphabet ----
+    Q(
+      "events_top_paths",
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN epoch_us(ts) -
+        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 3), '>') AS path
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    ) { (s, d) =>
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = expr("ts_ns div 1000") -
+        lag(expr("ts_ns div 1000"), 1).over(order)
+      Tables.events(s, d)
+        .withColumn("new_session",
+          when(gapUs > 1800000000L || lag(col("ts"), 1).over(order).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(array_join(
+          transform(
+            slice(array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("event_type")))), 1, 3),
+            _.getField("event_type")),
+          ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+
+    // ---- trailing-window anomaly gate on the hourly series: flag hours
+    // whose count deviates from the trailing-24-observation mean by more
+    // than 2 sigma. Aggregate FIRST (hourly counts per type — rows bound
+    // by time span, not event volume), window over the tiny series
+    // second. The z² test is cleared of divisions/sqrt: with S=Σc, Q=Σc²
+    // over n trailing rows, (c−S/n)² > 4·(Q/n−S²/n²) ⟺
+    // (c·n−S)² > 4·(Q·n−S²) — pure BIGINT, hash-exact cross-engine ----
+    Q(
+      "events_hourly_anomaly",
+      """WITH hc AS (
+        |  SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour_start, c,
+        |    SUM(c) OVER tw AS s, COUNT(c) OVER tw AS n, SUM(c*c) OVER tw AS q
+        |  FROM hc
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_start, c, CAST(n AS BIGINT) AS trailing_n
+        |FROM w
+        |WHERE n >= 12 AND (c*n - s)*(c*n - s) > 4*(q*n - s*s)
+        |ORDER BY event_type, hour_start""".stripMargin,
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("c"))
+      val tw = Window.partitionBy("event_type").orderBy("hour_start")
+        .rowsBetween(-24, -1)
+      hc.select(col("event_type"), col("hour_start"), col("c"),
+          sum(col("c")).over(tw).as("s"),
+          count(col("c")).over(tw).as("n"),
+          sum(col("c") * col("c")).over(tw).as("q"))
+        .filter(col("n") >= 12 &&
+          (col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")) >
+            lit(4) * (col("q") * col("n") - col("s") * col("s")))
+        .select(col("event_type"), col("hour_start"), col("c"),
+          col("n").as("trailing_n"))
+        .orderBy("event_type", "hour_start")
+    },
   )
 }

@@ -263,6 +263,15 @@ object TrainingData {
     when(pmod(TextFunctions.tokenHash60(id.cast("string")), lit(100)) < trainPct,
       lit("train")).otherwise(lit("test"))
 
+  /** Deterministic k-fold assignment — the cross-validation
+    * generalization of [[hashSplit]]: fold = md5-derived hash of the id
+    * mod k, so folds are stable under corpus growth (a document never
+    * changes fold when new data arrives) and engine-replayable. The
+    * "fold:" domain tag keeps the draw independent of hashSplit's. */
+  def kFold(id: Column, k: Int): Column =
+    pmod(TextFunctions.tokenHash60(concat(lit("fold:"), id.cast("string"))),
+      lit(k))
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by
     * hash order (uniform-at-random for a fixed corpus, reproducible
     * everywhere).
@@ -583,6 +592,30 @@ object TrainingData {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), hashSplit(col("doc_id"), 90).as("split"))
         .orderBy("doc_id")
+    },
+
+    // ---- k-fold CV assignment: growth-stable md5-derived folds; the
+    // per-fold profile (counts, char mass, id witnesses) is the
+    // balance/disjointness audit a CV harness runs before training ----
+    Q(
+      "kfold_assign",
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
+        |  FROM documents)
+        |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), kFold(col("doc_id"), 5).as("fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("fold")
     },
 
     // ---- the end-to-end corpus assembly a training pipeline actually
