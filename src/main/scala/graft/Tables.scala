@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * (see TESTDATA.md / FIXTURES.md). Loading goes through `spark.read.parquet`
   * so Catalyst column pruning + filter pushdown apply automatically.
   *
-  * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4.x rejects
-  * unless `spark.sql.legacy.parquet.nanosAsLong=true` is set (FIXTURES.md
-  * caveat 1, verified). With that flag the column reads as LongType
-  * nanoseconds; [[events]] reconstructs a microsecond timestamp with
-  * integer arithmetic (`ts div 1000`) — double division would lose
-  * precision above 2^53 ns and must not be used.
+  * `events.parquet` has shipped with two physical encodings of `ts` across
+  * driver rounds: INT64 TIMESTAMP(NANOS) — which Spark 4.x reads as
+  * LongType nanos under `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (FIXTURES.md caveat 1) — and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+  * which reads as TIMESTAMP_NTZ. [[events]] normalizes EITHER encoding to
+  * one canonical shape (`ts` NTZ + `ts_ns` long); every consumer (batch,
+  * SQL views, streaming staging, Kafka dressing) goes through it, so a
+  * fixture re-encode degrades to green, not to a crash or a silent
+  * unit error. Integer arithmetic only (`div 1000`) — double division
+  * would lose precision above 2^53 ns.
   */
 object Tables {
   val tpch: Seq[String] =
@@ -68,9 +72,22 @@ object Tables {
       case LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      case _ =>
-        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
-          .withColumn("ts", col("ts").cast(TimestampNTZType))
+      case _: TimestampNTZType | _: TimestampType =>
+        // NTZ carries no instant, so unix_micros() rejects it
+        // (DATATYPE_MISMATCH); decompose the wall-clock value into
+        // date/time parts instead — tz- and DST-independent, all
+        // codegen'd builtins. date_part('SECOND') keeps the fractional
+        // seconds as DECIMAL(8,6), exact at micro precision.
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+          .withColumn("ts_ns",
+            (unix_date(col("ts").cast(DateType)) * lit(86400000000L) +
+              hour(col("ts")) * lit(3600000000L) +
+              minute(col("ts")) * lit(60000000L) +
+              expr("CAST(date_part('SECOND', ts) * 1000000 AS BIGINT)")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other (expected INT64 nanos, " +
+            "TIMESTAMP, or TIMESTAMP_NTZ)")
     }
   }
 }

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * their own shuffle (uniqueness = one groupBy on the key; foreign keys =
   * one anti join, which AQE broadcasts when the parent is dim-sized and
   * which a bloom pre-filter cuts further at fact-fact scale — see
-  * [[BloomJoin]]). Profiling uses exact multi-column `COUNT(DISTINCT)`
-  * (Catalyst's Expand plan, one pass); at 100 TB swap the exact distinct
-  * for `approx_count_distinct` — same plan minus the Expand multiplier.
+  * [[BloomJoin]]). Profiling defaults to `approx_count_distinct` (HLL++,
+  * one pass, no Expand multiplier — the 100 TB default); exact
+  * multi-column `COUNT(DISTINCT)` is the `exact = true` opt-in for
+  * fixture-scale oracle audits.
   */
 object DataQuality {
 
@@ -25,13 +26,18 @@ object DataQuality {
 
   /** ANALYZE-style profile of `cols`: one row per column with
     * `(col_name, n_rows, n_null, n_distinct, min_s, max_s)` — computed in
-    * ONE aggregate pass (plus Catalyst's Expand for the exact
-    * multi-distinct). Floating columns are profiled on the integer-micros
-    * lattice so min/max/distinct are engine-portable; everything else
-    * renders via string cast. Backs the registered `profile_table` row
-    * and the REPL's `\profile <table>`.
+    * ONE aggregate pass. The DEFAULT distinct counter is
+    * `approx_count_distinct` (HLL++, 2% rsd): constant state per column,
+    * no Expand multiplier — the only sane default at 100 TB, where the
+    * exact multi-distinct Expand plan multiplies the scanned rows by the
+    * column count. `exact = true` opts into exact `COUNT(DISTINCT)` for
+    * oracle-grade audits at fixture scale (the registered `profile_table`
+    * row; `profile_table_approx` pins the estimate within rsd bounds of
+    * exact). Floating columns are profiled on the integer-micros lattice
+    * so min/max/distinct are engine-portable; everything else renders via
+    * string cast. Backs the REPL's `\profile <table>` (approx default).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     require(cols.nonEmpty, "profile needs at least one column")
     val keyed = cols.map { c =>
@@ -41,10 +47,12 @@ object DataQuality {
         case _ => col(c)
       }
     }
+    def nd(key: Column): Column =
+      if (exact) countDistinct(key) else approx_count_distinct(key, 0.02)
     val aggs = count(lit(1)).as("n_rows") +:
       cols.zip(keyed).zipWithIndex.flatMap { case ((c, key), i) =>
         Seq(
-          count(col(c)).as(s"nn$i"), countDistinct(key).as(s"nd$i"),
+          count(col(c)).as(s"nn$i"), nd(key).as(s"nd$i"),
           min(key).cast("string").as(s"mn$i"),
           max(key).cast("string").as(s"mx$i"))
       }
@@ -134,7 +142,46 @@ object DataQuality {
     ) { (s, d) =>
       profile(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-          "o_totalprice"))
+          "o_totalprice"), exact = true)
+    },
+
+    // ---- the DEFAULT (approx) profile, contract-checked: exact columns
+    // (n_rows/n_null/min/max) hash-match the oracle directly, and the HLL
+    // estimate is pinned within 5×rsd of the exact distinct (Spark-side
+    // exact replay; the oracle derives the same TRUE from its own exact
+    // counts — the `never_under`-style boolean contract used by
+    // distinct_approx_check). ----
+    Q(
+      "profile_table_approx",
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS nn1,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        |    COUNT(o_custkey) AS nn2,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        |    COUNT(o_orderpriority) AS nn4,
+        |    MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4
+        |  FROM orders)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null, min_s, max_s, TRUE AS within_rsd
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_null,
+        |         mn1 AS min_s, mx1 AS max_s FROM a
+        |  UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, mn4, mx4 FROM a)
+        |ORDER BY col_name""".stripMargin,
+    ) { (s, d) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+      val o = Tables.orders(s, d)
+      val approx = profile(o, cols)
+      val ex = profile(o, cols, exact = true)
+        .select(col("col_name"), col("n_distinct").as("nd_exact"))
+      approx.join(ex, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("min_s"), col("max_s"),
+          (abs(col("n_distinct") - col("nd_exact")).cast("double") <=
+            col("nd_exact") * lit(0.10)).as("within_rsd"))
+        .orderBy("col_name")
     },
 
     // ---- declarative constraint audit: three row-level checks in one

@@ -17,16 +17,23 @@ object GraftSql {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
 
   /** Register all fixture tables under their canonical names (once per
-    * session + fixture dir).
+    * session + fixture dir). The memo key is added only AFTER every view
+    * registers: if a loader throws (e.g. an unreadable fixture), the
+    * session is NOT marked registered, so the next call retries from
+    * scratch instead of running SQL against a half-registered catalog —
+    * a partially-poisoned session is worse than a repeated footer read.
     */
-  def registerFixtures(spark: SparkSession, sfDir: String): Unit =
-    if (registered.add((System.identityHashCode(spark), sfDir))) {
+  def registerFixtures(spark: SparkSession, sfDir: String): Unit = {
+    val key = (System.identityHashCode(spark), sfDir)
+    if (!registered.contains(key)) {
       graft.plans.TokenHash60.register(spark)
       Tables.tpch.foreach(n => Tables.load(spark, sfDir, n).createOrReplaceTempView(n))
       Tables.events(spark, sfDir).createOrReplaceTempView("events")
       Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
       Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+      registered.add(key)
     }
+  }
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     registerFixtures(spark, sfDir)

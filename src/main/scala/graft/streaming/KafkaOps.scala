@@ -113,15 +113,21 @@ object KafkaOps {
     * [[wireParseFileBacked]] then time only the streaming read + parse —
     * the work a live Kafka consumer would do — not fixture staging I/O.
     */
-  private def stagedWireDir(spark: SparkSession, sfDir: String): String =
-    wireStageCache.computeIfAbsent(sfDir, { _ =>
+  private def stagedWireDir(spark: SparkSession, sfDir: String): String = {
+    // key on fixture identity (path + size + mtime), not path alone: a
+    // regenerated fixture at the same path must get a fresh stage
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val ident = s"$sfDir:${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    wireStageCache.computeIfAbsent(ident, { _ =>
       val stage = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
-        "graft_kafka_wire_" + Integer.toHexString(sfDir.hashCode))
+        "graft_kafka_wire_" + Integer.toHexString(ident.hashCode))
       if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
         wireFromEvents(spark, sfDir).write.mode("overwrite").parquet(stage.toString)
       stage.toString
     })
+  }
 
   /** S5 end-to-end with a file-backed wire source: stage the wire-shaped
     * records (once per sfDir — see [[stagedWireDir]]), `readStream` them

@@ -25,9 +25,11 @@ import scala.jdk.CollectionConverters._
   * of session-global `spark.sql.shuffle.partitions`; note newSession
   * inherits only builder-level confs, not runtime `spark.conf.set` values,
   * which is fine here because every conf we rely on is builder-level),
-  * materializes the sink, then drops sink state and deletes the staging
-  * directory before returning. Repeated bench runs therefore accumulate no
-  * driver memory or tmp files.
+  * materializes the sink, then drops sink/checkpoint state before
+  * returning. The normalized-events staging dir is the one deliberate
+  * residue: stable-pathed and memoized per (JVM, fixture identity), so
+  * repeated bench runs re-use it instead of re-writing it, and driver
+  * memory/tmp usage stays bounded.
   */
 /** Per-user running totals as a `transformWithState` StatefulProcessor —
   * the Spark 4 arbitrary-state API (state store v2): explicit named state
@@ -65,28 +67,50 @@ private[streaming] class UserTotalsProcessor
 
 object StreamingOps {
 
-  /** events.parquet schema as the stream source sees it (ts = INT64 nanos,
-    * read as long via nanosAsLong).
+  /** Schema of the NORMALIZED staged events (what [[withStagedEvents]]
+    * writes): the canonical shape produced by [[graft.Tables.events]] —
+    * `ts` as TIMESTAMP_NTZ plus the exact integer `ts_ns`. The stream tier
+    * carries NO copy of the fixture's physical-unit decode logic; all time
+    * arithmetic below derives from `ts_ns`.
     */
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+    StructField("value", DoubleType), StructField("props", StringType),
+    StructField("ts_ns", LongType)))
 
-  /** Stage the single-file events fixture into a fresh directory (the file
-    * stream source requires a directory; in production the source would be
-    * a landing directory already), run `f`, then delete the staging dir.
+  /** Staged normalized-events dirs already written this JVM, keyed by the
+    * fixture identity (path + size + mtime — a regenerated fixture at the
+    * same path gets a fresh stage, never a stale one).
     */
-  private def withStagedEvents[T](sfDir: String)(f: String => T): T = {
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
-    val staged = stage.resolve("events.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged)
-    try f(stage.toString)
-    finally {
-      java.nio.file.Files.deleteIfExists(staged)
-      java.nio.file.Files.deleteIfExists(stage)
-    }
+  private val eventsStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the events fixture as a normalized parquet directory for the
+    * file stream source (the source requires a directory; in production
+    * it is a landing directory already). Staging writes
+    * [[graft.Tables.events]] output — the ONE shared decode of the
+    * fixture's physical ts encoding — so a fixture re-encode (INT64 nanos
+    * ↔ TIMESTAMP_NTZ micros) cannot drift streaming results away from
+    * batch. Staged once per (JVM, fixture identity) under a stable tmp
+    * path (same discipline as KafkaOps.stagedWireDir): `_SUCCESS` guards
+    * a stale partial dir from an interrupted earlier process, and
+    * `computeIfAbsent` records the memo only when the write succeeds, so
+    * repeated bench runs time the streaming read, not staging I/O.
+    */
+  private def withStagedEvents[T](spark: SparkSession, sfDir: String)(f: String => T): T = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val ident = s"$sfDir:${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    f(eventsStageCache.computeIfAbsent(ident, { _ =>
+      val stage = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_events_" + Integer.toHexString(ident.hashCode))
+      if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
+        graft.Tables.events(spark, sfDir)
+          .write.mode("overwrite").parquet(stage.toString)
+      stage.toString
+    }))
   }
 
   /** [[runToFiles]] for UPDATE-mode stateful streams: an Update stream
@@ -114,19 +138,22 @@ object StreamingOps {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-          df.withColumn("_batch_id", lit(batchId)).write.mode("append").parquet(outDir)
+          // per-batch overwrite (writeBatch): a retried micro-batch rewrites
+          // its own `batch=<id>` dir — no duplicate tags under retry
+          writeBatch(df, outDir, complete = false, batchId)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
       // last-writer-wins: a (map|flatMap)GroupsWithState group emits at most
-      // once per batch, so (keys, _batch_id) is unique and rn=1 is total
+      // once per batch, so (keys, batch) is unique and rn=1 is total; the
+      // batch id is the partition-dir column writeBatch lays down
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col("_batch_id").desc)
+        .partitionBy(keys.map(col): _*).orderBy(col("batch").desc)
       spark.read.parquet(outDir)
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
-        .drop("_rn", "_batch_id")
+        .drop("_rn", "batch")
         .localCheckpoint(true)
     } finally deleteRecursively(work)
   }
@@ -154,22 +181,37 @@ object StreamingOps {
     val outDir = work.resolve("out").toString
     try {
       val (stream, mode) = build(session)
-      // Complete re-emits the full result per batch → each rewrite is the
-      // current answer; Append emits only new rows per batch → accumulate
-      val fileMode =
-        if (mode == org.apache.spark.sql.streaming.OutputMode.Complete()) "overwrite"
-        else "append"
+      val complete = mode == org.apache.spark.sql.streaming.OutputMode.Complete()
       val query = stream.writeStream
         .outputMode(mode)
         .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          df.write.mode(fileMode).parquet(outDir)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          writeBatch(df, outDir, complete, batchId)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      spark.read.parquet(outDir).localCheckpoint(true)
+      // drop("batch") strips Append mode's per-batch partition dir column;
+      // no-op for Complete output (no such column)
+      spark.read.parquet(outDir).drop("batch").localCheckpoint(true)
     } finally deleteRecursively(work)
+  }
+
+  /** Per-batch sink write, IDEMPOTENT under micro-batch retry. Complete
+    * mode re-emits the full result, so each batch atomically rewrites the
+    * whole output dir and the last rewrite is the final answer. Append
+    * mode emits only new rows per batch — but `mode("append")` into one
+    * shared dir would double-write a retried batch, so each batch
+    * overwrites its OWN deterministic subdir (`batch=<id>`): a retry
+    * rewrites exactly its previous output, exactly-once semantics
+    * end-to-end (the same tag-and-resolve discipline runToFilesUpsert
+    * uses for Update mode). Asserted by StreamingSpec's retry spec.
+    */
+  private[graft] def writeBatch(
+      df: org.apache.spark.sql.Dataset[Row], outDir: String,
+      complete: Boolean, batchId: Long): Unit = {
+    val target = if (complete) outDir else s"$outDir/batch=$batchId"
+    df.write.mode("overwrite").parquet(target)
   }
 
   private[streaming] def deleteRecursively(root: java.nio.file.Path): Unit = {
@@ -184,14 +226,14 @@ object StreamingOps {
     * result as a batch DataFrame backed by executor blocks.
     */
   def hourlyCountsStreaming(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       runToFiles(spark, "stream_hourly", { session =>
         val stream = session.readStream
           .schema(eventsSchema)
           .parquet(stageDir)
           // watermarks require an instant TimestampType; emit NTZ only at the
           // output edge so written results are naive like the batch tier's
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
           .withWatermark("ts", "1 hour")
           .groupBy(col("event_type"), window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
@@ -215,12 +257,12 @@ object StreamingOps {
     * window and its state IS dropped.
     */
   def slidingCountsStreaming(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       runToFiles(spark, "stream_sliding", { session =>
         val stream = session.readStream
           .schema(eventsSchema)
           .parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
           .withWatermark("ts", "1 hour")
           .groupBy(col("event_type"), window(col("ts"), "2 hours", "30 minutes"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
@@ -238,7 +280,7 @@ object StreamingOps {
     * (asserted by StreamingSpec).
     */
   def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       runToFilesUpsert(spark, "stream_state", Seq("user_id"), { session =>
         import session.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -272,7 +314,7 @@ object StreamingOps {
     * state first would number every event with the final count).
     */
   def runningUserSeq(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       // Append-mode 1-to-N stateful output: every event is emitted exactly
       // once, so the plain append file path is already upsert-free
       runToFiles(spark, "stream_seq", { session =>
@@ -302,7 +344,7 @@ object StreamingOps {
     * TB-sized state per executor), set per-session here.
     */
   def statefulUserTotalsTws(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       runToFilesUpsert(spark, "stream_tws", Seq("user_id"), { session =>
         import session.implicits._
         session.conf.set(
@@ -332,13 +374,13 @@ object StreamingOps {
     * and the result provably equals the batch join.
     */
   def viewClickJoin(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       runToFiles(spark, "stream_join", { session =>
         def side(tpe: String, idAs: String, tsAs: String, userAs: String) =
           session.readStream
             .schema(eventsSchema)
             .parquet(stageDir)
-            .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+            .withColumn("tts", timestamp_micros(expr("ts_ns div 1000")))
             .filter(col("event_type") === tpe)
             .select(col("user_id").as(userAs), col("event_id").as(idAs),
               col("tts").as(tsAs))
@@ -364,12 +406,12 @@ object StreamingOps {
     * final emission is the fully-merged session set).
     */
   def sessionWindowStreaming(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       runToFiles(spark, "stream_session", { session =>
         val stream = session.readStream
           .schema(eventsSchema)
           .parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
           .withWatermark("ts", "31 days")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
@@ -388,7 +430,7 @@ object StreamingOps {
     * scale, complementing the stateful stream-stream interval join.
     */
   def enrichWithStatic(spark: SparkSession, sfDir: String): DataFrame =
-    withStagedEvents(sfDir) { stageDir =>
+    withStagedEvents(spark, sfDir) { stageDir =>
       runToFiles(spark, "stream_enrich", { session =>
         val dim = graft.Tables.customer(session, sfDir)
           .select(col("c_custkey"), col("c_mktsegment"))
@@ -504,7 +546,7 @@ object StreamingOps {
       "stream_distinct_users",
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     ) { (spark, sfDir) =>
-      withStagedEvents(sfDir) { stageDir =>
+      withStagedEvents(spark, sfDir) { stageDir =>
         runToFiles(spark, "stream_distinct", { session =>
           val stream = session.readStream
             .schema(eventsSchema)
@@ -527,12 +569,12 @@ object StreamingOps {
       "stream_distinct_users_wm",
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     ) { (spark, sfDir) =>
-      withStagedEvents(sfDir) { stageDir =>
+      withStagedEvents(spark, sfDir) { stageDir =>
         runToFiles(spark, "stream_distinct_wm", { session =>
           val stream = session.readStream
             .schema(eventsSchema)
             .parquet(stageDir)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
             .withWatermark("ts", "365 days")
             .dropDuplicatesWithinWatermark("user_id")
             .select("user_id")
@@ -678,7 +720,7 @@ object StreamingOps {
         |ORDER BY n_exact DESC, token""".stripMargin,
     ) { (s, d) =>
       import graft.functions.CountMinSketch
-      val sketch = withStagedEvents(d) { stageDir =>
+      val sketch = withStagedEvents(s, d) { stageDir =>
         runToFiles(s, "stream_hh", { session =>
           val stream = session.readStream
             .schema(eventsSchema)
