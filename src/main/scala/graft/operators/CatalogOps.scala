@@ -86,6 +86,66 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- the SQL-TEXT surface over the warehouse (CatalogSql): CTAS →
+    // ALTER ADD COLUMN DEFAULT → ANSI MERGE (upsert-all) → DELETE →
+    // INSERT INTO → SELECT, every step routed as a text statement (the
+    // inner queries run through Spark SQL; the commands land on the same
+    // versioned-COW Catalog ops the Scala API uses). Oracle replays the
+    // lifecycle relationally: merge = upd ∪ (base ∖ keys), delete =
+    // filter, insert = union. ----
+    Q(
+      "catalog_sql_dml",
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |         'base' AS tag
+        |  FROM documents),
+        |upd AS (
+        |  SELECT doc_id, text, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+        |         'merged' AS tag
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |m AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id)),
+        |afterdel AS (SELECT * FROM m WHERE NOT (doc_id % 5 = 0)),
+        |ins AS (
+        |  SELECT CAST(doc_id + 10000000 AS BIGINT) AS doc_id, text, lang,
+        |         CAST(n_chars AS BIGINT) AS n_chars, 'fresh' AS tag
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |fin AS (SELECT * FROM afterdel UNION ALL SELECT * FROM ins)
+        |SELECT lang, tag, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM fin GROUP BY lang, tag ORDER BY lang, tag""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_sql AS
+          |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("ALTER TABLE docs_sql ADD COLUMN tag STRING DEFAULT 'base'")
+      x("""MERGE INTO docs_sql USING (
+          |  SELECT doc_id, text, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+          |         'merged' AS tag
+          |  FROM documents WHERE doc_id % 7 = 3) src
+          |ON docs_sql.doc_id = src.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      x("DELETE FROM docs_sql WHERE doc_id % 5 = 0")
+      x("""INSERT INTO docs_sql
+          |SELECT CAST(doc_id + 10000000 AS BIGINT) AS doc_id, text, lang,
+          |       CAST(n_chars AS BIGINT) AS n_chars, 'fresh' AS tag
+          |FROM documents WHERE doc_id % 11 = 5""".stripMargin)
+      x("""SELECT lang, tag, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+          |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+          |FROM docs_sql GROUP BY lang, tag ORDER BY lang, tag""".stripMargin)
+    },
+
     // ---- partition-pruned scan: filter on the partition column reads
     // only that directory (explain-verified in CatalogSpec) ----
     Q(
