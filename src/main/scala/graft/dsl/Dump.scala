@@ -72,7 +72,19 @@ object Dump {
     def exec(sql: String): Unit = {
       val t0 = System.nanoTime()
       try {
-        val rendered = dump(spark.sql(sql), limit)
+        // DDL/DML commands route to the bound warehouse via CatalogSql
+        // (CREATE/INSERT/MERGE/DELETE/ALTER/DROP as text); everything
+        // else stays plain Spark SQL over the registered views, with the
+        // catalog's tables also visible when a warehouse is bound
+        val df = cat match {
+          case Some(c) if graft.sources.CatalogSql.isCommand(sql) =>
+            graft.sources.CatalogSql.exec(spark, c, sql)
+          case Some(c) =>
+            c.tables().foreach(n => c.table(n).createOrReplaceTempView(n))
+            spark.sql(sql)
+          case None => spark.sql(sql)
+        }
+        val rendered = dump(df, limit)
         val dt = (System.nanoTime() - t0) / 1e9
         out(if (timing) rendered + f"\nTime: $dt%.3f s" else rendered)
       } catch { case e: Exception => out(s"error: ${e.getMessage}") }

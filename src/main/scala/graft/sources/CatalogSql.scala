@@ -50,6 +50,21 @@ object CatalogSql {
   private val Query =
     """(?is)^(?:SELECT|WITH|TABLE|VALUES)\b.*$""".r
 
+  /** True when the statement is one of the catalog COMMANDS this router
+    * owns (CREATE/INSERT/DELETE/MERGE/ALTER/DROP) — callers with their own
+    * SQL path (e.g. the REPL) route commands here and leave everything
+    * else to plain Spark SQL.
+    */
+  def isCommand(statement: String): Boolean = {
+    val stmt = statement.trim.stripSuffix(";").trim
+    stmt match {
+      case CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
+          Merge(_, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
+          RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) => true
+      case _ => false
+    }
+  }
+
   /** Run the relational part of a statement through Spark SQL with every
     * catalog table visible as a temp view (reads go through
     * [[Catalog.table]], so time-travel/COW resolution applies as usual).

@@ -75,6 +75,29 @@ class CatalogSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("MERGE"))
   }
 
+  test("repl with a bound warehouse drives DDL/DML as text") {
+    val wh = CatalogOps.tempWarehouse()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        "CREATE TABLE kv (k BIGINT, v STRING);",
+        "INSERT INTO kv VALUES (1, 'a'), (2, 'b');",
+        "SELECT k, v FROM kv ORDER BY k;",
+        "DELETE FROM kv WHERE k = 1;",
+        "SELECT COUNT(*) AS n FROM kv;",
+        "DROP TABLE kv;",
+        "\\q"),
+      out += _, warehouse = Some(wh))
+    assert(out(1).contains("create") && out(1).contains("kv"))
+    assert(out(2).contains("insert"))
+    assert(out(3).contains("a") && out(3).contains("b"))
+    assert(out(4).contains("delete"))
+    assert(out(5).contains("1"))
+    assert(out(6).contains("drop"))
+    assert(!new Catalog(spark, wh).exists("kv"))
+  }
+
   test("unsupported statements are rejected with the supported-statement list") {
     val cat = freshCat()
     val e = intercept[IllegalArgumentException] {
