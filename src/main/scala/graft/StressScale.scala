@@ -285,6 +285,81 @@ object StressScale {
         f""""merge_matched":$matched,"merge_inserted":$inserted,"merge_sec":$mergeSec%.3f}""")
   }
 
+  /** Streaming STATE-BOUND probe: replay the fixture's event month one
+    * DAY per micro-batch (30 batches; mtime-ordered single-file feed,
+    * `maxFilesPerTrigger=1` — the stream_upsert_merge replay discipline)
+    * through the sliding-window aggregation (2 h / 30 min), identically
+    * except for output mode:
+    *
+    *  - Complete mode retains every (type, window) group for re-emission:
+    *    state grows LINEARLY with stream age — fine for a bounded replay,
+    *    fatal for a forever-stream.
+    *  - Update mode + 1 h watermark evicts each window once the watermark
+    *    passes its end: state holds only the open tail, CONSTANT per
+    *    batch regardless of stream age.
+    *
+    * This is the measured form of the claim in
+    * `StreamingOps.slidingCountsStreaming`'s NOTE: the registered bounded
+    * replays may use Complete for batch-equivalent materialization, but
+    * the deployment shape at 100 TB/day is Update/Append, where the
+    * watermark makes state O(open windows), not O(stream age). Prints one
+    * JSON line with the per-batch `numRowsTotal` series for both modes.
+    */
+  private def stream(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import scala.jdk.CollectionConverters._
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts_ns")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_state_")
+    val feed = java.nio.file.Files.createDirectory(work.resolve("feed"))
+    // one file per calendar day, mtimes pinning replay order to event time
+    val days = ev.select(expr("ts_ns div 86400000000000").as("day"))
+      .distinct().orderBy("day").collect().map(_.getLong(0)) // ≤31 values
+    days.zipWithIndex.foreach { case (day, i) =>
+      val tmp = work.resolve(s"w$i")
+      ev.filter(expr(s"ts_ns div 86400000000000 = $day"))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dst = feed.resolve(f"day$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = ev.schema
+    def run(mode: OutputMode, watermark: Boolean): (Int, Seq[Long]) = {
+      val session = spark.newSession()
+      session.conf.set("spark.sql.shuffle.partitions", "4")
+      val ckpt = java.nio.file.Files.createTempDirectory(work, "ckpt_").toString
+      val src0 = session.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed.toString)
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val src = if (watermark) src0.withWatermark("ts", "1 hour") else src0
+      val q = src
+        .groupBy(col("event_type"), window(col("ts"), "2 hours", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.write.format("noop").mode("overwrite").save()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val state = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal)
+      (state.size, state)
+    }
+    val (nBatchC, stateC) = run(OutputMode.Complete(), watermark = false)
+    val (nBatchU, stateU) = run(OutputMode.Update(), watermark = true)
+    println(
+      s"""{"dir":"$dir","days":${days.length},""" +
+        s""""complete_batches":$nBatchC,"complete_state_rows":[${stateC.mkString(",")}],""" +
+        s""""update_batches":$nBatchU,"update_state_rows":[${stateU.mkString(",")}]}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.toList match {
@@ -294,9 +369,10 @@ object StressScale {
       case "sketch" :: dir :: Nil => sketch(spark, dir)
       case "simx" :: dir :: stride :: Nil => simx(spark, dir, stride.toLong)
       case "dml" :: dir :: Nil => dml(spark, dir)
+      case "stream" :: dir :: Nil => stream(spark, dir)
       case other => sys.error(
         s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k> " +
-          s"| sketch <dir> | simx <dir> <stride> | dml <dir>; got $other")
+          s"| sketch <dir> | simx <dir> <stride> | dml <dir> | stream <dir>; got $other")
     }
     spark.stop()
   }
