@@ -65,6 +65,76 @@ private[streaming] class UserTotalsProcessor
   }
 }
 
+/** Gap-sessionization driven by EVENT-TIME TIMERS — the transformWithState
+  * feature surface [[UserTotalsProcessor]] doesn't touch (TimeMode
+  * EventTime, `registerTimer`/`handleExpiredTimer`): per-user open-session
+  * state, re-armed on every batch at `last_ts + gap`; when the watermark
+  * passes the timer the session is emitted CLOSED and its state cleared.
+  * Sessions still open when the bounded replay ends never fire a timer —
+  * they are read DIRECTLY from the state store afterward (the state-store
+  * reader), and closed ∪ open must equal batch gap-sessionization exactly
+  * (shared oracle with `stream_session_agg`/`session_window`).
+  *
+  * In-batch ordering: rows within a micro-batch arrive unordered, so the
+  * processor sorts the group's batch slice by ts before walking gaps —
+  * memory is bounded by one USER's rows per BATCH (not per stream), the
+  * same envelope any per-key stateful operator already holds.
+  *
+  * State contract: `(start_us, last_us, n_events, sum_micros)` — integer
+  * micros only (the Det discipline), so the fold is independent of batch
+  * boundaries and replayable bit-exactly.
+  */
+private[streaming] class TimerSessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long, Long, Long)](
+      "sess",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+    val batch = rows.toArray.sortBy(_._2) // (user, ts_us, value_micros) by ts
+    var closed = List.empty[(Long, Long, Long, Double)]
+    var st = if (sess.exists()) Option(sess.get()) else None
+    // single live timer per key: drop the previous arm before re-arming
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    batch.foreach { case (_, ts, vmic) =>
+      st match {
+        case Some((s0, last, n, sum)) if ts - last < gapUs =>
+          st = Some((s0, ts, n + 1, sum + vmic))
+        case Some((s0, _, n, sum)) => // gap exceeded inside the batch
+          closed ::= ((user, s0, n, sum.toDouble / 1000000.0))
+          st = Some((ts, ts, 1L, vmic))
+        case None =>
+          st = Some((ts, ts, 1L, vmic))
+      }
+    }
+    st.foreach { cur =>
+      sess.update(cur)
+      getHandle.registerTimer(cur._2 / 1000L + gapUs / 1000L) // timers are ms
+    }
+    closed.reverse.iterator
+  }
+
+  override def handleExpiredTimer(
+      user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Double)] =
+    if (sess.exists()) {
+      val (s0, _, n, sum) = sess.get()
+      sess.clear()
+      Iterator.single((user, s0, n, sum.toDouble / 1000000.0))
+    } else Iterator.empty
+}
+
 object StreamingOps {
 
   /** Schema of the NORMALIZED staged events (what [[withStagedEvents]]
@@ -364,6 +434,75 @@ object StreamingOps {
       })
     }.orderBy("user_id")
 
+  /** Timer-closed gap sessionization (see [[TimerSessionProcessor]]):
+    * event-time timers close sessions as the watermark passes
+    * `last_ts + gap`; sessions still OPEN at end-of-replay are recovered
+    * from the checkpoint via the STATE-STORE READER (`format
+    * ("statestore")`, `stateVarName = sess`) — streaming state as a
+    * queryable table, the introspection surface a production engine needs
+    * for state debugging and exactly this kind of drain-free readout.
+    * closed ∪ open = batch gap-sessionization (same oracle as
+    * `stream_session_agg`). Requires RocksDB (the transformWithState
+    * store); watermark delay 0 s — the bounded-replay setting that
+    * advances the final watermark to the stream's max event time, firing
+    * every timer at least `gap` behind it.
+    */
+  def sessionWindowTimers(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(spark, sfDir) { stageDir =>
+      val session = spark.newSession()
+      session.conf.set("spark.sql.shuffle.partitions", "4")
+      session.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val work = java.nio.file.Files.createTempDirectory("graft_stream_timer_")
+      val ckpt = work.resolve("ckpt").toString
+      val outDir = work.resolve("out").toString
+      try {
+        import session.implicits._
+        val gapUs = 30L * 60 * 1000000
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .withColumn("tts", timestamp_micros(expr("ts_ns div 1000")))
+          .withWatermark("tts", "0 seconds")
+          .selectExpr("user_id", "ts_ns div 1000 AS ts_us",
+            "CAST(ROUND(value * 1000000.0, 0) AS LONG) AS vmic")
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new TimerSessionProcessor(gapUs),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "start_us", "n_events", "sum_value")
+        val query = stream.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+            writeBatch(df, outDir, complete = false, batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val closed = spark.read.parquet(outDir).drop("batch")
+          .select(col("user_id"), col("start_us"), col("n_events"), col("sum_value"))
+        // drain-free readout of the open tail: state as a table
+        val open = spark.read.format("statestore")
+          .option("stateVarName", "sess")
+          .load(ckpt)
+          .select(
+            col("key.value").as("user_id"),
+            col("value._1").as("start_us"),
+            col("value._3").as("n_events"),
+            (col("value._4").cast("double") / lit(1000000.0)).as("sum_value"))
+        closed.unionByName(open)
+          .select(col("user_id"),
+            timestamp_micros(col("start_us")).cast(TimestampNTZType).as("session_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start")
+          .localCheckpoint(true)
+      } finally deleteRecursively(work)
+    }
+
   /** Stream-stream interval join: views joined to same-user clicks within
     * the [view_ts, view_ts + 2 h] window. Both sides carry watermarks and
     * the join condition bounds event time in both directions, so Spark
@@ -519,6 +658,31 @@ object StreamingOps {
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     )(sessionWindowStreaming),
+
+    // ---- timer-closed sessionization (event-time timers + state-store
+    // reader for the open tail); same oracle as stream_session_agg — the
+    // three sessionization tiers (batch window, merging session_window,
+    // timer-driven stateful) must agree on one relational answer ----
+    Q(
+      "stream_session_timers",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN epoch_us(ts) -
+        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    )(sessionWindowTimers),
 
     // ---- stream-static enrichment join (stateless; dim side planned per
     // micro-batch), oracle = the plain batch join ----

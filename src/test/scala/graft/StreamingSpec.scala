@@ -87,6 +87,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("timer-closed sessions (incl. state-store open tail) equal session_window") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    val timers = rows(StreamingOps.sessionWindowTimers(spark, sf0001))
+    val merging = rows(StreamingOps.sessionWindowStreaming(spark, sf0001))
+    assert(timers.sameElements(merging)) // two stateful shapes, one answer
+    // the fixture must genuinely exercise the open-tail path: at least one
+    // user's last session ends within the gap of stream end, so its timer
+    // never fires and the row can only come from the state-store read
+    val ev = Tables.events(spark, sf0001)
+    val maxTs = ev.agg(max(col("ts_ns"))).collect()(0).getLong(0)
+    val openUsers = ev.groupBy("user_id").agg(max(col("ts_ns")).as("last"))
+      .filter(col("last") > lit(maxTs - 1800000000000L))
+      .count()
+    assert(openUsers > 0)
+  }
+
   test("stream-static enrichment join equals the batch dim join") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
