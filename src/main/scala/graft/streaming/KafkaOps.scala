@@ -123,9 +123,9 @@ object KafkaOps {
       val stage = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         "graft_kafka_wire_" + Integer.toHexString(ident.hashCode))
-      if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
-        wireFromEvents(spark, sfDir).write.mode("overwrite").parquet(stage.toString)
-      stage.toString
+      StreamingOps.stagePublish(stage) { tmp =>
+        wireFromEvents(spark, sfDir).write.mode("overwrite").parquet(tmp)
+      }
     })
   }
 

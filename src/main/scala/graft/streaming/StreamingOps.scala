@@ -176,11 +176,40 @@ object StreamingOps {
       val stage = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         "graft_stream_events_" + Integer.toHexString(ident.hashCode))
-      if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
-        graft.Tables.events(spark, sfDir)
-          .write.mode("overwrite").parquet(stage.toString)
-      stage.toString
+      stagePublish(stage) { tmp =>
+        graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(tmp)
+      }
     }))
+  }
+
+  /** Multi-process-safe publish of a staged directory: write into a
+    * process-private tmp dir, then atomically rename into the stable
+    * path — two JVMs staging the same fixture concurrently (e.g. a
+    * driver's Verify and Bench) each build privately and exactly one
+    * rename wins; the loser discards its copy and uses the winner's.
+    * The `_SUCCESS` marker check still short-circuits the common case
+    * of an already-published stage.
+    */
+  private[streaming] def stagePublish(stage: java.nio.file.Path)(
+      write: String => Unit): String = {
+    if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
+      // a stage dir without its marker is a stale partial from an
+      // interrupted process — clear it so the rename can land
+      if (java.nio.file.Files.exists(stage)) deleteRecursively(stage)
+      val tmp = java.nio.file.Paths.get(
+        stage.toString + ".tmp." + java.lang.ProcessHandle.current().pid())
+      write(tmp.toString)
+      try {
+        java.nio.file.Files.move(tmp, stage,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.AccessDeniedException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(tmp) // another process published first — use theirs
+      }
+    }
+    stage.toString
   }
 
   /** [[runToFiles]] for UPDATE-mode stateful streams: an Update stream
