@@ -306,12 +306,20 @@ object StressScale {
     * JSON line with the per-batch `numRowsTotal` series for both modes.
     */
   private def stream(spark: SparkSession, dir: String): Unit = {
+    // the feed + checkpoints + per-day leftovers live under one temp tree
+    // deleted on every exit path (same cleanup discipline as StreamingOps)
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_state_")
+    try stream0(spark, dir, work)
+    finally graft.streaming.StreamingOps.deleteRecursively(work)
+  }
+
+  private def stream0(
+      spark: SparkSession, dir: String, work: java.nio.file.Path): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import scala.jdk.CollectionConverters._
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "value", "ts_ns")
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_state_")
     val feed = java.nio.file.Files.createDirectory(work.resolve("feed"))
     // one file per calendar day, mtimes pinning replay order to event time
     val days = ev.select(expr("ts_ns div 86400000000000").as("day"))
@@ -320,8 +328,12 @@ object StressScale {
       val tmp = work.resolve(s"w$i")
       ev.filter(expr(s"ts_ns div 86400000000000 = $day"))
         .coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      // Files.list streams hold an open directory fd until closed
+      val ls = java.nio.file.Files.list(tmp)
+      val part =
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+        finally ls.close()
       val dst = feed.resolve(f"day$i%02d.parquet")
       java.nio.file.Files.move(part, dst)
       java.nio.file.Files.setLastModifiedTime(dst,

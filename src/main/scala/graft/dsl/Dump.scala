@@ -69,6 +69,21 @@ object Dump {
     var done = false
     var timing = false
     val buf = new StringBuilder
+    // catalog-table view names WE registered: the set that must be swept
+    // when a table disappears (DROP TABLE here, or dropped externally) —
+    // a stale view would keep resolving over deleted files, and a catalog
+    // table that shadowed a same-named fixture view (e.g. 'events') would
+    // keep shadowing it forever
+    var catViews = Set.empty[String]
+    def syncCatalogViews(c: graft.sources.Catalog): Unit = {
+      val cur = c.tables().toSet
+      val stale = catViews.diff(cur)
+      stale.foreach(spark.catalog.dropTempView(_))
+      if (stale.exists(graft.sources.GraftSql.fixtureNames.contains))
+        graft.sources.GraftSql.refreshFixtures(spark, sfDir)
+      cur.foreach(n => c.table(n).createOrReplaceTempView(n))
+      catViews = cur
+    }
     def exec(sql: String): Unit = {
       val t0 = System.nanoTime()
       try {
@@ -78,9 +93,11 @@ object Dump {
         // catalog's tables also visible when a warehouse is bound
         val df = cat match {
           case Some(c) if graft.sources.CatalogSql.isCommand(sql) =>
-            graft.sources.CatalogSql.exec(spark, c, sql)
+            val r = graft.sources.CatalogSql.exec(spark, c, sql)
+            syncCatalogViews(c) // commands can create or drop tables
+            r
           case Some(c) =>
-            c.tables().foreach(n => c.table(n).createOrReplaceTempView(n))
+            syncCatalogViews(c)
             spark.sql(sql)
           case None => spark.sql(sql)
         }
@@ -148,10 +165,15 @@ object Dump {
           }
         }
         else if (line.startsWith("\\explain "))
-          try out(spark.sql(line.drop(9).trim.stripSuffix(";"))
-            .queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode).stripLineEnd)
-          catch { case e: Exception => out(s"error: ${e.getMessage}") }
+          // FormattedMode is the proof surface for the engine's two
+          // inherited optimizations: a pruned parquet scan prints its
+          // `PushedFilters:` and `PartitionFilters:` lines here
+          try {
+            cat.foreach(syncCatalogViews) // catalog tables explainable too
+            out(spark.sql(line.drop(9).trim.stripSuffix(";"))
+              .queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode).stripLineEnd)
+          } catch { case e: Exception => out(s"error: ${e.getMessage}") }
         else if (!terminated && incompleteSql(spark, line))
           buf.append(line) // open a multi-line statement
         else exec(line)

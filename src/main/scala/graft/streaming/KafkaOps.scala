@@ -122,8 +122,8 @@ object KafkaOps {
     wireStageCache.computeIfAbsent(ident, { _ =>
       val stage = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
-        "graft_kafka_wire_" + Integer.toHexString(ident.hashCode))
-      StreamingOps.stagePublish(stage) { tmp =>
+        "graft_kafka_wire_" + StreamingOps.stageDigest(ident))
+      StreamingOps.stagePublish(stage, ident) { tmp =>
         wireFromEvents(spark, sfDir).write.mode("overwrite").parquet(tmp)
       }
     })

@@ -174,39 +174,72 @@ object StreamingOps {
       java.nio.file.Files.getLastModifiedTime(src).toMillis
     f(eventsStageCache.computeIfAbsent(ident, { _ =>
       val stage = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_events_" + Integer.toHexString(ident.hashCode))
-      stagePublish(stage) { tmp =>
+        sys.props("java.io.tmpdir"), "graft_stream_events_" + stageDigest(ident))
+      stagePublish(stage, ident) { tmp =>
         graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(tmp)
       }
     }))
   }
 
+  /** Collision-proof stage-dir key: a truncated SHA-256 of the full
+    * fixture identity (96 bits — two distinct fixtures can never share a
+    * stage dir, unlike the 32-bit `String.hashCode` this replaces, where
+    * a collision would silently serve another fixture's staged data).
+    */
+  private[graft] def stageDigest(ident: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ident.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
+
   /** Multi-process-safe publish of a staged directory: write into a
     * process-private tmp dir, then atomically rename into the stable
     * path — two JVMs staging the same fixture concurrently (e.g. a
     * driver's Verify and Bench) each build privately and exactly one
-    * rename wins; the loser discards its copy and uses the winner's.
-    * The `_SUCCESS` marker check still short-circuits the common case
-    * of an already-published stage.
+    * wins. Publication is serialized on an exclusive cross-process file
+    * lock (`<stage>.lock`), and the published check re-runs UNDER the
+    * lock before any delete, so a just-completed publish by another
+    * process can never be swept as a "stale partial" (the TOCTOU the
+    * unlocked check had). A published stage is valid only when BOTH the
+    * `_SUCCESS` marker and an `_graft_ident` file carrying the full
+    * identity string are present and the identity matches — content is
+    * verified, never assumed from the dir name.
     */
-  private[streaming] def stagePublish(stage: java.nio.file.Path)(
+  /** Per-stage-path monitors: OS file locks are held per PROCESS, so a
+    * second `FileChannel.lock` on the same file from another thread of
+    * this JVM would throw `OverlappingFileLockException` instead of
+    * blocking — intra-JVM callers serialize on this monitor first.
+    */
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def stagePublish(stage: java.nio.file.Path, ident: String)(
       write: String => Unit): String = {
-    if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
-      // a stage dir without its marker is a stale partial from an
-      // interrupted process — clear it so the rename can land
-      if (java.nio.file.Files.exists(stage)) deleteRecursively(stage)
-      val tmp = java.nio.file.Paths.get(
-        stage.toString + ".tmp." + java.lang.ProcessHandle.current().pid())
-      write(tmp.toString)
-      try {
-        java.nio.file.Files.move(tmp, stage,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.AccessDeniedException |
-            _: java.nio.file.DirectoryNotEmptyException =>
-          deleteRecursively(tmp) // another process published first — use theirs
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    def published: Boolean =
+      Files.exists(stage.resolve("_SUCCESS")) && {
+        val idf = stage.resolve("_graft_ident")
+        Files.exists(idf) && Files.readString(idf) == ident
+      }
+    if (!published) {
+      val mon = publishMonitors.computeIfAbsent(stage.toString, _ => new Object)
+      mon.synchronized {
+        val lockPath = Paths.get(stage.toString + ".lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock() // blocks until exclusive across processes
+          try {
+            if (!published) { // re-check under the lock — no delete races a publish
+              if (Files.exists(stage)) deleteRecursively(stage)
+              val tmp = Paths.get(
+                stage.toString + ".tmp." + java.lang.ProcessHandle.current().pid())
+              deleteRecursively(tmp)
+              write(tmp.toString)
+              Files.writeString(tmp.resolve("_graft_ident"), ident)
+              Files.move(tmp, stage, StandardCopyOption.ATOMIC_MOVE)
+            }
+          } finally lock.release()
+        } finally ch.close()
       }
     }
     stage.toString
@@ -313,11 +346,12 @@ object StreamingOps {
     df.write.mode("overwrite").parquet(target)
   }
 
-  private[streaming] def deleteRecursively(root: java.nio.file.Path): Unit = {
-    val s = java.nio.file.Files.walk(root)
-    try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    finally s.close()
-  }
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
 
   /** Streaming tumbling-window aggregation over the events fixture,
     * executed to completion with AvailableNow and materialized through the

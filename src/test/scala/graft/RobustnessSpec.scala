@@ -33,6 +33,57 @@ class RobustnessSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("stagePublish: memoizes per identity, rebuilds on identity mismatch") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stagepub_")
+      .resolve("stage")
+    var builds = 0
+    def publish(ident: String, payload: String): String =
+      streaming.StreamingOps.stagePublish(stage, ident) { tmp =>
+        builds += 1
+        val d = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.writeString(d.resolve("data.txt"), payload)
+        java.nio.file.Files.writeString(d.resolve("_SUCCESS"), "")
+      }
+    publish("identA", "A")
+    assert(builds == 1)
+    // same identity: the published stage short-circuits — no rebuild
+    publish("identA", "A2")
+    assert(builds == 1)
+    assert(java.nio.file.Files.readString(stage.resolve("data.txt")) == "A")
+    // DIFFERENT identity mapped to the same stage path (the hashCode-
+    // collision scenario): content identity is verified, so the stale
+    // stage is rebuilt instead of silently served
+    publish("identB", "B")
+    assert(builds == 2)
+    assert(java.nio.file.Files.readString(stage.resolve("data.txt")) == "B")
+  }
+
+  test("stagePublish: concurrent same-JVM publishers build once, both read it") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stagepub2_")
+      .resolve("stage")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String =
+            streaming.StreamingOps.stagePublish(stage, "same-ident") { tmp =>
+              builds.incrementAndGet()
+              Thread.sleep(50) // widen the race window
+              val d = java.nio.file.Paths.get(tmp)
+              java.nio.file.Files.createDirectories(d)
+              java.nio.file.Files.writeString(d.resolve("data.txt"), "X")
+              java.nio.file.Files.writeString(d.resolve("_SUCCESS"), "")
+            }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    assert(builds.get() == 1) // publication serialized; later entrants reuse it
+    assert(java.nio.file.Files.readString(stage.resolve("data.txt")) == "X")
+  }
+
   test("writeBatch: a retried Append-mode micro-batch does not double-write") {
     val out = java.nio.file.Files.createTempDirectory("graft_retry_").resolve("out").toString
     val b0 = spark.range(0, 100).toDF("id")
