@@ -146,6 +146,65 @@ object CatalogOps {
           |FROM docs_sql GROUP BY lang, tag ORDER BY lang, tag""".stripMargin)
     },
 
+    // ---- conditional multi-action MERGE as text (the most-used real-
+    // world MERGE shape beyond upsert-all): matched rows with even
+    // n_chars are DELETED, remaining matched rows UPDATED from the
+    // source, unmatched source rows INSERTED only when long enough.
+    // Clause order matters (the DELETE clause must win over the
+    // unconditional UPDATE for even rows); the oracle replays the
+    // first-match semantics relationally ----
+    Q(
+      "catalog_sql_merge_cond",
+      """WITH tgt AS (
+        |  SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |src AS (
+        |  SELECT doc_id, text, lang, CAST(n_chars + 5000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 20000000 AS BIGINT), text, lang,
+        |         CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id % 9 = 1),
+        |merged AS (
+        |  SELECT t.* FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = t.doc_id)
+        |  UNION ALL
+        |  SELECT s.* FROM tgt t JOIN src s ON s.doc_id = t.doc_id
+        |  WHERE NOT (t.n_chars % 2 = 0)
+        |  UNION ALL
+        |  SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.doc_id = s.doc_id)
+        |    AND s.n_chars > 100)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_cm AS
+          |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("""MERGE INTO docs_cm AS t USING (
+          |  SELECT doc_id, text, lang, CAST(n_chars + 5000 AS BIGINT) AS n_chars
+          |  FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT CAST(doc_id + 20000000 AS BIGINT) AS doc_id, text, lang,
+          |         CAST(n_chars AS BIGINT) AS n_chars
+          |  FROM documents WHERE doc_id % 9 = 1) s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND t.n_chars % 2 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED AND s.n_chars > 100 THEN INSERT *""".stripMargin)
+      x("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+          |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+          |FROM docs_cm GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     // ---- partition-pruned scan: filter on the partition column reads
     // only that directory (explain-verified in CatalogSpec) ----
     Q(
@@ -532,6 +591,34 @@ object CatalogOps {
         "user_id", "value", dir, numFiles = 8)
       graft.sources.ZOrder.readPruned(s, dir, (3.0, 9.0), (20.0, 60.0))
         .filter(col("user_id").between(3, 9) && col("value").between(20.0, 60.0))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // ---- d-dimensional Z-order (d=3): same layout discipline one
+    // dimension up — user_id × value × time interleaved 16 bits each
+    // (48-bit code; time as integer epoch seconds, the column an events
+    // table would actually cluster on). A 3-D box — low users × a value
+    // band × one week of the month — must prune a strict subset of files
+    // (asserted in CatalogSpec) and never change results — the oracle is
+    // the plain triple filter ----
+    Q(
+      "catalog_zorder_3d",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20.0 AND 60.0
+        |  AND CAST(FLOOR(epoch(ts)) AS BIGINT) BETWEEN 1704412800 AND 1705017600
+        |ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val dir = s"$wh/events_z3"
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("value"), expr("ts_ns div 1000000000").as("ts_sec"))
+      graft.sources.ZOrder.writeZOrdered(
+        ev, Seq("user_id", "value", "ts_sec"), dir, numFiles = 8)
+      graft.sources.ZOrder.readPruned(s, dir,
+        Seq((3.0, 9.0), (20.0, 60.0), (1704412800.0, 1705017600.0)))
+        .filter(col("user_id").between(3, 9) && col("value").between(20.0, 60.0) &&
+          col("ts_sec").between(1704412800L, 1705017600L))
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
     },

@@ -230,11 +230,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** Append-only insert: validates + casts to the declared schema, writes
     * Hive-partitioned parquet. The cast is strict column-name matching
     * (missing column → error), mirroring the reference's declared-schema
-    * inserts.
+    * inserts. Returns the number of rows written, counted from the
+    * just-written files' parquet footers (metadata-only) — never by
+    * re-executing the source query, whose result could differ on a second
+    * run (nondeterministic sources, version-dependent reads).
     */
-  def insert(name: String, df: DataFrame): Unit = {
+  def insert(name: String, df: DataFrame): Long = {
     val added = stageIn(name, projectToPhysical(name, df))
     commitVersion(name, "insert", manifest(name, currentVersion(name)) ++ added)
+    if (added.isEmpty) 0L
+    else spark.read
+      .parquet(added.map(rel => dataDir(name).resolve(rel).toString): _*).count()
   }
 
   // ------------------------------------------------ version manifests
@@ -631,6 +637,43 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   // ------------------------------------------------------- row-level DML
 
+  /** Driver-side scale bound for the row-level DML manifest passes.
+    *
+    * [[deleteRows]] and [[merge]] collect one row PER AFFECTED DATA FILE
+    * (path string + matched-row count — ~200 bytes each) to plan the
+    * copy-on-write rewrite; the same driver-side, file-count-sized
+    * manifest discipline Delta/Iceberg commits use. That is NOT data-sized
+    * (never rows), but it is unbounded in file count, so a DML whose
+    * predicate touches more files than this bound fails loudly with
+    * [[Catalog.ManifestScaleException]] instead of silently ballooning
+    * driver memory. The default (1M files ≈ 200 MB of driver heap — about
+    * where a single COW commit stops being sensible anyway) is
+    * configurable via the Spark conf `graft.dml.maxAffectedFiles`; a DML
+    * legitimately hitting it should be partition-granular
+    * ([[deletePartition]]) or split by predicate instead.
+    */
+  private def maxAffectedFiles: Int =
+    spark.conf.getOption("graft.dml.maxAffectedFiles").map(_.toInt)
+      .getOrElse(1000000)
+
+  /** Collect the per-file manifest pass BOUNDED: retrieves at most
+    * `maxAffectedFiles + 1` rows to the driver (the aggregation itself
+    * stays fully distributed), then fails loudly if the bound is hit —
+    * the driver never materializes an over-bound file list.
+    */
+  private def collectBounded(op: String, name: String,
+      perFile: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val cap = maxAffectedFiles
+    val rows = perFile.take(cap + 1)
+    if (rows.length > cap)
+      throw new Catalog.ManifestScaleException(
+        s"$op on $name touches more than $cap data files; a copy-on-write " +
+          "rewrite of that many files in one commit is driver-unbounded — " +
+          "use a partition-granularity delete, split the predicate, or " +
+          "raise spark conf graft.dml.maxAffectedFiles")
+    rows
+  }
+
   /** Row-level copy-on-write DELETE (extension beyond the reference's
     * partition-granularity [[delete]] — the table-format discipline for
     * mutating an append-only store). FILE-granular: one manifest pass
@@ -652,9 +695,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def deleteRows(name: String, condition: org.apache.spark.sql.Column): Long = {
     if (manifest(name, currentVersion(name)).isEmpty) return 0L
-    // manifest pass: affected files + per-file matched-row counts in ONE job
-    val perFile = logicalWithFile(name).filter(condition)
-      .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")).collect()
+    // manifest pass: affected files + per-file matched-row counts in ONE
+    // job; driver retrieval bounded by graft.dml.maxAffectedFiles
+    val perFile = collectBounded("deleteRows", name,
+      logicalWithFile(name).filter(condition)
+        .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
     if (perFile.isEmpty) return 0L
     val affected = perFile.map(_.getString(0)).toSeq.sorted
     val retained = logicalOverFiles(name, affected)
@@ -686,19 +731,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val nKeys = keys.count()
     require(nUpd == nKeys,
       s"merge updates must be key-unique on $key: $nUpd rows over $nKeys keys")
-    // updates in logical terms, schema order, omitted defaulted columns filled
-    val updLogical = updates.select(s.fields.map { f =>
-      val c =
-        if (!updates.columns.contains(f.name) && defaultOf(f).isDefined)
-          expr(defaultOf(f).get).cast(f.dataType)
-        else col(f.name).cast(f.dataType)
-      c.as(f.name)
-    }.toSeq: _*)
+    val updLogical = alignUpdates(name, updates)
     if (manifest(name, currentVersion(name)).isEmpty) {
       insert(name, updLogical); return (0L, nUpd)
     }
-    val perFile = logicalWithFile(name).join(keys, Seq(key), "left_semi")
-      .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")).collect()
+    val perFile = collectBounded("merge", name,
+      logicalWithFile(name).join(keys, Seq(key), "left_semi")
+        .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
     if (perFile.isEmpty) { insert(name, updLogical); return (0L, nUpd) }
     val affected = perFile.map(_.getString(0)).toSeq.sorted
     val matched = perFile.map(_.getLong(1)).sum
@@ -714,6 +753,120 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     (matched, nUpd - matchedKeys)
   }
 
+  /** Update rows in logical terms, schema order, omitted defaulted
+    * columns filled — the source-side projection every merge goes through.
+    */
+  private def alignUpdates(name: String, updates: DataFrame): DataFrame = {
+    val s = schema(name)
+    updates.select(s.fields.map { f =>
+      val c =
+        if (!updates.columns.contains(f.name) && defaultOf(f).isDefined)
+          expr(defaultOf(f).get).cast(f.dataType)
+        else col(f.name).cast(f.dataType)
+      c.as(f.name)
+    }.toSeq: _*)
+  }
+
+  /** Copy-on-write MERGE with CONDITIONAL, MULTI-ACTION clauses — the full
+    * SQL MERGE shape [[merge]]'s upsert-all form doesn't cover:
+    *
+    * {{{
+    * WHEN MATCHED [AND <cond>] THEN UPDATE SET *   (any number)
+    * WHEN MATCHED [AND <cond>] THEN DELETE
+    * WHEN NOT MATCHED [AND <cond>] THEN INSERT *   (any number)
+    * }}}
+    *
+    * SQL semantics: per matched (target row, source row) pair the FIRST
+    * matched clause whose condition holds applies (UPDATE replaces the
+    * target row with the source row, DELETE drops it, no applicable
+    * clause keeps the target row unchanged); per unmatched source row the
+    * first not-matched clause whose condition holds inserts it. Matched
+    * conditions may reference both sides through `targetAlias`/
+    * `sourceAlias` qualifiers (e.g. `s.v > t.v`); not-matched conditions
+    * see only `sourceAlias`. `updates` must be key-unique — multiple
+    * source rows matching one target row is the ambiguity SQL MERGE
+    * rejects at runtime, checked loudly here.
+    *
+    * FILE-granular like [[merge]]: the manifest pass (bounded by
+    * `graft.dml.maxAffectedFiles`) finds files containing matched keys;
+    * only those are rewritten under the clause logic, every other file is
+    * untouched bytes. The clause decision itself is a single codegen'd
+    * CASE column over the affected-files ⋈ updates join — no per-clause
+    * passes. Returns (updatedRows, deletedRows, insertedRows).
+    */
+  def mergeConditional(
+      name: String, updates: DataFrame, key: String,
+      matched: Seq[Catalog.MatchedClause],
+      notMatched: Seq[Option[String]],
+      targetAlias: String = "t", sourceAlias: String = "s"): (Long, Long, Long) = {
+    val s = schema(name)
+    require(s.fieldNames.contains(key), s"merge key $key not in schema of $name")
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    // every matched clause except the last needs a condition — a later
+    // clause behind an unconditional one is unreachable (SQL's rule)
+    matched.dropRight(1).foreach(c => require(c.cond.isDefined,
+      "only the last WHEN MATCHED clause may omit its AND condition " +
+        "(an unconditional clause makes later ones unreachable)"))
+    notMatched.dropRight(1).foreach(c => require(c.isDefined,
+      "only the last WHEN NOT MATCHED clause may omit its AND condition"))
+    val nUpd = updates.count()
+    val keys = updates.select(col(key)).distinct()
+    require(nUpd == keys.count(),
+      s"merge updates must be key-unique on $key: multiple source rows " +
+        "per key is the multi-match SQL MERGE rejects")
+    val updLogical = alignUpdates(name, updates)
+    // all NOT MATCHED actions are INSERT *, so first-match reduces to
+    // any-match: one OR over the clause conditions
+    def inserts(candidates: DataFrame): DataFrame =
+      if (notMatched.isEmpty) candidates.limit(0)
+      else {
+        val cond = notMatched.map(_.map(expr).getOrElse(lit(true))).reduce(_ || _)
+        candidates.alias(sourceAlias).filter(coalesce(cond, lit(false)))
+      }
+    if (manifest(name, currentVersion(name)).isEmpty) {
+      val ins = inserts(updLogical)
+      val n = insert(name, ins)
+      return (0L, 0L, n)
+    }
+    val perFile = collectBounded("merge", name,
+      logicalWithFile(name).join(keys, Seq(key), "left_semi")
+        .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
+    if (perFile.isEmpty) {
+      val n = insert(name, inserts(updLogical))
+      return (0L, 0L, n)
+    }
+    val affected = perFile.map(_.getString(0)).toSeq.sorted
+    val affectedRows = logicalOverFiles(name, affected)
+    // first applicable clause per pair, as one CASE chain ('keep' = no
+    // clause holds, or the target row had no source match at all)
+    val joined = affectedRows.alias(targetAlias).join(
+      updLogical.alias(sourceAlias),
+      col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "left_outer")
+    val clauseChain = matched.foldRight(lit("keep"): org.apache.spark.sql.Column) { (c, els) =>
+      when(coalesce(c.cond.map(expr).getOrElse(lit(true)), lit(false)),
+        lit(if (c.delete) "delete" else "update")).otherwise(els)
+    }
+    val act = when(col(s"$sourceAlias.$key").isNotNull, clauseChain)
+      .otherwise(lit("keep"))
+    val decided = joined.withColumn(Catalog.ActionCol, act)
+    val actionCounts = decided.groupBy(Catalog.ActionCol).agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = decided.filter(col(Catalog.ActionCol) === "keep")
+      .select(s.fieldNames.map(n => col(s"$targetAlias.$n")).toSeq: _*)
+    val updated = decided.filter(col(Catalog.ActionCol) === "update")
+      .select(s.fieldNames.map(n => col(s"$sourceAlias.$n").as(n)).toSeq: _*)
+    // source rows whose key matched NO target row (affected files contain
+    // every matched key by construction)
+    val ins = inserts(updLogical.join(affectedRows.select(col(key)), Seq(key), "left_anti"))
+    val nIns = ins.count()
+    val added = stageIn(name,
+      projectToPhysical(name, kept.unionByName(updated).unionByName(ins)))
+    commitVersion(name, "merge",
+      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
+    (actionCounts.getOrElse("update", 0L), actionCounts.getOrElse("delete", 0L), nIns)
+  }
+
   /** `file:` URIs (as [[logicalWithFile]] tags them) → data-dir-relative
     * manifest entries.
     */
@@ -727,6 +880,18 @@ object Catalog {
   /** Source-file tag column used by the row-level DML manifest passes. */
   private[sources] val FileCol = "__graft_src_file"
 
+  /** A row-level DML's copy-on-write plan would exceed the driver-side
+    * manifest bound (`graft.dml.maxAffectedFiles`) — thrown BEFORE the
+    * file list materializes on the driver.
+    */
+  final class ManifestScaleException(msg: String) extends RuntimeException(msg)
+
   /** Change-type column ('insert' | 'delete') appended by [[Catalog.tableChanges]]. */
   val ChangeCol = "_change"
+
+  /** Per-pair decision column of [[Catalog.mergeConditional]]'s CASE chain. */
+  private[sources] val ActionCol = "__graft_merge_action"
+
+  /** One `WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE` clause. */
+  final case class MatchedClause(cond: Option[String], delete: Boolean)
 }

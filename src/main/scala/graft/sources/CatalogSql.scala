@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.StructType
   * this layer stays a thin command router (no second expression parser to
   * drift out of sync).
   *
-  * MERGE accepts the ANSI upsert-all form (`WHEN MATCHED THEN UPDATE SET *
-  * WHEN NOT MATCHED THEN INSERT *`) with an equi-key ON clause — exactly
-  * the semantics [[Catalog.merge]] implements file-granularly.
+  * MERGE takes an equi-key ON clause with either the ANSI upsert-all form
+  * (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
+  * [[Catalog.merge]]) or the general conditional multi-action form —
+  * `WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE` (repeatable) plus
+  * `WHEN NOT MATCHED [AND <cond>] THEN INSERT *` →
+  * [[Catalog.mergeConditional]], both file-granular copy-on-write.
   */
 object CatalogSql {
 
@@ -37,8 +40,35 @@ object CatalogSql {
   private val Merge =
     ("""(?is)^MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+\((.*)\)(?:\s+AS)?\s+(\w+)""" +
       """\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""" +
-      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
-      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
+      """\s+(WHEN\s+.+)$""").r
+  // one WHEN clause each; lazy (.+?) for the AND condition backs off until
+  // a THEN followed by a recognized ACTION, so a CASE ... THEN inside the
+  // condition does not cut it short
+  private val MatchedClause =
+    """(?is)^WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)\s*$""".r
+  private val NotMatchedClause =
+    """(?is)^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*$""".r
+
+  /** Parse the `WHEN ...` tail of a MERGE into matched clauses (in
+    * statement order) and not-matched insert conditions. Clause boundaries
+    * are the `WHEN [NOT] MATCHED` keywords themselves (a lookahead split),
+    * so conditions containing CASE WHEN survive.
+    */
+  private def parseMergeClauses(
+      tail: String): (Seq[Catalog.MatchedClause], Seq[Option[String]]) = {
+    val parts = tail.split("(?i)(?=\\bWHEN\\s+(?:NOT\\s+)?MATCHED\\b)")
+      .toSeq.map(_.trim).filter(_.nonEmpty)
+    val parsed = parts.map {
+      case NotMatchedClause(cond) => Right(Option(cond).map(_.trim))
+      case MatchedClause(cond, action) =>
+        Left(Catalog.MatchedClause(Option(cond).map(_.trim),
+          delete = action.equalsIgnoreCase("DELETE")))
+      case other => throw new IllegalArgumentException(
+        "unsupported MERGE clause (expected WHEN MATCHED [AND <cond>] THEN " +
+          s"UPDATE SET * | DELETE, or WHEN NOT MATCHED [AND <cond>] THEN INSERT *): $other")
+    }
+    (parsed.collect { case Left(m) => m }, parsed.collect { case Right(i) => i })
+  }
   private val AddCol =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+DEFAULT\s+(.+?))?\s*$""".r
   private val RenameCol =
@@ -59,7 +89,7 @@ object CatalogSql {
     val stmt = statement.trim.stripSuffix(";").trim
     stmt match {
       case CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
-          Merge(_, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
+          Merge(_, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) => true
       case _ => false
     }
@@ -88,8 +118,7 @@ object CatalogSql {
       case CreateAs(t, sel) =>
         val df = subQuery(spark, cat, sel)
         cat.create(t, df.schema)
-        cat.insert(t, df)
-        status(spark, "create_as", t, cat.table(t).count())
+        status(spark, "create_as", t, cat.insert(t, df))
       case Create(t, cols, part) =>
         cat.create(t, StructType.fromDDL(cols), Option(part))
         status(spark, "create", t, 0L)
@@ -103,21 +132,43 @@ object CatalogSql {
         val aligned =
           if (df.columns.length == sch.fields.length) df.toDF(sch.fieldNames.toSeq: _*)
           else df
-        cat.insert(t, aligned)
-        status(spark, "insert", t, aligned.count())
+        // row count comes back from the insert itself (parquet-footer
+        // metadata of the files it wrote) — recounting `aligned` here
+        // would re-execute the source query, which both doubles the work
+        // and can report a DIFFERENT number for nondeterministic sources
+        status(spark, "insert", t, cat.insert(t, aligned))
       case Delete(t, cond) =>
         status(spark, "delete", t, cat.deleteRows(t, expr(cond)))
-      case Merge(t, tAlias, sel, sAlias, lq, lk, rq, rk) =>
-        val (tk, sk) = (Option(tAlias).getOrElse(t), sAlias) match {
-          case (ta, sa) if lq.equalsIgnoreCase(ta) && rq.equalsIgnoreCase(sa) => (lk, rk)
-          case (ta, sa) if lq.equalsIgnoreCase(sa) && rq.equalsIgnoreCase(ta) => (rk, lk)
+      case Merge(t, tAlias, sel, sAlias, lq, lk, rq, rk, clauseTail) =>
+        val ta = Option(tAlias).getOrElse(t)
+        val (tk, sk) = (ta, sAlias) match {
+          case (a, b) if lq.equalsIgnoreCase(a) && rq.equalsIgnoreCase(b) => (lk, rk)
+          case (a, b) if lq.equalsIgnoreCase(b) && rq.equalsIgnoreCase(a) => (rk, lk)
           case _ => throw new IllegalArgumentException(
             s"MERGE ON must equate the target and source keys, got $lq.$lk = $rq.$rk")
         }
-        require(tk == sk,
+        // SQL identifiers are case-insensitive everywhere else in this
+        // router (the alias match above included) — the key-name check
+        // must be too, and the key handed to the catalog is resolved to
+        // its canonical declared-schema spelling
+        require(tk.equalsIgnoreCase(sk),
           s"MERGE routes to a single-key upsert; key must share a name on both sides ($tk vs $sk)")
-        val (matched, appended) = cat.merge(t, subQuery(spark, cat, sel), tk)
-        status(spark, "merge", t, matched + appended)
+        val key = cat.schema(t).fieldNames.find(_.equalsIgnoreCase(tk))
+          .getOrElse(throw new IllegalArgumentException(
+            s"MERGE key $tk not in schema of $t"))
+        val (matchedClauses, insertClauses) = parseMergeClauses(clauseTail)
+        val src = subQuery(spark, cat, sel)
+        val upsertAll = // the ANSI upsert-all form keeps its dedicated path
+          matchedClauses == Seq(Catalog.MatchedClause(None, delete = false)) &&
+            insertClauses == Seq(None)
+        val n =
+          if (upsertAll) { val (m, a) = cat.merge(t, src, key); m + a }
+          else {
+            val (u, d, i) = cat.mergeConditional(
+              t, src, key, matchedClauses, insertClauses, ta, sAlias)
+            u + d + i
+          }
+        status(spark, "merge", t, n)
       case AddCol(t, c, tpe, dflt) =>
         val dt = StructType.fromDDL(s"x $tpe").head.dataType
         cat.addColumn(t, c, dt, Option(dflt).getOrElse("NULL"))
@@ -130,6 +181,9 @@ object CatalogSql {
         status(spark, "alter_column", t, 0L)
       case Drop(t) =>
         cat.drop(t)
+        // the temp view subQuery registered for this table would otherwise
+        // keep resolving (over deleted files) for the rest of the session
+        spark.catalog.dropTempView(t)
         status(spark, "drop", t, 0L)
       case Query() =>
         subQuery(spark, cat, stmt)

@@ -329,6 +329,33 @@ class CatalogSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("3-D z-order layout prunes a strict subset for a 3-D box; results identical") {
+    val ev = Tables.events(spark, sf0001).select(col("event_id"), col("user_id"),
+      col("value"), expr("ts_ns div 1000000000").as("ts_sec"))
+    val dir = Files.createTempDirectory("graft_z3_").toString + "/z3"
+    val cols = Seq("user_id", "value", "ts_sec")
+    val stats = graft.sources.ZOrder.writeZOrdered(ev, cols, dir, numFiles = 8)
+    assert(stats.size == 8)
+    assert(stats.forall(s => s.mins.size == 3 && s.maxs.size == 3))
+    // low users × a value band × one week (Jan 5 – Jan 12) of the month
+    val ranges = Seq((3.0, 9.0), (20.0, 60.0), (1704412800.0, 1705017600.0))
+    val sel = stats.count(s => ranges.zipWithIndex.forall { case ((lo, hi), i) =>
+      s.maxs(i) >= lo && s.mins(i) <= hi
+    })
+    assert(sel < stats.size, s"3-D box overlapped all ${stats.size} files — no clustering")
+    val exact = col("user_id").between(3, 9) && col("value").between(20.0, 60.0) &&
+      col("ts_sec").between(1704412800L, 1705017600L)
+    val pruned = graft.sources.ZOrder.readPruned(spark, dir, ranges)
+      .filter(exact).select("event_id").collect().map(_.getLong(0)).toSet
+    val full = ev.filter(exact).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned == full)
+    assert(full.nonEmpty)
+    // a mismatched box dimensionality is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.ZOrder.readPruned(spark, dir, Seq((0.0, 1.0))).count()
+    }
+  }
+
   test("predicate-form delete drops exactly the named partition") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
@@ -406,6 +433,27 @@ class CatalogSpec extends SparkSpec {
     assert(after.keySet.exists(_.contains("lang=en")), "retained en rows rewritten")
     assert((before.keySet -- after.keySet).forall(_.contains("lang=en")),
       "only en files may have been replaced")
+  }
+
+  test("row-level DML fails loudly above the driver-side manifest bound") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    cat.create("docs", docs.schema)
+    cat.insert("docs", docs.repartition(4)) // ≥2 data files
+    spark.conf.set("graft.dml.maxAffectedFiles", "1")
+    try {
+      val e = intercept[Catalog.ManifestScaleException] {
+        cat.deleteRows("docs", col("n_chars") >= 0) // touches every file
+      }
+      assert(e.getMessage.contains("graft.dml.maxAffectedFiles"))
+      intercept[Catalog.ManifestScaleException] {
+        cat.merge("docs", cat.table("docs"), "doc_id")
+      }
+      // the guard fired BEFORE any commit: table unchanged
+      assert(cat.table("docs").count() == 100)
+    } finally spark.conf.unset("graft.dml.maxAffectedFiles")
+    // at the default bound the identical delete proceeds
+    assert(cat.deleteRows("docs", col("n_chars") >= 0) == 100L)
   }
 
   test("deleteRows that empties a partition drops its directory") {
@@ -645,6 +693,29 @@ class CatalogSpec extends SparkSpec {
     assert(out(1).contains("(1) Scan parquet")) // formatted mode, real plan
     assert(out(1).contains("PushedFilters")) // the filter reached the scan
     assert(out(2).startsWith("error:"))
+  }
+
+  test("repl \\explain surfaces PartitionFilters + PushedFilters for a pruned catalog scan") {
+    // the proof surface for the engine's two inherited optimizations:
+    // partition pruning (lang = 'en' never reads other lang dirs) and
+    // parquet predicate pushdown (n_chars > 100 reaches the scan)
+    val wh = Files.createTempDirectory("graft_expl_wh_").toString
+    val cat = new Catalog(spark, wh)
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("docs_expl", docs.schema, Some("lang"))
+    cat.insert("docs_expl", docs)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        "\\explain SELECT doc_id FROM docs_expl WHERE lang = 'en' AND n_chars > 100;",
+        "\\q"),
+      out += _, warehouse = Some(wh))
+    val plan = out.mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"partition filter on lang missing from:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(plan).isDefined,
+      s"pushed filter on n_chars missing from:\n$plan")
   }
 
   test("repl \\schema prints a DDL-style column list") {

@@ -75,6 +75,108 @@ class CatalogSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("MERGE"))
   }
 
+  test("conditional multi-action MERGE applies first-match clause semantics") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO t VALUES (1, 10), (2, 20), (3, 30), (4, 40), (7, 70)")
+    val st = CatalogSql.exec(spark, cat,
+      """MERGE INTO t USING (
+        |  SELECT CAST(2 AS BIGINT) AS id, CAST(99 AS BIGINT) AS v
+        |  UNION ALL SELECT 3, 31
+        |  UNION ALL SELECT 7, 60
+        |  UNION ALL SELECT 5, 50
+        |  UNION ALL SELECT 6, 6) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.v = 20 THEN DELETE
+        |WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.v >= 50 THEN INSERT *""".stripMargin).collect()(0)
+    // id=2: first clause (t.v=20) deletes — even though s.v>t.v also held;
+    // id=3: updated to the source row; id=7: matched but NO clause holds
+    // (t.v≠20, s.v<t.v) → kept unchanged; id=5 inserted (v≥50), id=6 not;
+    // ids 1 and 4 never matched → untouched
+    val rows = CatalogSql.exec(spark, cat, "SELECT id, v FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (3L, 31L), (4L, 40L), (5L, 50L), (7L, 70L)))
+    assert(st.getString(0) == "merge" && st.getLong(2) == 3L) // 1 upd + 1 del + 1 ins
+  }
+
+  test("conditional MERGE rejects ambiguous multi-match and unreachable clauses") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1, 10)")
+    // two source rows with the same key: the multi-match SQL MERGE rejects
+    val dup = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat,
+        """MERGE INTO t USING (
+          |  SELECT CAST(1 AS BIGINT) AS id, CAST(2 AS BIGINT) AS v
+          |  UNION ALL SELECT 1, 3) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(dup.getMessage.contains("key-unique"))
+    // an unconditional matched clause before another one is unreachable
+    val unreach = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat,
+        """MERGE INTO t USING (SELECT CAST(1 AS BIGINT) AS id, CAST(2 AS BIGINT) AS v) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN MATCHED AND t.v = 0 THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(unreach.getMessage.contains("unreachable"))
+  }
+
+  test("MERGE ON key comparison is case-insensitive like the rest of the router") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1, 1), (2, 2)")
+    // `t.ID = s.id` differs only in identifier case — must route, with the
+    // key resolved to its canonical declared-schema spelling
+    CatalogSql.exec(spark, cat,
+      """MERGE INTO t USING (SELECT CAST(2 AS BIGINT) AS id, CAST(99 AS BIGINT) AS v) s
+        |ON t.ID = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = CatalogSql.exec(spark, cat, "SELECT id, v FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 1L), (2L, 99L)))
+  }
+
+  test("DROP TABLE removes the table's temp view — no stale resolution") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE ephemeral_t (id BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO ephemeral_t VALUES (1)")
+    assert(CatalogSql.exec(spark, cat, "SELECT * FROM ephemeral_t").count() == 1)
+    CatalogSql.exec(spark, cat, "DROP TABLE ephemeral_t")
+    // the view must be gone: resolving it would read deleted files
+    intercept[Exception] { spark.sql("SELECT * FROM ephemeral_t").collect() }
+  }
+
+  test("repl: dropping a catalog table that shadowed a fixture view un-shadows it") {
+    val wh = CatalogOps.tempWarehouse()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        // fixture 'events' view is registered by the repl banner path;
+        // a catalog table of the same name shadows it on the SQL path
+        "CREATE TABLE events (k BIGINT);",
+        "INSERT INTO events VALUES (42);",
+        "SELECT COUNT(*) AS n FROM events;",
+        "DROP TABLE events;",
+        // after the drop the FIXTURE events must resolve again (thousands
+        // of rows), not the dropped 1-row catalog table or an error
+        "SELECT COUNT(*) AS n FROM events;",
+        "\\q"),
+      out += _, warehouse = Some(wh))
+    def lastNumber(s: String): Long =
+      "\\d+".r.findAllIn(s.split("\n").drop(3).mkString(" ")).toSeq.head.toLong
+    assert(lastNumber(out(3)) == 1L)   // shadowing catalog table
+    assert(out(4).contains("drop"))
+    assert(lastNumber(out(5)) > 100L)  // fixture restored
+  }
+
   test("repl with a bound warehouse drives DDL/DML as text") {
     val wh = CatalogOps.tempWarehouse()
     val out = scala.collection.mutable.ArrayBuffer[String]()
