@@ -32,16 +32,22 @@ object TrainingData {
   /** Connected components of an undirected edge list: (node, component)
     * where component = min node id reachable. Nodes = every endpoint.
     *
-    * Delegates to min-label propagation: O(diameter) rounds, ONE
-    * join+groupBy per round — the cheapest shape for dup graphs, which
-    * are unions of tiny cliques (diameter ≤ ~3). For adversarially deep
-    * graphs (near-dup chains with transitive drift) use
-    * [[connectedComponentsStar]]: O(log n) rounds at ~2× the per-round
-    * cost, property-tested equal on chain/clique/random graphs.
+    * Adaptive: starts with min-label propagation — O(diameter) rounds,
+    * ONE join+groupBy per round, the cheapest shape for dup graphs, which
+    * are unions of tiny cliques (diameter ≤ ~3) — and if the graph turns
+    * out adversarially DEEP (a long near-dup chain with transitive
+    * drift), ESCALATES after `escalateAfter` unconverged rounds to
+    * [[connectedComponentsStar]]'s O(log n) large-star/small-star
+    * contraction (~2× the per-round cost) instead of failing or paying a
+    * round per chain link. Property-tested equal on chain/clique/random
+    * graphs; the escalation path is pinned by a planted length-1000
+    * chain in TrainingDataSpec.
     */
   def connectedComponents(
-      edges: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame =
-    connectedComponentsMinLabel(edges, a, b, maxIter)
+      edges: DataFrame, a: String, b: String, maxIter: Int = 20,
+      escalateAfter: Int = 8): DataFrame =
+    minLabelBounded(edges, a, b, math.min(escalateAfter, maxIter))
+      .getOrElse(connectedComponentsStar(edges, a, b, maxIter))
 
   /** Alternating large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14): each round
@@ -128,9 +134,22 @@ object TrainingData {
     (cp, observed.queryExecution.observedMetrics(name))
   }
 
-  /** Min-label propagation formulation (O(diameter) rounds, ONE job each). */
+  /** Min-label propagation formulation (O(diameter) rounds, ONE job each);
+    * throws when `maxIter` rounds don't reach the fixpoint.
+    */
   private[graft] def connectedComponentsMinLabel(
       edges: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
+    val r = minLabelBounded(edges, a, b, maxIter)
+    require(r.isDefined, s"connectedComponents did not converge in $maxIter rounds")
+    r.get
+  }
+
+  /** [[connectedComponentsMinLabel]] that reports non-convergence as None
+    * instead of throwing — the probe the adaptive [[connectedComponents]]
+    * escalates on.
+    */
+  private def minLabelBounded(
+      edges: DataFrame, a: String, b: String, maxIter: Int): Option[DataFrame] = {
     // one materialization job also yields the edge count for partition
     // sizing (observe piggyback — no separate count() job)
     val (adj0, adjMeta) = checkpointObserving(
@@ -172,8 +191,8 @@ object TrainingData {
       prevSum = s
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("node"), col("label").as("component"))
+    if (!converged) None
+    else Some(labels.select(col("node"), col("label").as("component")))
   }
 
   /** Duplicate-cluster table over near-dup pairs: every doc that appears

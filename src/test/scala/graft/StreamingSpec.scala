@@ -70,6 +70,80 @@ class StreamingSpec extends SparkSpec {
     assert(tws.nonEmpty)
   }
 
+  test("stateful totals survive a kill-and-restart from checkpoint (RocksDB recovery)") {
+    // exactly-once recovery: run the stateful query over HALF the input,
+    // let it terminate (the "kill"), land the second half, and START A NEW
+    // QUERY from the same checkpoint. The restart must resume from
+    // recovered RocksDB state + source offsets — processing ONLY the new
+    // file — and still produce the batch answer over the full input.
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    import scala.jdk.CollectionConverters._
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import session.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_restart_")
+    val feed = java.nio.file.Files.createDirectory(work.resolve("feed"))
+    val ckpt = work.resolve("ckpt").toString
+    val out = work.resolve("out").toString
+    val ev = Tables.events(session, sf0001).selectExpr(
+      "event_id", "user_id", "CAST(ROUND(value * 1000000.0, 0) AS LONG) AS vmic")
+    val schema = ev.schema
+    def addHalf(half: Int): Unit = {
+      val tmp = work.resolve(s"h$half")
+      ev.filter(pmod(col("event_id"), lit(2)) === half).coalesce(1)
+        .write.parquet(tmp.toString)
+      val ls = java.nio.file.Files.list(tmp)
+      val part = try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      finally ls.close()
+      java.nio.file.Files.move(part, feed.resolve(s"half$half.parquet"))
+    }
+    def run(): Long = { // returns input rows this query instance processed
+      val totals = session.readStream.schema(schema).parquet(feed.toString)
+        .selectExpr("user_id", "vmic").as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)], st: GroupState[(Long, Long)]) =>
+            val (n0, s0) = st.getOption.getOrElse((0L, 0L))
+            var n = n0; var s = s0
+            rows.foreach { case (_, v) => n += 1; s += v }
+            st.update((n, s))
+            (user, n, s)
+        }.toDF("user_id", "n_events", "sum_micros")
+      val q = totals.writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            StreamingOps.writeBatch(df, out, complete = false, batchId)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    val half0 = ev.filter(pmod(col("event_id"), lit(2)) === 0).count()
+    val half1 = ev.filter(pmod(col("event_id"), lit(2)) === 1).count()
+    addHalf(0)
+    assert(run() == half0)
+    addHalf(1)
+    // the restarted instance reads ONLY the new file — recovered state, no replay
+    assert(run() == half1)
+    // Update-mode sink: last-writer-wins per user across batch ids
+    val got = session.read.parquet(out)
+      .withColumn("batch", col("batch").cast("long")) // partition col infers as int
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("batch"), r.getAs[Long]("n_events"), r.getAs[Long]("sum_micros")))
+      .groupBy(_._1).map { case (u, rs) => u -> { val m = rs.maxBy(_._2); (m._3, m._4) } }
+    val expect = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("vmic").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect) // integer-micros state ⇒ exact equality across the restart
+    assert(expect.nonEmpty)
+    StreamingOps.deleteRecursively(work)
+  }
+
   test("streaming session windows equal the batch session_window aggregation") {
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select(col("user_id"), col("session_start").cast("string"),

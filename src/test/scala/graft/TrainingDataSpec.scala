@@ -50,6 +50,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(comp sameElements Array(1L))
   }
 
+  test("adaptive CC escalates to star contraction on a planted length-1000 chain") {
+    // diameter 999: min-label alone would need ~999 rounds (and throws at
+    // its bound), so the adaptive path MUST hand over to the O(log n)
+    // star contraction after its few probe rounds — and still finish
+    // within the default maxIter=20 budget
+    val chain = (1L to 1000L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      TrainingData.connectedComponentsMinLabel(chain, "a", "b", 8)
+    }
+    val comp = TrainingData.connectedComponents(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == 1000)
+    assert(comp.forall(_._2 == 1L), "every chain node must resolve to component 1")
+  }
+
   test("CC convergence probes piggyback on the round jobs — no driver collect/count") {
     // both CC variants observe their convergence metrics inside each
     // round's own checkpoint job; a separate probe would surface here as a
