@@ -205,6 +205,34 @@ object CatalogOps {
           |FROM docs_cm GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    // ---- SQL UPDATE as text: a predicate update rewriting two columns
+    // (one referencing the other — SET must see the OLD row) through the
+    // file-granular COW path; oracle replays it as CASE projections ----
+    Q(
+      "catalog_sql_update",
+      """WITH up AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN upper(lang) ELSE lang END AS lang,
+        |    CAST(CASE WHEN doc_id % 4 = 1 THEN n_chars * 2 + length(lang)
+        |         ELSE n_chars END AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM up GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_up AS
+          |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("""UPDATE docs_up SET n_chars = n_chars * 2 + length(lang),
+          |  lang = upper(lang) WHERE doc_id % 4 = 1""".stripMargin)
+      x("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM docs_up GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     // ---- partition-pruned scan: filter on the partition column reads
     // only that directory (explain-verified in CatalogSpec) ----
     Q(

@@ -710,6 +710,53 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     perFile.map(_.getLong(1)).sum
   }
 
+  /** Row-level copy-on-write UPDATE — SQL `UPDATE t SET c = e, ... WHERE
+    * cond`. FILE-granular like [[deleteRows]]: one manifest pass (bounded
+    * by `graft.dml.maxAffectedFiles`) finds the files containing matching
+    * rows; only those are rewritten, with every SET expression evaluated
+    * against the OLD row (standard SQL: assignments don't see each
+    * other). Rows where `condition` is NULL are left unchanged. Updating
+    * the partition column is allowed — rewritten rows simply land in
+    * their new Hive partition directories. Returns rows updated.
+    */
+  def updateRows(name: String, condition: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    val s = schema(name)
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    set.foreach { case (c, _) =>
+      require(s.fieldNames.contains(c), s"update column $c not in schema of $name") }
+    require(set.map(_._1).distinct.size == set.size,
+      "UPDATE assigns a column twice")
+    if (manifest(name, currentVersion(name)).isEmpty) return 0L
+    val perFile = collectBounded("updateRows", name,
+      logicalWithFile(name).filter(condition)
+        .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
+    if (perFile.isEmpty) return 0L
+    val affected = perFile.map(_.getString(0)).toSeq.sorted
+    val hit = coalesce(condition, lit(false))
+    val assign = set.toMap
+    val rewritten = logicalOverFiles(name, affected).select(s.fields.map { f =>
+      assign.get(f.name) match {
+        case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    val added = stageIn(name, projectToPhysical(name, rewritten))
+    commitVersion(name, "updateRows",
+      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
+    perFile.map(_.getLong(1)).sum
+  }
+
+  /** TRUNCATE TABLE: commit an EMPTY manifest — metadata-only and O(1) in
+    * table size (no file is touched); every prior snapshot stays
+    * time-travel-readable until a [[vacuum]] reclaims it, and the
+    * truncation itself is reversible via [[restoreVersion]].
+    */
+  def truncate(name: String): Unit = {
+    require(exists(name), s"table $name does not exist")
+    commitVersion(name, "truncate", Seq.empty)
+  }
+
   /** Copy-on-write MERGE (upsert) by key — SQL MERGE's `WHEN MATCHED THEN
     * UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`: every stored row
     * whose `key` appears in `updates` is replaced by the update row with

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** SQL text surface for the warehouse [[Catalog]]: CREATE / CTAS / INSERT /
-  * DELETE / MERGE / ALTER / DROP / SELECT routed to the catalog's
-  * versioned-COW table operations. The reference exposed its catalog
-  * through a programmatic DSL only; this closes the "DDL as text" gap so
-  * a SQL-speaking client can drive the warehouse end-to-end.
+  * UPDATE / DELETE / MERGE / ALTER / TRUNCATE / DROP / VACUUM / OPTIMIZE /
+  * DESCRIBE HISTORY / SELECT routed to the catalog's versioned-COW table
+  * operations. The reference exposed its catalog through a programmatic
+  * DSL only; this closes the "DDL as text" gap so a SQL-speaking client
+  * can drive the warehouse end-to-end.
   *
   * Division of labor, deliberately: the OUTER statement shape (which
   * command, which table, which key) is recognized here, while everything
@@ -75,8 +76,42 @@ object CatalogSql {
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val AlterType =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*$""".r
+  private val Update =
+    """(?is)^UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+  private val Truncate =
+    """(?is)^TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+  private val Vacuum =
+    """(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$""".r
+  private val Optimize =
+    """(?is)^OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s*$""".r
+  private val History =
+    """(?is)^DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
   private val Drop =
     """(?is)^DROP\s+TABLE\s+(\w+)\s*$""".r
+
+  /** Split on `sep` at paren/quote depth 0 — SET lists whose expressions
+    * contain function calls or string literals must not split inside them.
+    */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var inStr = false
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (ch == '\'') inStr = true
+      else if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      else if (ch == sep && depth == 0) { out += s.substring(last, i); last = i + 1 }
+      i += 1
+    }
+    out += s.substring(last)
+    out.toSeq
+  }
+
+  private val Assign = """(?s)^\s*(\w+)\s*=\s*(.+)$""".r
   private val Query =
     """(?is)^(?:SELECT|WITH|TABLE|VALUES)\b.*$""".r
 
@@ -90,7 +125,9 @@ object CatalogSql {
     stmt match {
       case CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
           Merge(_, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
-          RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) => true
+          RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
+          Update(_, _, _) | Truncate(_) | Vacuum(_, _) | Optimize(_, _) |
+          History(_) => true
       case _ => false
     }
   }
@@ -139,6 +176,28 @@ object CatalogSql {
         status(spark, "insert", t, cat.insert(t, aligned))
       case Delete(t, cond) =>
         status(spark, "delete", t, cat.deleteRows(t, expr(cond)))
+      case Update(t, setList, cond) =>
+        val assigns = splitTop(setList, ',').map {
+          case Assign(c, e) => (c.trim, expr(e.trim))
+          case other => throw new IllegalArgumentException(
+            s"bad SET assignment (expected col = <expr>): ${other.trim}")
+        }
+        // no WHERE → every row matches (SQL semantics)
+        val c = Option(cond).map(expr).getOrElse(lit(true))
+        status(spark, "update", t, cat.updateRows(t, c, assigns))
+      case Truncate(t) =>
+        cat.truncate(t)
+        status(spark, "truncate", t, 0L)
+      case Vacuum(t, retain) =>
+        cat.vacuum(t, Option(retain).map(_.toInt).getOrElse(1))
+        status(spark, "vacuum", t, cat.versions(t).size.toLong)
+      case Optimize(t, files) =>
+        cat.compact(t, Option(files).map(_.toInt).getOrElse(1))
+        status(spark, "optimize", t, 0L)
+      case History(t) =>
+        import spark.implicits._
+        cat.history(t)
+          .toDF("version", "operation", "n_files")
       case Merge(t, tAlias, sel, sAlias, lq, lk, rq, rk, clauseTail) =>
         val ta = Option(tAlias).getOrElse(t)
         val (tk, sk) = (ta, sAlias) match {
@@ -190,7 +249,8 @@ object CatalogSql {
       case other =>
         throw new IllegalArgumentException(
           "unsupported statement (expected CREATE TABLE [AS] / INSERT INTO / DELETE FROM " +
-            s"/ MERGE INTO / ALTER TABLE / DROP TABLE / SELECT): ${other.take(80)}")
+            "/ UPDATE / MERGE INTO / ALTER TABLE / TRUNCATE TABLE / DROP TABLE " +
+            s"/ VACUUM / OPTIMIZE / DESCRIBE HISTORY / SELECT): ${other.take(80)}")
     }
   }
 }

@@ -200,10 +200,59 @@ class CatalogSqlSpec extends SparkSpec {
     assert(!new Catalog(spark, wh).exists("kv"))
   }
 
+  test("UPDATE rewrites matching rows file-granularly; SET sees the OLD row") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, a BIGINT, b BIGINT)")
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO t VALUES (1, 10, 100), (2, 20, 200), (3, 30, 300)")
+    // both assignments read the pre-update row: after the swap-ish update,
+    // a must be the OLD b and b the OLD a + the OLD b (not chained)
+    val st = CatalogSql.exec(spark, cat,
+      "UPDATE t SET a = b, b = a + b WHERE id % 2 = 0").collect()(0)
+    assert(st.getString(0) == "update" && st.getLong(2) == 1L)
+    val rows = CatalogSql.exec(spark, cat, "SELECT id, a, b FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 10L, 100L), (2L, 200L, 220L), (3L, 30L, 300L)))
+    // no WHERE → all rows; expressions with function calls and commas parse
+    CatalogSql.exec(spark, cat, "UPDATE t SET a = greatest(a, 50)")
+    val as = CatalogSql.exec(spark, cat, "SELECT a FROM t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(as == Seq(50L, 200L, 50L))
+    // unknown column is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "UPDATE t SET nope = 1 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("not in schema"))
+  }
+
+  test("TRUNCATE / OPTIMIZE / VACUUM / DESCRIBE HISTORY round the lifecycle out") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (2)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (3)")
+    CatalogSql.exec(spark, cat, "OPTIMIZE t FILES 1")
+    val hist = CatalogSql.exec(spark, cat, "DESCRIBE HISTORY t")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(hist.map(_._2) == Seq("insert", "insert", "insert", "compact"))
+    assert(hist.last._3 == 1) // compacted to one file
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) AS n FROM t")
+      .collect()(0).getLong(0) == 3L)
+    // truncate is metadata-only: count drops to 0, prior version readable
+    CatalogSql.exec(spark, cat, "TRUNCATE TABLE t")
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) AS n FROM t")
+      .collect()(0).getLong(0) == 0L)
+    assert(cat.tableAt("t", 4).count() == 3L) // pre-truncate snapshot intact
+    // vacuum to the head: old versions (and the truncated-away files) go
+    CatalogSql.exec(spark, cat, "VACUUM t RETAIN 1 VERSIONS")
+    assert(cat.versions("t") == Seq(5))
+    intercept[IllegalArgumentException] { cat.tableAt("t", 4).count() }
+  }
+
   test("unsupported statements are rejected with the supported-statement list") {
     val cat = freshCat()
     val e = intercept[IllegalArgumentException] {
-      CatalogSql.exec(spark, cat, "TRUNCATE TABLE t")
+      CatalogSql.exec(spark, cat, "GRANT SELECT ON t TO someone")
     }
     assert(e.getMessage.contains("unsupported statement"))
   }
