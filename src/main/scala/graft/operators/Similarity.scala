@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -497,11 +497,26 @@ object Similarity {
     val model = pqTrain(corpus, id, vec, m, kc, iters)
     val codeRows = pqCodeRows(corpus, id, vec, model)
     val qd = pqLookupTables(corpus.filter(queryPred), id, vec, model)
-      .withColumnRenamed("cl", "code")
+    adcTopK(codeRows, qd, k, cand = None)
+  }
+
+  /** Shared ADC ranking tail: join the (neighbor_id, sub, code) index
+    * against the broadcast query lookup tables (restricted to `cand`idate
+    * pairs when an IVF probe supplied them), integer-sum the m per-sub
+    * distances, and keep each query's k nearest. The only data-sized
+    * input is the code table — raw vectors never enter this plan.
+    */
+  private def adcTopK(codeRows: DataFrame, qd: DataFrame, k: Int,
+      cand: Option[DataFrame]): DataFrame = {
+    val q = qd.withColumnRenamed("cl", "code")
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist_u").asc, col("neighbor_id"))
-    codeRows.join(broadcast(qd), Seq("sub", "code"))
-      .groupBy("query_id", "neighbor_id").agg(sum("du").as("adist_u"))
+    val pairs = cand match {
+      case Some(c) => c.join(codeRows, Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id", "sub", "code"))
+      case None => codeRows.join(broadcast(q), Seq("sub", "code"))
+    }
+    pairs.groupBy("query_id", "neighbor_id").agg(sum("du").as("adist_u"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -618,19 +633,105 @@ object Similarity {
     val model = pqTrain(corpus, id, vec, m, kc, iters)
     val codeRows = pqCodeRows(corpus, id, vec, model)
     val qd = pqLookupTables(corpus.filter(queryPred), id, vec, model)
-      .withColumnRenamed("cl", "code")
     val cand = assign.select(col(id).as("neighbor_id"), col("cluster"))
       .join(broadcast(probed), Seq("cluster"))
       .select("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist_u").asc, col("neighbor_id"))
-    cand.join(codeRows, Seq("neighbor_id"))
-      .join(broadcast(qd), Seq("query_id", "sub", "code"))
-      .groupBy("query_id", "neighbor_id").agg(sum("du").as("adist_u"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "adist_u")
+    adcTopK(codeRows, qd, k, Some(cand))
+  }
+
+  // ------------------------------------------------- persisted-index serving
+
+  /** Build the persisted PQ serving index under `dir`: the trained
+    * codebooks ([[graft.sources.ModelStore.savePq]] layout) plus the
+    * encoded (neighbor_id, sub, code) table as parquet. Training and
+    * encoding are paid ONCE here; [[servePqTopK]] afterwards never reads
+    * a corpus vector again — the train-once / serve-everywhere split a
+    * 100 TB deployment runs (index a corpus on one pass, serve from the
+    * ~64×-smaller code table indefinitely).
+    */
+  def buildPqIndex(corpus: DataFrame, id: String, vec: String,
+      m: Int, kc: Int, iters: Int, dir: String): Unit = {
+    val model = pqTrain(corpus, id, vec, m, kc, iters)
+    graft.sources.ModelStore.savePq(corpus.sparkSession, dir, model)
+    pqCodeRows(corpus, id, vec, model).write.mode("overwrite")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Serve exact-ADC top-k from a [[buildPqIndex]] index: load the
+    * model-sized codebooks, build the batch's broadcast lookup tables,
+    * and rank the persisted code table — one linear index scan, zero
+    * training cost, bit-identical to the inline [[pqTopK]].
+    */
+  def servePqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val model = graft.sources.ModelStore.loadPq(spark, dir)
+    adcTopK(spark.read.parquet(s"$dir/codes"),
+      pqLookupTables(queries, id, vec, model), k, cand = None)
+  }
+
+  /** Build the persisted IVF-PQ serving index under `dir`: coarse Lloyd
+    * quantizer centroids, the per-vector coarse assignment, the PQ
+    * codebooks and the code table — the full FAISS-`IVFPQ`-shaped index
+    * state, all as engine-portable parquet.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, m: Int, kc: Int, iters: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val assign = kMeansAssign(corpus, id, vec, nlist, iters)
+      .select(col(id), col("cluster"))
+    centroids(corpus.join(assign, id), "cluster", vec)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/cents")
+    assign.withColumnRenamed(id, "neighbor_id")
+      .write.mode("overwrite").parquet(s"$dir/assign")
+    buildPqIndex(corpus, id, vec, m, kc, iters, dir)
+  }
+
+  /** Serve from a [[buildIvfPqIndex]] index: probe the broadcast coarse
+    * centroids per query, restrict candidates via the persisted coarse
+    * assignment, and ADC-rank only the probed clusters' codes. Scan cost
+    * is the [[ivfPqTopK]] nprobe/nlist fraction of the code table; the
+    * corpus itself is never read.
+    */
+  def serveIvfPqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      id: String, vec: String, nprobe: Int, k: Int): DataFrame = {
+    val model = graft.sources.ModelStore.loadPq(spark, dir)
+    val cents = spark.read.parquet(s"$dir/cents")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cluster"))
+    val probed = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .join(broadcast(cents))
+      .withColumn("csim", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val cand = spark.read.parquet(s"$dir/assign")
+      .join(broadcast(probed), Seq("cluster"))
+      .select("query_id", "neighbor_id")
+    adcTopK(spark.read.parquet(s"$dir/codes"),
+      pqLookupTables(queries, id, vec, model), k, Some(cand))
+  }
+
+  /** Stage a serving index once per (params, fixture identity) under a
+    * stable tmp path and return it — [[graft.streaming.StreamingOps
+    * .stagePublish]]'s multi-process-safe atomic-publish discipline, so
+    * concurrent Verify/Bench JVMs build privately and exactly one wins,
+    * and a regenerated fixture (size/mtime change) gets a fresh index.
+    * Registered serving rows thus time SERVING, with the one-off build
+    * amortized — exactly the deployment cost model.
+    */
+  private[graft] def withStagedIndex(spark: SparkSession, sfDir: String,
+      tag: String)(build: String => Unit): String = {
+    val src = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    val ident = s"$tag:$sfDir:${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_ann_index_" + graft.streaming.StreamingOps.stageDigest(ident))
+    graft.streaming.StreamingOps.stagePublish(stage, ident) { tmp =>
+      build(tmp)
+      // root marker: parquet writes create per-SUBDIR markers only
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"), "")
+    }
   }
 
   /** DuckDB replay of [[pqTopK]]: per-subspace Lloyd (the subspace is a
@@ -1000,6 +1101,30 @@ object Similarity {
       ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         nlist = 8, nprobe = 3, m = 4, kc = 8, iters = 2, k = 5,
         queryPred = col("vec_id") < 20)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- persisted-index serving (ModelStore): the same PQ / IVF-PQ
+    // indexes, built ONCE per fixture identity into a parquet index and
+    // SERVED from it — training/encoding never re-runs, raw vectors are
+    // never re-read. Same oracles as the inline rows: the served answers
+    // are hash-exactly the trained ones ----
+    Q("ann_topk_pq_served", pqOracleSql(4, 8, 2, 5, 20)) { (s, d) =>
+      val dir = withStagedIndex(s, d, "pq:4:8:2")(tmp =>
+        buildPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 4, kc = 8, iters = 2, dir = tmp))
+      servePqTopK(s, dir, Tables.embeddings(s, d).filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    Q("ann_topk_ivfpq_served", ivfPqOracleSql(8, 3, 4, 8, 2, 5, 20)) { (s, d) =>
+      val dir = withStagedIndex(s, d, "ivfpq:8:4:8:2")(tmp =>
+        buildIvfPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+          nlist = 8, m = 4, kc = 8, iters = 2, dir = tmp))
+      serveIvfPqTopK(s, dir,
+        Tables.embeddings(s, d).filter(col("vec_id") < 20),
+        "vec_id", "embedding", nprobe = 3, k = 5)
         .orderBy("query_id", "rank")
     },
 

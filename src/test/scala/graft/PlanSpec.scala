@@ -189,6 +189,7 @@ class PlanSpec extends SparkSpec {
       "ann_topk_bruteforce", "ann_topk_int8", "ann_topk_ivf",
       "ann_topk_ivf_kmeans", "knn_centroid_assign", "kmeans_assign",
       "ann_topk_ivfpq", // nlist-row coarse-centroid model broadcast (probe)
+      "ann_topk_ivfpq_served", // the same probe over the PERSISTED centroids
       "tfidf_top_terms", "lm_unigram_score", "quality_buckets",
       "q_heavy_hitters_cms", "dedup_bloom_shingles", "lm_bigram_score",
       "bm25_score", // 1-row (N, avgdl) corpus-stats scalar broadcast
