@@ -76,12 +76,13 @@ object Dump {
     // keep shadowing it forever
     var catViews = Set.empty[String]
     def syncCatalogViews(c: graft.sources.Catalog): Unit = {
-      val cur = c.tables().toSet
+      val cur = c.tables().toSet ++ c.views().toSet
       val stale = catViews.diff(cur)
       stale.foreach(spark.catalog.dropTempView(_))
       if (stale.exists(graft.sources.GraftSql.fixtureNames.contains))
         graft.sources.GraftSql.refreshFixtures(spark, sfDir)
-      cur.foreach(n => c.table(n).createOrReplaceTempView(n))
+      // tables + catalog VIEWS (fixpoint-resolved SQL text) in one pass
+      graft.sources.CatalogSql.registerAll(spark, c)
       catViews = cur
     }
     def exec(sql: String): Unit = {

@@ -233,6 +233,118 @@ object CatalogOps {
           |FROM docs_up GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    // ---- persisted VIEWS as text: two stacked views (view-on-view) over
+    // a catalog table, with a DELETE between definition and read — the
+    // SELECT must see the table's CURRENT state through both layers
+    // (views are stored SQL text resolved at read, not materialized) ----
+    Q(
+      "catalog_sql_views",
+      """WITH docs_v AS (
+        |  SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE NOT (doc_id % 5 = 0)),
+        |v_lang AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM docs_v GROUP BY lang),
+        |v_big AS (SELECT * FROM v_lang WHERE n_docs > 10)
+        |SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_v AS
+          |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("""CREATE VIEW v_lang AS
+          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM docs_v GROUP BY lang""".stripMargin)
+      x("CREATE VIEW v_big AS SELECT * FROM v_lang WHERE n_docs > 10")
+      x("DELETE FROM docs_v WHERE doc_id % 5 = 0") // views must see this
+      x("SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang")
+    },
+
+    // ---- MATERIALIZED VIEW lifecycle: the mv serves its materialized
+    // snapshot (table-scan cost) through a base-table DELETE — the
+    // 'stale' phase — until REFRESH re-runs the stored definition — the
+    // 'fresh' phase. Both phases in one result, replayed relationally ----
+    Q(
+      "catalog_sql_mview",
+      """WITH base AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |afterdel AS (SELECT * FROM base WHERE NOT (doc_id % 3 = 0)),
+        |stale AS (
+        |  SELECT 'stale' AS phase, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM base GROUP BY lang),
+        |fresh AS (
+        |  SELECT 'fresh' AS phase, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM afterdel GROUP BY lang)
+        |SELECT phase, lang, n_docs, total_chars
+        |FROM (SELECT * FROM stale UNION ALL SELECT * FROM fresh)
+        |ORDER BY phase, lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_mb AS
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("""CREATE MATERIALIZED VIEW mv_lang AS
+          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM docs_mb GROUP BY lang""".stripMargin)
+      x("DELETE FROM docs_mb WHERE doc_id % 3 = 0")
+      val stale = x("SELECT 'stale' AS phase, lang, n_docs, total_chars FROM mv_lang")
+      x("REFRESH MATERIALIZED VIEW mv_lang")
+      val fresh = x("SELECT 'fresh' AS phase, lang, n_docs, total_chars FROM mv_lang")
+      stale.unionByName(fresh).orderBy("phase", "lang")
+    },
+
+    // ---- ANALYZE TABLE: one-pass per-column statistics (row count, null
+    // count, min/max; HLL ndv excluded here — engine-specific — and
+    // contract-checked in CatalogSqlSpec instead). The oracle recomputes
+    // each column's stats relationally ----
+    Q(
+      "catalog_sql_analyze",
+      """WITH t AS (
+        |  SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+        |         CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+        |         CAST(MAX(doc_id) AS VARCHAR) AS max_v FROM t
+        |  UNION ALL
+        |  SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+        |         MIN(lang), MAX(lang) FROM t
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+        |         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'text', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(*) - COUNT(text) AS BIGINT),
+        |         MIN(text), MAX(text) FROM t)
+        |SELECT col_name, n_rows, n_nulls, min_v, max_v FROM s
+        |ORDER BY col_name""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_an AS
+          |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("ANALYZE TABLE docs_an")
+      x("SHOW STATS docs_an")
+        .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_v"), col("max_v"))
+        .orderBy("col_name")
+    },
+
     // ---- partition-pruned scan: filter on the partition column reads
     // only that directory (explain-verified in CatalogSpec) ----
     Q(

@@ -40,6 +40,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** Declare a table: fixed schema + optional partition column. */
   def create(name: String, schema: StructType, partitionBy: Option[String] = None): Unit = {
     require(!exists(name), s"table $name already exists")
+    require(!viewExists(name), s"$name is a view; views and tables share a namespace")
     partitionBy.foreach(p =>
       require(schema.fieldNames.contains(p), s"partition column $p not in schema"))
     Files.createDirectories(metaDir(name))
@@ -189,7 +190,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Files.writeString(metaDir(name).resolve("schema.json"), ns.json)
   }
 
-  private val DefaultKey = "graft.default"
+  private val DefaultKey = Catalog.DefaultKey
   private val PhysicalKey = "graft.physical"
 
   private def defaultOf(f: org.apache.spark.sql.types.StructField): Option[String] =
@@ -226,6 +227,139 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     else listDir(Paths.get(warehouse))
       .filter(p => Files.exists(p.resolve("_meta/schema.json")))
       .map(_.getFileName.toString).sorted
+
+  // ------------------------------------------------------------------ views
+
+  private def viewsDir = Paths.get(warehouse, "_views")
+  private def viewPath(name: String) = viewsDir.resolve(s"$name.sql")
+
+  /** Persist a named view: the SQL TEXT is the stored artifact (resolved
+    * against the catalog at every read, like any SQL-engine view — a view
+    * over a table sees the table's CURRENT version, and column
+    * adds/renames flow through on the next read). Views live beside
+    * tables in the warehouse under `_views/`, one file per view.
+    */
+  def createView(name: String, sql: String, orReplace: Boolean = false): Unit = {
+    require(!exists(name), s"$name is a table; views and tables share a namespace")
+    require(!materializedViewExists(name), s"$name is a materialized view")
+    require(orReplace || !viewExists(name), s"view $name already exists")
+    Files.createDirectories(viewsDir)
+    Files.writeString(viewPath(name), sql)
+  }
+
+  def viewExists(name: String): Boolean = Files.exists(viewPath(name))
+
+  def views(): Seq[String] =
+    if (!Files.exists(viewsDir)) Seq.empty
+    else listDir(viewsDir).map(_.getFileName.toString)
+      .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql")).sorted
+
+  def viewSql(name: String): String = {
+    require(viewExists(name), s"view $name does not exist")
+    Files.readString(viewPath(name))
+  }
+
+  def dropView(name: String): Unit = {
+    require(viewExists(name), s"view $name does not exist")
+    Files.delete(viewPath(name))
+  }
+
+  // ------------------------------------------------------ materialized views
+
+  private def mviewPath(name: String) = viewsDir.resolve(s"$name.msql")
+
+  /** Record a materialized view's definition. The caller (the SQL router)
+    * owns the backing TABLE named `name` — a materialized view is exactly
+    * {definition text} + {ordinary versioned catalog table holding the
+    * last refresh}, so reads serve the materialized snapshot at plain
+    * table-scan cost (the point of materializing) and staleness is the
+    * documented semantic until REFRESH re-runs the definition. Refresh
+    * history is the backing table's own manifest log.
+    */
+  def defineMaterializedView(name: String, sql: String): Unit = {
+    require(exists(name), s"materialized view $name needs its backing table first")
+    require(!viewExists(name), s"$name is already a plain view")
+    Files.createDirectories(viewsDir)
+    Files.writeString(mviewPath(name), sql)
+  }
+
+  def materializedViewExists(name: String): Boolean = Files.exists(mviewPath(name))
+
+  def materializedViews(): Seq[String] =
+    if (!Files.exists(viewsDir)) Seq.empty
+    else listDir(viewsDir).map(_.getFileName.toString)
+      .filter(_.endsWith(".msql")).map(_.stripSuffix(".msql")).sorted
+
+  def materializedViewSql(name: String): String = {
+    require(materializedViewExists(name), s"materialized view $name does not exist")
+    Files.readString(mviewPath(name))
+  }
+
+  def dropMaterializedViewDef(name: String): Unit = {
+    require(materializedViewExists(name), s"materialized view $name does not exist")
+    Files.delete(mviewPath(name))
+  }
+
+  // ------------------------------------------------------------- statistics
+
+  /** Compute and persist table statistics: per column, the row count,
+    * null count, HLL approximate distinct count, and min/max (rendered as
+    * strings; unorderable types — maps — get null bounds). ONE full-scan
+    * aggregation job computes every column's stats together (partial
+    * aggregation map-side, a single 1-row driver result) — the cost model
+    * that holds at 100 TB, where per-column ANALYZE passes would multiply
+    * the scan by the column count. Persisted as JSON under `_meta/stats`
+    * with the snapshot version they describe, for cost-based decisions
+    * (broadcast-side choice, `SHOW STATS`) without re-scanning.
+    */
+  def analyze(name: String): DataFrame = {
+    val df = table(name)
+    val fields = schema(name).fields
+    def orderable(dt: DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+    val aggs = fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"nn_${f.name}"),
+        approx_count_distinct(c).as(s"nd_${f.name}")) ++
+        (if (orderable(f.dataType))
+          Seq(min(c).cast("string").as(s"mn_${f.name}"),
+            max(c).cast("string").as(s"mx_${f.name}"))
+        else Seq(lit(null).cast("string").as(s"mn_${f.name}"),
+          lit(null).cast("string").as(s"mx_${f.name}")))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    val nRows = row.getLong(row.fieldIndex("n_rows"))
+    def str(i: Int): Option[String] = if (row.isNullAt(i)) None else Some(row.getString(i))
+    val stats = fields.toSeq.map { f =>
+      (f.name, nRows,
+        nRows - row.getLong(row.fieldIndex(s"nn_${f.name}")),
+        row.getLong(row.fieldIndex(s"nd_${f.name}")),
+        str(row.fieldIndex(s"mn_${f.name}")),
+        str(row.fieldIndex(s"mx_${f.name}")))
+    }
+    val out = spark.createDataFrame(stats)
+      .toDF("column", "n_rows", "n_nulls", "ndv_approx", "min_v", "max_v")
+      .withColumn("analyzed_version", lit(currentVersion(name)))
+    out.coalesce(1).write.mode(SaveMode.Overwrite)
+      .json(metaDir(name).resolve("stats").toString)
+    statsOf(name).getOrElse(out)
+  }
+
+  /** Persisted [[analyze]] output, if the table has been analyzed. */
+  def statsOf(name: String): Option[DataFrame] =
+    if (!Files.exists(metaDir(name).resolve("stats"))) None
+    else {
+      val raw = spark.read.json(metaDir(name).resolve("stats").toString)
+      // a column whose values were ALL null (e.g. min_v of a map column)
+      // is absent from the inferred JSON schema — reinstate it as null
+      def c(n: String, tpe: String) =
+        (if (raw.columns.contains(n)) col(n) else lit(null)).cast(tpe).as(n)
+      Some(raw.select(c("column", "string"), c("n_rows", "long"),
+        c("n_nulls", "long"), c("ndv_approx", "long"),
+        c("min_v", "string"), c("max_v", "string"),
+        c("analyzed_version", "int"))
+        .orderBy("column"))
+    }
 
   /** Append-only insert: validates + casts to the declared schema, writes
     * Hive-partitioned parquet. The cast is strict column-name matching
@@ -926,6 +1060,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 object Catalog {
   /** Source-file tag column used by the row-level DML manifest passes. */
   private[sources] val FileCol = "__graft_src_file"
+
+  /** Field-metadata key carrying a column's declared DEFAULT (SQL text).
+    * `private[sources]` so [[CatalogSql]] can round-trip SHOW CREATE
+    * TABLE output (column DEFAULTs included) back through CREATE TABLE.
+    */
+  private[sources] val DefaultKey = "graft.default"
 
   /** A row-level DML's copy-on-write plan would exceed the driver-side
     * manifest bound (`graft.dml.maxAffectedFiles`) — thrown BEFORE the

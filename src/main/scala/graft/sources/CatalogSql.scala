@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** SQL text surface for the warehouse [[Catalog]]: CREATE / CTAS / INSERT /
-  * UPDATE / DELETE / MERGE / ALTER / TRUNCATE / DROP / VACUUM / OPTIMIZE /
-  * DESCRIBE HISTORY / SELECT routed to the catalog's versioned-COW table
-  * operations. The reference exposed its catalog through a programmatic
+/** SQL text surface for the warehouse [[Catalog]]: CREATE / CTAS / CREATE
+  * VIEW / INSERT / UPDATE / DELETE / MERGE / ALTER / TRUNCATE / DROP /
+  * VACUUM / OPTIMIZE / DESCRIBE [HISTORY] / SHOW TABLES / SHOW CREATE
+  * TABLE / ANALYZE / SHOW STATS / EXPLAIN / SELECT routed to the
+  * catalog's versioned-COW table operations. The reference exposed its catalog through a programmatic
   * DSL only; this closes the "DDL as text" gap so a SQL-speaking client
   * can drive the warehouse end-to-end.
   *
@@ -88,6 +89,29 @@ object CatalogSql {
     """(?is)^DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
   private val Drop =
     """(?is)^DROP\s+TABLE\s+(\w+)\s*$""".r
+  private val ShowTables =
+    """(?is)^SHOW\s+TABLES\s*$""".r
+  private val ShowCreate =
+    """(?is)^SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$""".r
+  // `DESCRIBE HISTORY t` cannot match (two tokens before the terminal \w+)
+  private val Describe =
+    """(?is)^DESCRIBE\s+(?:TABLE\s+)?(\w+)\s*$""".r
+  private val Analyze =
+    """(?is)^ANALYZE\s+TABLE\s+(\w+)\s*$""".r
+  private val ShowStats =
+    """(?is)^SHOW\s+STATS\s+(?:FOR\s+)?(\w+)\s*$""".r
+  private val CreateView =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$""".r
+  private val CreateMView =
+    """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$""".r
+  private val RefreshMView =
+    """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
+  private val DropMView =
+    """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
+  private val DropView =
+    """(?is)^DROP\s+VIEW\s+(\w+)\s*$""".r
+  private val Explain =
+    """(?is)^EXPLAIN\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$""".r
 
   /** Split on `sep` at paren/quote depth 0 — SET lists whose expressions
     * contain function calls or string literals must not split inside them.
@@ -111,6 +135,25 @@ object CatalogSql {
     out.toSeq
   }
 
+  private val ColDefault = """(?is)^(.+?)\s+DEFAULT\s+(.+)$""".r
+
+  /** Parse a CREATE column list, honoring per-column `DEFAULT <literal>`
+    * clauses (`StructType.fromDDL` has no DEFAULT syntax) — required for
+    * SHOW CREATE TABLE output to round-trip back through CREATE TABLE.
+    */
+  private def schemaWithDefaults(cols: String): StructType = {
+    val fields = splitTop(cols, ',').map(_.trim).filter(_.nonEmpty).map {
+      case ColDefault(colDef, dflt) =>
+        val f = StructType.fromDDL(colDef).head
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(Catalog.DefaultKey, dflt.trim).build())
+      case colDef => StructType.fromDDL(colDef).head
+    }
+    StructType(fields)
+  }
+
   private val Assign = """(?s)^\s*(\w+)\s*=\s*(.+)$""".r
   private val Query =
     """(?is)^(?:SELECT|WITH|TABLE|VALUES)\b.*$""".r
@@ -127,17 +170,52 @@ object CatalogSql {
           Merge(_, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
           Update(_, _, _) | Truncate(_) | Vacuum(_, _) | Optimize(_, _) |
-          History(_) => true
+          History(_) | ShowTables() | ShowCreate(_) | Describe(_) |
+          Analyze(_) | ShowStats(_) | CreateView(_, _, _) | DropView(_) |
+          CreateMView(_, _) | RefreshMView(_) | DropMView(_) |
+          Explain(_) => true
       case _ => false
     }
   }
 
-  /** Run the relational part of a statement through Spark SQL with every
-    * catalog table visible as a temp view (reads go through
-    * [[Catalog.table]], so time-travel/COW resolution applies as usual).
+  /** Register every catalog table AND view as a temp view (reads go
+    * through [[Catalog.table]], so time-travel/COW resolution applies as
+    * usual). Views are SQL text resolved HERE, against the current
+    * catalog state; a view may reference other views, so registration
+    * iterates to a fixpoint. A view whose reference no longer resolves
+    * (e.g. its base table was dropped) is left unregistered — it errors
+    * only when actually referenced, like an invalidated view in any SQL
+    * engine, instead of poisoning every other statement.
+    */
+  private[graft] def registerAll(spark: SparkSession, cat: Catalog): Unit = {
+    cat.tables().foreach(n => cat.table(n).createOrReplaceTempView(n))
+    // drop every catalog view's temp view FIRST: a temp view snapshots its
+    // analyzed plan, so a view-on-view registered this round must not bind
+    // to a stale registration from an earlier statement (it would keep
+    // reading the base table's pre-DML state — or deleted files). The
+    // fixpoint below then re-resolves dependencies bottom-up against
+    // exclusively CURRENT state.
+    var pending = cat.views().toList
+    pending.foreach(v => spark.catalog.dropTempView(v))
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      val next = pending.filter { v =>
+        try {
+          spark.sql(cat.viewSql(v)).createOrReplaceTempView(v); false
+        } catch { case _: org.apache.spark.sql.AnalysisException => true }
+      }
+      progress = next.size < pending.size
+      pending = next
+    }
+    // anything still pending is an invalidated view (e.g. base table
+    // dropped): left unregistered, it errors only when referenced
+  }
+
+  /** Run the relational part of a statement through Spark SQL with the
+    * whole catalog (tables + views) visible.
     */
   private def subQuery(spark: SparkSession, cat: Catalog, sql: String): DataFrame = {
-    cat.tables().foreach(n => cat.table(n).createOrReplaceTempView(n))
+    registerAll(spark, cat)
     spark.sql(sql)
   }
 
@@ -157,7 +235,7 @@ object CatalogSql {
         cat.create(t, df.schema)
         status(spark, "create_as", t, cat.insert(t, df))
       case Create(t, cols, part) =>
-        cat.create(t, StructType.fromDDL(cols), Option(part))
+        cat.create(t, schemaWithDefaults(cols), Option(part))
         status(spark, "create", t, 0L)
       case Insert(t, src) =>
         val df = subQuery(spark, cat, src)
@@ -239,18 +317,92 @@ object CatalogSql {
         cat.widenColumn(t, c, StructType.fromDDL(s"x $tpe").head.dataType)
         status(spark, "alter_column", t, 0L)
       case Drop(t) =>
+        require(!cat.materializedViewExists(t),
+          s"$t is a materialized view — use DROP MATERIALIZED VIEW $t")
         cat.drop(t)
         // the temp view subQuery registered for this table would otherwise
         // keep resolving (over deleted files) for the rest of the session
         spark.catalog.dropTempView(t)
         status(spark, "drop", t, 0L)
+      case ShowTables() =>
+        import spark.implicits._
+        val mvs = cat.materializedViews().toSet
+        val ts = cat.tables().map(t =>
+          (t, if (mvs(t)) "materialized_view" else "table",
+            cat.partitionColumn(t).getOrElse(""), cat.currentVersion(t)))
+        val vs = cat.views().map(v => (v, "view", "", 0))
+        (ts ++ vs).toDF("name", "kind", "partitioned_by", "version")
+      case ShowCreate(t) =>
+        import spark.implicits._
+        val sch = cat.schema(t)
+        val cols = sch.fields.map { f =>
+          val dflt =
+            if (f.metadata.contains(Catalog.DefaultKey))
+              s" DEFAULT ${f.metadata.getString(Catalog.DefaultKey)}"
+            else ""
+          s"  ${f.name} ${f.dataType.sql}$dflt"
+        }.mkString(",\n")
+        val part = cat.partitionColumn(t)
+          .map(p => s"\nPARTITIONED BY ($p)").getOrElse("")
+        Seq(s"CREATE TABLE $t (\n$cols\n)$part").toDF("ddl")
+      case Describe(t) =>
+        import spark.implicits._
+        cat.schema(t).fields.toSeq.map { f =>
+          val dflt = if (f.metadata.contains(Catalog.DefaultKey))
+            f.metadata.getString(Catalog.DefaultKey) else null
+          (f.name, f.dataType.sql,
+            if (cat.partitionColumn(t).contains(f.name)) "partition" else "",
+            dflt)
+        }.toDF("column", "type", "role", "dflt")
+      case Analyze(t) =>
+        cat.analyze(t)
+      case ShowStats(t) =>
+        cat.statsOf(t).getOrElse(throw new IllegalArgumentException(
+          s"no statistics for $t — run ANALYZE TABLE $t first"))
+      case CreateMView(v, sel) =>
+        // definition + backing table in one statement: materialize now,
+        // serve the snapshot at table-scan cost until REFRESH re-runs it
+        val df = subQuery(spark, cat, sel)
+        cat.create(v, df.schema)
+        val n = cat.insert(v, df)
+        cat.defineMaterializedView(v, sel)
+        status(spark, "create_materialized_view", v, n)
+      case RefreshMView(v) =>
+        // full recompute of the stored definition into a fresh snapshot
+        // (truncate + insert = two manifest commits, an honest refresh
+        // history; the programmatic rollForward tier is the incremental
+        // path for aggregate-shaped views)
+        val sel = cat.materializedViewSql(v)
+        val df = subQuery(spark, cat, sel)
+        cat.truncate(v)
+        status(spark, "refresh_materialized_view", v, cat.insert(v, df))
+      case DropMView(v) =>
+        cat.dropMaterializedViewDef(v)
+        cat.drop(v)
+        spark.catalog.dropTempView(v)
+        status(spark, "drop_materialized_view", v, 0L)
+      case CreateView(orReplace, v, sel) =>
+        subQuery(spark, cat, sel) // analyze now: reject an invalid definition loudly
+        cat.createView(v, sel, orReplace = orReplace != null)
+        status(spark, "create_view", v, 0L)
+      case DropView(v) =>
+        cat.dropView(v)
+        spark.catalog.dropTempView(v)
+        status(spark, "drop_view", v, 0L)
+      case Explain(q) =>
+        import spark.implicits._
+        Seq(subQuery(spark, cat, q).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          .toDF("plan")
       case Query() =>
         subQuery(spark, cat, stmt)
       case other =>
         throw new IllegalArgumentException(
-          "unsupported statement (expected CREATE TABLE [AS] / INSERT INTO / DELETE FROM " +
-            "/ UPDATE / MERGE INTO / ALTER TABLE / TRUNCATE TABLE / DROP TABLE " +
-            s"/ VACUUM / OPTIMIZE / DESCRIBE HISTORY / SELECT): ${other.take(80)}")
+          "unsupported statement (expected CREATE TABLE [AS] / CREATE [OR REPLACE] VIEW " +
+            "/ INSERT INTO / DELETE FROM / UPDATE / MERGE INTO / ALTER TABLE " +
+            "/ TRUNCATE TABLE / DROP TABLE / DROP VIEW / VACUUM / OPTIMIZE " +
+            "/ DESCRIBE [HISTORY] / SHOW TABLES / SHOW CREATE TABLE / SHOW STATS " +
+            s"/ ANALYZE TABLE / EXPLAIN / SELECT): ${other.take(80)}")
     }
   }
 }

@@ -256,4 +256,147 @@ class CatalogSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported statement"))
   }
+
+  test("SHOW TABLES lists tables and views with kind / partition / version") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE a (id INT, r STRING) PARTITIONED BY (r)")
+    CatalogSql.exec(spark, cat, "INSERT INTO a VALUES (1, 'x')")
+    CatalogSql.exec(spark, cat, "CREATE VIEW va AS SELECT id FROM a")
+    val rows = CatalogSql.exec(spark, cat, "SHOW TABLES")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("a", "table", "r"), ("va", "view", "")))
+  }
+
+  test("DESCRIBE shows columns, partition role and declared defaults") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, r STRING) PARTITIONED BY (r)")
+    CatalogSql.exec(spark, cat, "ALTER TABLE t ADD COLUMN tag STRING DEFAULT 'base'")
+    val rows = CatalogSql.exec(spark, cat, "DESCRIBE t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("id", "BIGINT", "", null), ("r", "STRING", "partition", null),
+      ("tag", "STRING", "", "'base'")))
+    // DESCRIBE HISTORY still routes to the manifest log, not DESCRIBE
+    assert(CatalogSql.exec(spark, cat, "DESCRIBE HISTORY t").columns.head == "version")
+  }
+
+  test("SHOW CREATE TABLE emits DDL that recreates the same schema") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat,
+      "CREATE TABLE t (id BIGINT, name STRING, r STRING) PARTITIONED BY (r)")
+    CatalogSql.exec(spark, cat, "ALTER TABLE t ADD COLUMN tag STRING DEFAULT 'b'")
+    val ddl = CatalogSql.exec(spark, cat, "SHOW CREATE TABLE t")
+      .collect()(0).getString(0)
+    val cat2 = freshCat()
+    CatalogSql.exec(spark, cat2, ddl)
+    assert(cat2.schema("t").fields.map(f => (f.name, f.dataType)).toSeq ==
+      cat.schema("t").fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(cat2.partitionColumn("t") == cat.partitionColumn("t"))
+  }
+
+  test("ANALYZE persists one-pass stats; ndv_approx tracks exact distinct") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v STRING)")
+    CatalogSql.exec(spark, cat,
+      """INSERT INTO t SELECT CAST(x AS BIGINT),
+        |CASE WHEN x % 10 = 0 THEN NULL ELSE concat('v', CAST(x % 57 AS STRING)) END
+        |FROM (SELECT explode(sequence(1, 1000)) AS x)""".stripMargin)
+    val st = CatalogSql.exec(spark, cat, "ANALYZE TABLE t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st("id").getLong(1) == 1000L && st("id").getLong(2) == 0L)
+    assert(st("id").getString(4) == "1" && st("id").getString(5) == "1000")
+    assert(st("v").getLong(2) == 100L) // the x % 10 = 0 rows
+    val ndv = st("v").getLong(3).toDouble
+    assert(math.abs(ndv - 57.0) / 57.0 < 0.15, s"ndv_approx $ndv vs exact 57")
+    // SHOW STATS serves the persisted copy; unanalyzed tables fail loud
+    assert(CatalogSql.exec(spark, cat, "SHOW STATS t").count() == 2L)
+    CatalogSql.exec(spark, cat, "CREATE TABLE u (id INT)")
+    val e = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "SHOW STATS u")
+    }
+    assert(e.getMessage.contains("ANALYZE"))
+  }
+
+  test("views: OR REPLACE, DROP, table-name clash, invalid definition") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1), (2), (3)")
+    CatalogSql.exec(spark, cat, "CREATE VIEW v AS SELECT id FROM t WHERE id > 1")
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) AS n FROM v")
+      .collect()(0).getLong(0) == 2L)
+    // plain CREATE VIEW on an existing view fails; OR REPLACE swaps it
+    intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "CREATE VIEW v AS SELECT id FROM t")
+    }
+    CatalogSql.exec(spark, cat, "CREATE OR REPLACE VIEW v AS SELECT id FROM t")
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) AS n FROM v")
+      .collect()(0).getLong(0) == 3L)
+    // a view may not shadow a table, nor a table a view
+    intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "CREATE VIEW t AS SELECT 1 AS x")
+    }
+    intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "CREATE TABLE v (id INT)")
+    }
+    // invalid definitions are rejected AT CREATION, not first read
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "CREATE VIEW bad AS SELECT id FROM no_such")
+    }
+    assert(!cat.viewExists("bad"))
+    CatalogSql.exec(spark, cat, "DROP VIEW v")
+    assert(!cat.viewExists("v"))
+  }
+
+  test("a view over a dropped table invalidates alone — catalog stays usable") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE base (id BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO base VALUES (1)")
+    CatalogSql.exec(spark, cat, "CREATE VIEW vb AS SELECT id FROM base")
+    CatalogSql.exec(spark, cat, "DROP TABLE base")
+    spark.catalog.dropTempView("vb") // simulate a fresh session
+    // other statements keep working despite the dangling view
+    CatalogSql.exec(spark, cat, "CREATE TABLE other (x INT)")
+    assert(CatalogSql.exec(spark, cat, "SELECT 1 AS one").collect()(0).getInt(0) == 1)
+    // referencing the invalidated view errors only then
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "SELECT * FROM vb").collect()
+    }
+  }
+
+  test("materialized view: snapshot serving, REFRESH, guards, SHOW TABLES kind") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE b (id BIGINT, v BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO b VALUES (1, 10), (2, 20), (3, 30)")
+    CatalogSql.exec(spark, cat,
+      "CREATE MATERIALIZED VIEW m AS SELECT CAST(SUM(v) AS BIGINT) AS s FROM b")
+    def s() = CatalogSql.exec(spark, cat, "SELECT s FROM m").collect()(0).getLong(0)
+    assert(s() == 60L)
+    CatalogSql.exec(spark, cat, "DELETE FROM b WHERE id = 3")
+    assert(s() == 60L) // stale until refresh — the materialized semantic
+    CatalogSql.exec(spark, cat, "REFRESH MATERIALIZED VIEW m")
+    assert(s() == 30L)
+    // kind surfaces in SHOW TABLES; DROP TABLE refuses the backing table
+    val kinds = CatalogSql.exec(spark, cat, "SHOW TABLES")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds("m") == "materialized_view" && kinds("b") == "table")
+    val e = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "DROP TABLE m")
+    }
+    assert(e.getMessage.contains("DROP MATERIALIZED VIEW"))
+    // a plain view may not take a materialized view's name
+    intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "CREATE VIEW m AS SELECT 1 AS x")
+    }
+    CatalogSql.exec(spark, cat, "DROP MATERIALIZED VIEW m")
+    assert(!cat.exists("m") && !cat.materializedViewExists("m"))
+  }
+
+  test("EXPLAIN returns the formatted plan with pushed filters visible") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1, 10), (2, 20)")
+    val plan = CatalogSql.exec(spark, cat, "EXPLAIN SELECT id FROM t WHERE v > 15")
+      .collect()(0).getString(0)
+    assert(plan.contains("PushedFilters") && plan.contains("v"))
+  }
 }
