@@ -264,6 +264,46 @@ object CatalogOps {
       x("SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang")
     },
 
+    // ---- constraints: NOT NULL + CHECK declared in DDL, enforced INSIDE
+    // the write pass (a when/raise_error guard in the projection — no
+    // separate validation job). Violating inserts throw and commit
+    // NOTHING; the final aggregate proves only the valid insert landed ----
+    Q(
+      "catalog_sql_constraints",
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      def mustFail(q: String): Unit =
+        try {
+          x(q).collect()
+          throw new IllegalStateException(s"statement unexpectedly succeeded: $q")
+        } catch {
+          case e: IllegalStateException => throw e
+          case _: Exception => () // the constraint fired; nothing committed
+        }
+      x("""CREATE TABLE docs_ck (
+          |  doc_id BIGINT NOT NULL, lang STRING NOT NULL, n_chars BIGINT,
+          |  CHECK (n_chars >= 0))""".stripMargin)
+      x("""INSERT INTO docs_ck
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) FROM documents""".stripMargin)
+      mustFail("""INSERT INTO docs_ck
+          |SELECT doc_id + 90000000, lang, CAST(-n_chars - 1 AS BIGINT)
+          |FROM documents""".stripMargin) // CHECK (n_chars >= 0)
+      mustFail("""INSERT INTO docs_ck
+          |SELECT doc_id + 95000000, NULL, CAST(n_chars AS BIGINT)
+          |FROM documents""".stripMargin) // NOT NULL lang
+      x("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM docs_ck GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     // ---- MATERIALIZED VIEW lifecycle: the mv serves its materialized
     // snapshot (table-scan cost) through a base-table DELETE — the
     // 'stale' phase — until REFRESH re-runs the stored definition — the

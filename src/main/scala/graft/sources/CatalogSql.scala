@@ -73,6 +73,8 @@ object CatalogSql {
   }
   private val AddCol =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+DEFAULT\s+(.+?))?\s*$""".r
+  private val AddCheck =
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+CHECK\s*\((.*)\)\s*$""".r
   private val RenameCol =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val AlterType =
@@ -136,13 +138,18 @@ object CatalogSql {
   }
 
   private val ColDefault = """(?is)^(.+?)\s+DEFAULT\s+(.+)$""".r
+  private val TableCheck = """(?is)^CHECK\s*\((.*)\)$""".r
 
   /** Parse a CREATE column list, honoring per-column `DEFAULT <literal>`
-    * clauses (`StructType.fromDDL` has no DEFAULT syntax) — required for
-    * SHOW CREATE TABLE output to round-trip back through CREATE TABLE.
+    * clauses (`StructType.fromDDL` has no DEFAULT syntax; NOT NULL it
+    * does parse) and trailing table-level `CHECK (<expr>)` constraints —
+    * required for SHOW CREATE TABLE output to round-trip back through
+    * CREATE TABLE. Returns the schema plus the CHECK expressions.
     */
-  private def schemaWithDefaults(cols: String): StructType = {
-    val fields = splitTop(cols, ',').map(_.trim).filter(_.nonEmpty).map {
+  private def schemaWithDefaults(cols: String): (StructType, Seq[String]) = {
+    val parts = splitTop(cols, ',').map(_.trim).filter(_.nonEmpty)
+    val checks = parts.collect { case TableCheck(c) => c.trim }
+    val fields = parts.filter(p => TableCheck.findFirstIn(p).isEmpty).map {
       case ColDefault(colDef, dflt) =>
         val f = StructType.fromDDL(colDef).head
         org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable,
@@ -151,7 +158,7 @@ object CatalogSql {
             .putString(Catalog.DefaultKey, dflt.trim).build())
       case colDef => StructType.fromDDL(colDef).head
     }
-    StructType(fields)
+    (StructType(fields), checks)
   }
 
   private val Assign = """(?s)^\s*(\w+)\s*=\s*(.+)$""".r
@@ -168,6 +175,7 @@ object CatalogSql {
     stmt match {
       case CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
           Merge(_, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
+          AddCheck(_, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
           Update(_, _, _) | Truncate(_) | Vacuum(_, _) | Optimize(_, _) |
           History(_) | ShowTables() | ShowCreate(_) | Describe(_) |
@@ -235,7 +243,9 @@ object CatalogSql {
         cat.create(t, df.schema)
         status(spark, "create_as", t, cat.insert(t, df))
       case Create(t, cols, part) =>
-        cat.create(t, schemaWithDefaults(cols), Option(part))
+        val (sch, chks) = schemaWithDefaults(cols)
+        cat.create(t, sch, Option(part))
+        chks.foreach(cat.addCheck(t, _))
         status(spark, "create", t, 0L)
       case Insert(t, src) =>
         val df = subQuery(spark, cat, src)
@@ -306,6 +316,9 @@ object CatalogSql {
             u + d + i
           }
         status(spark, "merge", t, n)
+      case AddCheck(t, c) =>
+        cat.addCheck(t, c.trim)
+        status(spark, "add_check", t, 0L)
       case AddCol(t, c, tpe, dflt) =>
         val dt = StructType.fromDDL(s"x $tpe").head.dataType
         cat.addColumn(t, c, dt, Option(dflt).getOrElse("NULL"))
@@ -336,15 +349,16 @@ object CatalogSql {
         import spark.implicits._
         val sch = cat.schema(t)
         val cols = sch.fields.map { f =>
+          val nn = if (f.nullable) "" else " NOT NULL"
           val dflt =
             if (f.metadata.contains(Catalog.DefaultKey))
               s" DEFAULT ${f.metadata.getString(Catalog.DefaultKey)}"
             else ""
-          s"  ${f.name} ${f.dataType.sql}$dflt"
-        }.mkString(",\n")
+          s"  ${f.name} ${f.dataType.sql}$nn$dflt"
+        } ++ cat.checks(t).map(c => s"  CHECK ($c)")
         val part = cat.partitionColumn(t)
           .map(p => s"\nPARTITIONED BY ($p)").getOrElse("")
-        Seq(s"CREATE TABLE $t (\n$cols\n)$part").toDF("ddl")
+        Seq(s"CREATE TABLE $t (\n${cols.mkString(",\n")}\n)$part").toDF("ddl")
       case Describe(t) =>
         import spark.implicits._
         cat.schema(t).fields.toSeq.map { f =>

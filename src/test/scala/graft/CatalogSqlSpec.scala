@@ -391,6 +391,46 @@ class CatalogSqlSpec extends SparkSpec {
     assert(!cat.exists("m") && !cat.materializedViewExists("m"))
   }
 
+  test("constraints: NOT NULL and CHECK gate every write path") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat,
+      "CREATE TABLE t (id BIGINT NOT NULL, v BIGINT, CHECK (v >= 0))")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1, 10), (2, 0)")
+    def count() = CatalogSql.exec(spark, cat, "SELECT COUNT(*) AS n FROM t")
+      .collect()(0).getLong(0)
+    // violating INSERT throws and commits nothing
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (3, -1)").collect()
+    }
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (NULL, 5)").collect()
+    }
+    assert(count() == 2L && cat.currentVersion("t") == 1)
+    // UPDATE and MERGE are gated by the same write-pass guard
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "UPDATE t SET v = v - 100 WHERE id = 1").collect()
+    }
+    assert(CatalogSql.exec(spark, cat, "SELECT v FROM t WHERE id = 1")
+      .collect()(0).getLong(0) == 10L)
+    // ADD CHECK validates existing rows first
+    val e = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, "ALTER TABLE t ADD CHECK (v > 0)")
+    }
+    assert(e.getMessage.contains("violate"))
+    CatalogSql.exec(spark, cat, "ALTER TABLE t ADD CHECK (v < 1000)")
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (9, 5000)").collect()
+    }
+    // SHOW CREATE round-trips NOT NULL + CHECK into a working table
+    val ddl = CatalogSql.exec(spark, cat, "SHOW CREATE TABLE t")
+      .collect()(0).getString(0)
+    assert(ddl.contains("NOT NULL") && ddl.contains("CHECK"))
+    val cat2 = freshCat()
+    CatalogSql.exec(spark, cat2, ddl)
+    assert(!cat2.schema("t")("id").nullable)
+    assert(cat2.checks("t") == cat.checks("t"))
+  }
+
   test("EXPLAIN returns the formatted plan with pushed filters visible") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")
