@@ -264,6 +264,38 @@ object CatalogOps {
       x("SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang")
     },
 
+    // ---- SQL-text time travel: `t VERSION AS OF v` resolves to the
+    // manifest snapshot inside any relational statement — here both the
+    // v1 snapshot and the post-DML head aggregated in ONE query, with a
+    // version-over-version delta join. Oracle replays both states ----
+    Q(
+      "catalog_sql_time_travel",
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |head AS (SELECT * FROM v1 WHERE NOT (doc_id % 4 = 1)),
+        |a1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1 FROM v1 GROUP BY lang),
+        |a2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2 FROM head GROUP BY lang)
+        |SELECT a1.lang, a1.n1 AS n_v1, a2.n2 AS n_head,
+        |  CAST(a1.n1 - a2.n2 AS BIGINT) AS n_deleted
+        |FROM a1 JOIN a2 ON a1.lang = a2.lang ORDER BY a1.lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_tt AS
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("DELETE FROM docs_tt WHERE doc_id % 4 = 1") // v2
+      x("""SELECT a1.lang, a1.n1 AS n_v1, a2.n2 AS n_head,
+          |  CAST(a1.n1 - a2.n2 AS BIGINT) AS n_deleted
+          |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1
+          |      FROM docs_tt VERSION AS OF 1 GROUP BY lang) a1
+          |JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2
+          |      FROM docs_tt GROUP BY lang) a2 ON a1.lang = a2.lang
+          |ORDER BY a1.lang""".stripMargin)
+    },
+
     // ---- constraints: NOT NULL + CHECK declared in DDL, enforced INSIDE
     // the write pass (a when/raise_error guard in the projection — no
     // separate validation job). Violating inserts throw and commit

@@ -235,21 +235,29 @@ object Similarity {
     * training side is scanned once and never shuffled or self-joined —
     * the embedding-space analog of [[Dedup.minHashCrossPairs]].
     */
+  /** Exploded SRP block-key rows (id, vec, blk, key) — the 4-block
+    * bucketing shared by the self-join, cross-corpus, and streaming
+    * near-dup tiers (pair recall: near-identical vectors agree on at
+    * least one signature quarter with high probability).
+    */
+  private[graft] def srpBlockRows(df: DataFrame, id: String, vec: String,
+      dim: Int, bits: Int): DataFrame = {
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
+    val sig = Tables.fanOut(df).select(col(id), col(vec),
+      srpSignature(col(vec), dim, bits).as("__sig"))
+    val bs = (0 until 4).map { j =>
+      struct(lit(j).as("blk"),
+        shiftrightunsigned(col("__sig"), j * blockBits).bitwiseAND(lit(mask)).as("key"))
+    }
+    sig.select(col(id), col(vec), explode(array(bs: _*)).as("bk"))
+      .select(col(id), col(vec), col("bk.blk"), col("bk.key"))
+  }
+
   def srpCrossPairs(
       train: DataFrame, trainId: String, bench: DataFrame, benchId: String,
       vec: String, threshold: Double, dim: Int, bits: Int = 32): DataFrame = {
-    val blockBits = bits / 4
-    val mask = (1L << blockBits) - 1
-    def blocks(df: DataFrame, id: String) = {
-      val sig = Tables.fanOut(df).select(col(id), col(vec),
-        srpSignature(col(vec), dim, bits).as("__sig"))
-      val bs = (0 until 4).map { j =>
-        struct(lit(j).as("blk"),
-          shiftrightunsigned(col("__sig"), j * blockBits).bitwiseAND(lit(mask)).as("key"))
-      }
-      sig.select(col(id), col(vec), explode(array(bs: _*)).as("bk"))
-        .select(col(id), col(vec), col("bk.blk"), col("bk.key"))
-    }
+    def blocks(df: DataFrame, id: String) = srpBlockRows(df, id, vec, dim, bits)
     val b = blocks(bench, benchId).select(
       col(benchId).as("__b_id"), col(vec).as("__b_vec"), col("blk"), col("key"))
     val cand = blocks(train, trainId)

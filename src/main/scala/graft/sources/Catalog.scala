@@ -678,6 +678,41 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     commitVersion(name, "compact", added)
   }
 
+  /** [[compact]] with Z-ORDER clustering: rewrite the table's files
+    * range-partitioned and sorted by the Morton z-value of `zcols`, so
+    * each output file covers a compact hyper-rectangle of the clustered
+    * dimensions and multi-dimensional range predicates skip whole files /
+    * row groups through ordinary parquet min-max statistics (the
+    * `OPTIMIZE ... ZORDER BY` maintenance op of the mainstream lakehouse
+    * formats; see [[ZOrder]] for the interleave and the sidecar-pruned
+    * standalone-directory variant). Same COW discipline as [[compact]]:
+    * new manifest lists only the rewritten files, old fragments remain
+    * for time travel until vacuum.
+    */
+  def compactZOrder(name: String, zcols: Seq[String], targetFiles: Int = 8): Unit = {
+    if (manifest(name, currentVersion(name)).isEmpty) return
+    require(zcols.nonEmpty, "ZORDER BY needs at least one column")
+    val s = schema(name)
+    val phys = zcols.map { c =>
+      val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"z-order column $c not in schema of $name"))
+      physicalName(f)
+    }
+    val raw = rawData(name)
+    val aggs = phys.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val g = raw.agg(aggs.head, aggs.tail: _*).head()
+    val dims = phys.zipWithIndex.map { case (c, i) =>
+      (col(c), g.getDouble(2 * i), g.getDouble(2 * i + 1))
+    }
+    val added = stageIn(name, raw
+      .withColumn("__graft_z", ZOrder.zValue(dims))
+      .repartitionByRange(targetFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z"))
+    commitVersion(name, s"zorder(${zcols.mkString(",")})", added)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -87,6 +87,8 @@ object CatalogSql {
     """(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$""".r
   private val Optimize =
     """(?is)^OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s*$""".r
+  private val OptimizeZOrder =
+    """(?is)^OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s*$""".r
   private val History =
     """(?is)^DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
   private val Drop =
@@ -178,6 +180,7 @@ object CatalogSql {
           AddCheck(_, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
           Update(_, _, _) | Truncate(_) | Vacuum(_, _) | Optimize(_, _) |
+          OptimizeZOrder(_, _, _) |
           History(_) | ShowTables() | ShowCreate(_) | Describe(_) |
           Analyze(_) | ShowStats(_) | CreateView(_, _, _) | DropView(_) |
           CreateMView(_, _) | RefreshMView(_) | DropMView(_) |
@@ -219,12 +222,35 @@ object CatalogSql {
     // dropped): left unregistered, it errors only when referenced
   }
 
+  private val VersionAsOf = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+
+  /** Rewrite `<table> VERSION AS OF <v>` references to temp views over
+    * the requested manifest snapshot ([[Catalog.tableAt]]) — SQL-text time
+    * travel, the query-side companion of DESCRIBE HISTORY / RESTORE. Only
+    * names that ARE catalog tables rewrite; string literals are skipped
+    * (segments between single quotes are left untouched).
+    */
+  private def rewriteTimeTravel(cat: Catalog, sql: String): String =
+    sql.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg // inside a string literal
+      else VersionAsOf.replaceAllIn(seg, m => {
+        val (t, v) = (m.group(1), m.group(2).toInt)
+        scala.util.matching.Regex.quoteReplacement(
+          if (!cat.exists(t)) m.matched
+          else {
+            val alias = s"${t}__v$v"
+            cat.tableAt(t, v).createOrReplaceTempView(alias)
+            alias
+          })
+      })
+    }.mkString("'")
+
   /** Run the relational part of a statement through Spark SQL with the
-    * whole catalog (tables + views) visible.
+    * whole catalog (tables + views) visible and `VERSION AS OF` resolved.
     */
   private def subQuery(spark: SparkSession, cat: Catalog, sql: String): DataFrame = {
     registerAll(spark, cat)
-    spark.sql(sql)
+    spark.sql(rewriteTimeTravel(cat, sql))
   }
 
   private def status(spark: SparkSession, op: String, tbl: String, n: Long): DataFrame = {
@@ -279,6 +305,10 @@ object CatalogSql {
       case Vacuum(t, retain) =>
         cat.vacuum(t, Option(retain).map(_.toInt).getOrElse(1))
         status(spark, "vacuum", t, cat.versions(t).size.toLong)
+      case OptimizeZOrder(t, files, zcols) =>
+        cat.compactZOrder(t, zcols.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          Option(files).map(_.toInt).getOrElse(8))
+        status(spark, "optimize_zorder", t, 0L)
       case Optimize(t, files) =>
         cat.compact(t, Option(files).map(_.toInt).getOrElse(1))
         status(spark, "optimize", t, 0L)

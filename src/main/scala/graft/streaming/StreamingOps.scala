@@ -968,5 +968,102 @@ object StreamingOps {
         .withColumn("never_under", col("cms_est") >= col("n_exact"))
         .orderBy(col("n_exact").desc, col("token"))
     },
+
+    // ---- streaming embedding near-dup: vectors arrive in four
+    // micro-batches; each batch finds its within-batch SRP pairs AND
+    // probes the PERSISTED block index of everything already arrived
+    // (exact-cosine verified), then appends its own block rows and the
+    // found pairs to catalog tables. State is a versioned parquet index
+    // on disk — NOT in-memory stream state — so per-batch probe cost is
+    // batch-linear and total state is corpus-sized storage, the same
+    // discipline as the persisted MinHash index. A pair is found exactly
+    // once (when its LATER vector arrives), so the union over batches
+    // equals the batch self-join EXACTLY — same oracle as
+    // dedup_embedding_srp ----
+    Q("stream_dedup_embedding",
+      graft.operators.Similarity.srpOracleSql(0.4, 64, 32)) { (s, d) =>
+      streamSrpDedup(s, graft.Tables.embeddings(s, d),
+        threshold = 0.4, dim = 64)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
+        .orderBy("vec_a", "vec_b")
+    },
   )
+
+  /** Streaming SRP near-dup core (see the `stream_dedup_embedding`
+    * registration comment): feed `emb` in four mod-4 micro-batches; each
+    * batch finds within-batch pairs and probes the persisted block index
+    * of everything already arrived. Returns the full (vec_a, vec_b, sim)
+    * pair table — equal to the batch self-join by construction.
+    */
+  private[graft] def streamSrpDedup(s: SparkSession, emb: DataFrame,
+      threshold: Double, dim: Int): DataFrame = {
+    import graft.operators.Similarity
+    val cat = new graft.sources.Catalog(
+      s, graft.operators.CatalogOps.tempWarehouse())
+    // normalize to nullable element types: the stream source reads parquet
+    // arrays as containsNull=true, and a cast to a non-null-element array
+    // is not allowed — the declared schema must be the permissive form
+    def asNullable(dt: DataType): DataType = dt match {
+      case ArrayType(e, _) => ArrayType(asNullable(e), containsNull = true)
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case other => other
+    }
+    cat.create("emb_idx", asNullable(
+      Similarity.srpBlockRows(emb.limit(1), "vec_id", "embedding", dim, 32).schema)
+      .asInstanceOf[StructType])
+    cat.create("emb_pairs", StructType(Seq(
+      StructField("vec_a", LongType), StructField("vec_b", LongType),
+      StructField("sim", DoubleType))))
+    val work = java.nio.file.Files.createTempDirectory("graft_semb_")
+    try {
+      val feed = java.nio.file.Files.createDirectory(work.resolve("feed"))
+      (0 until 4).foreach { k =>
+        val tmp = work.resolve(s"w$k")
+        emb.filter(col("vec_id") % 4 === k)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+        val dst = feed.resolve(s"b$k.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+        deleteRecursively(tmp)
+      }
+      val session = s.newSession()
+      session.conf.set("spark.sql.shuffle.partitions", "4")
+      val query = session.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val blocks = Similarity
+            .srpBlockRows(df, "vec_id", "embedding", dim, 32)
+            .localCheckpoint(true) // consumed by probe AND index insert
+          val probe = blocks.select(col("vec_id").as("__b_id"),
+            col("embedding").as("__b_vec"), col("blk"), col("key"))
+          val cross = cat.table("emb_idx")
+            .join(broadcast(probe), Seq("blk", "key"))
+            .select(col("vec_id").as("__i_id"), col("embedding").as("__i_vec"),
+              col("__b_id"), col("__b_vec"))
+            .distinct()
+            .withColumn("sim",
+              graft.functions.VectorFunctions.cosine(col("__i_vec"), col("__b_vec")))
+            .filter(col("sim") >= threshold)
+            .select(least(col("__i_id"), col("__b_id")).as("vec_a"),
+              greatest(col("__i_id"), col("__b_id")).as("vec_b"), col("sim"))
+          val within = Similarity
+            .srpNearDupPairs(df, "vec_id", "embedding", threshold, dim = dim)
+          cat.insert("emb_pairs", cross.unionByName(within))
+          cat.insert("emb_idx", blocks)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally deleteRecursively(work)
+    cat.table("emb_pairs")
+  }
 }

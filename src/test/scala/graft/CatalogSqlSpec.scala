@@ -391,6 +391,29 @@ class CatalogSqlSpec extends SparkSpec {
     assert(!cat.exists("m") && !cat.materializedViewExists("m"))
   }
 
+  test("VERSION AS OF resolves snapshots; literals untouched; bad version loud") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1), (2), (3)") // v1
+    CatalogSql.exec(spark, cat, "DELETE FROM t WHERE id = 3")         // v2
+    def n(q: String) = CatalogSql.exec(spark, cat, q).collect()(0).getLong(0)
+    assert(n("SELECT COUNT(*) AS n FROM t") == 2L)
+    assert(n("SELECT COUNT(*) AS n FROM t VERSION AS OF 1") == 3L)
+    assert(n("SELECT COUNT(*) AS n FROM t VERSION AS OF 0") == 0L) // empty create
+    // inside a string literal the phrase is data, not syntax
+    val lit = CatalogSql.exec(spark, cat,
+      "SELECT 't VERSION AS OF 1' AS s").collect()(0).getString(0)
+    assert(lit == "t VERSION AS OF 1")
+    // a non-catalog name is left for Spark to resolve (and fail) normally
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "SELECT * FROM nope VERSION AS OF 1").collect()
+    }
+    // an unknown version fails loud
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "SELECT COUNT(*) AS n FROM t VERSION AS OF 9").collect()
+    }
+  }
+
   test("constraints: NOT NULL and CHECK gate every write path") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat,
@@ -429,6 +452,33 @@ class CatalogSqlSpec extends SparkSpec {
     CatalogSql.exec(spark, cat2, ddl)
     assert(!cat2.schema("t")("id").nullable)
     assert(cat2.checks("t") == cat.checks("t"))
+  }
+
+  test("OPTIMIZE ZORDER BY reclusters files into compact rectangles, data intact") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (a BIGINT, b BIGINT)")
+    // 32x32 grid in ROW-MAJOR order: without z-ordering every file of a
+    // 4-way split spans the full a-range
+    CatalogSql.exec(spark, cat,
+      """INSERT INTO t SELECT CAST(x % 32 AS BIGINT), CAST(x DIV 32 AS BIGINT)
+        |FROM (SELECT explode(sequence(0, 1023)) AS x)""".stripMargin)
+    val before = CatalogSql.exec(spark, cat,
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(a*32+b) AS BIGINT) AS s FROM t")
+      .collect()(0)
+    CatalogSql.exec(spark, cat, "OPTIMIZE t FILES 4 ZORDER BY (a, b)")
+    val after = CatalogSql.exec(spark, cat,
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(a*32+b) AS BIGINT) AS s FROM t")
+      .collect()(0)
+    assert(before == after) // recluster must not change the data
+    assert(cat.history("t").last._2.startsWith("zorder(a,b)"))
+    // each of the 4 z-clustered files covers ~a quadrant of the grid, not
+    // the full range a row-major split would give
+    val areas = cat.table("t")
+      .groupBy(input_file_name().as("f"))
+      .agg(((max("a") - min("a")) * (max("b") - min("b"))).as("area"))
+      .collect().map(_.getLong(1))
+    assert(areas.length == 4)
+    assert(areas.max <= 500, s"file areas ${areas.toSeq} — not z-clustered (global 961)")
   }
 
   test("EXPLAIN returns the formatted plan with pushed filters visible") {

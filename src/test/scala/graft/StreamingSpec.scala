@@ -270,4 +270,37 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count() === batch.count())
     } finally streamed.unpersist()
   }
+
+  test("streaming SRP dedup == batch tier, with planted cross-batch pairs") {
+    import spark.implicits._
+    // deterministic base vectors; ids 1 and 6 share one (1%4=1 vs 6%4=2 —
+    // found only via the CROSS-batch index probe), ids 2 and 14 share
+    // another (both mod 2 — found via the within-batch self-join)
+    def vec(seed: Long): Array[Float] = {
+      var s = seed
+      Array.fill(64) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        (s % 1000) / 1000.0f
+      }
+    }
+    val shared1 = vec(101); val shared2 = vec(202)
+    val rows = (1L to 16L).map { id =>
+      val v = id match {
+        case 1L | 6L => shared1
+        case 2L | 14L => shared2
+        case _ => vec(id * 7919L)
+      }
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val batch = graft.operators.Similarity
+      .srpNearDupPairs(emb, "vec_id", "embedding", 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = graft.streaming.StreamingOps
+      .streamSrpDedup(spark, emb, threshold = 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 6L)), "cross-batch probe path must fire")
+    assert(streamed.contains((2L, 14L)), "within-batch path must fire")
+  }
 }
