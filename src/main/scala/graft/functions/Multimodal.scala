@@ -205,6 +205,34 @@ object Multimodal {
     }(enc)
   }
 
+  /** A TRIMMED re-encode of [[encodeVideo]]'s id: the same container with
+    * the first frame cut (frames 1..n−1, bytes bit-identical to the
+    * original's) — the classic near-duplicate video shape (trimmed /
+    * re-uploaded copies share most frames with the original).
+    */
+  def encodeVideoTrimmed(id: Long): Array[Byte] = {
+    val nFrames = (2 + id % 3).toInt
+    val frames = (1 until nFrames).map(f => encodeBmpBase(id + 7L * f, id))
+    val total = 8 + frames.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(nFrames - 1)
+    frames.foreach { fr => bb.putInt(fr.length); bb.put(fr) }
+    bb.array()
+  }
+
+  /** Synthesize trimmed-copy videos: each id maps to `id + offset`
+    * carrying [[encodeVideoTrimmed]]'s payload.
+    */
+  def trimmedVideosFromIds(df: DataFrame, idCol: String, offset: Long): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(binaryMediaSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map(r =>
+        Row(r.getLong(0) + offset, "video", encodeVideoTrimmed(r.getLong(0))))
+    }(enc)
+  }
+
   /** Batched frame sampling + per-frame decode: one output row per
     * sampled frame — the 1-to-N `mapPartitions` shape a real frame
     * extractor (ffmpeg behind JNI) would use.

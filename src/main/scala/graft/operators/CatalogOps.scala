@@ -264,6 +264,34 @@ object CatalogOps {
       x("SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang")
     },
 
+    // ---- COPY TO / COPY INTO as text: export a catalog table to CSV and
+    // re-ingest it into a second table — the full interchange cycle driven
+    // by SQL alone. The md5-top-60 text fingerprint proves the text column
+    // survived the encode/parse cycle byte-exactly ----
+    Q(
+      "catalog_sql_copy",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS text_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_exp AS
+          |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x(s"COPY docs_exp TO '$wh/exported_csv' FORMAT csv")
+      x("""CREATE TABLE docs_imp (
+          |  doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT)""".stripMargin)
+      x(s"COPY INTO docs_imp FROM '$wh/exported_csv' FORMAT csv")
+      x("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(SUM(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 1000003) AS BIGINT) AS text_fp
+          |FROM docs_imp GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     // ---- SQL-text time travel: `t VERSION AS OF v` resolves to the
     // manifest snapshot inside any relational statement — here both the
     // v1 snapshot and the post-DML head aggregated in ONE query, with a

@@ -705,6 +705,65 @@ object TextOps {
         .orderBy("media_id", "frame_idx")
     },
 
+    // ---- near-duplicate VIDEO detection by frame fingerprints: every
+    // frame decodes to a perceptual-hash stand-in (width, height,
+    // sample_sum — an aHash-like content digest), videos sharing ≥1
+    // fingerprint pair up via a FINGERPRINT-BUCKET join (never all-pairs;
+    // hot fingerprints shared by >16 videos are dropped, the media analog
+    // of the PPJoin df-cap). The corpus plants trimmed re-uploads (first
+    // frame cut, id+10⁷) — the classic copied-video shape — and the
+    // oracle replays synthesis + fingerprint + cap + pairing closed-form.
+    // At 100 TB: payload bytes never leave the decode stage (only the
+    // fixed-width fingerprints shuffle), pair cost is bucket-bounded ----
+    Q(
+      "media_video_neardup",
+      """WITH v AS (
+        |  SELECT doc_id AS vid, doc_id AS base, 2 + doc_id % 3 AS nf,
+        |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, 0 AS fstart
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 2 + doc_id % 3,
+        |         4 + doc_id % 5, 3 + doc_id % 4, 1
+        |  FROM documents WHERE doc_id % 17 = 1),
+        |f AS (SELECT vid, base, w, h,
+        |        unnest(generate_series(fstart, nf - 1)) AS frame FROM v),
+        |fp AS (SELECT DISTINCT vid, w, h,
+        |  list_sum(list_transform(generate_series(0, w * h * 3 - 1),
+        |    i -> (base + 7 * frame + 3 * ((i // 3) % w) + 5 * (i // (3 * w)) + 11 * (i % 3)) % 256)) AS s
+        |  FROM f),
+        |pop AS (SELECT w, h, s FROM fp GROUP BY 1, 2, 3 HAVING COUNT(*) <= 16),
+        |fc AS (SELECT fp.vid, fp.w, fp.h, fp.s FROM fp JOIN pop USING (w, h, s)),
+        |p AS (SELECT a.vid AS va, b.vid AS vb, COUNT(*) AS ns
+        |      FROM fc a JOIN fc b
+        |        ON a.w = b.w AND a.h = b.h AND a.s = b.s AND a.vid < b.vid
+        |      GROUP BY 1, 2)
+        |SELECT va AS vid_a, vb AS vid_b, CAST(ns AS BIGINT) AS n_shared
+        |FROM p ORDER BY vid_a, vid_b""".stripMargin,
+    ) { (s, d) =>
+      import graft.functions.Multimodal
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.videoFromIds(docs, "doc_id").unionByName(
+        Multimodal.trimmedVideosFromIds(
+          docs.filter(col("doc_id") % 17 === 1), "doc_id", offset = 10000000L))
+      val fp = Multimodal.frameSample(media, stride = 1)
+        .select(col("media_id"), col("width"), col("height"), col("sample_sum"))
+        .distinct()
+      // df-cap: fingerprints shared by more than 16 videos are too common
+      // to be evidence of copying (and would pair quadratically)
+      val keep = fp.groupBy("width", "height", "sample_sum")
+        .agg(count(lit(1)).as("__nb")).filter(col("__nb") <= 16)
+        .drop("__nb")
+      val capped = fp.join(keep, Seq("width", "height", "sample_sum"))
+      capped.as("a").join(capped.as("b"),
+          col("a.width") === col("b.width") &&
+            col("a.height") === col("b.height") &&
+            col("a.sample_sum") === col("b.sample_sum") &&
+            col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("vid_a"), col("b.media_id").as("vid_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .orderBy("vid_a", "vid_b")
+    },
+
     // ---- URL host extraction + per-domain profile: the crawl-curation
     // primitive (C4/CCNet aggregate and gate by registered domain). The
     // fixture carries no URLs, so each doc gets a deterministic one

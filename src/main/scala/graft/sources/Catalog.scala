@@ -629,7 +629,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * json_decoder)`): schema-directed parse, optional row preprocess.
     */
   def insertJson(name: String, path: String,
-      preprocess: DataFrame => DataFrame = identity): Unit = {
+      preprocess: DataFrame => DataFrame = identity): Long = {
     val raw = spark.read.schema(schema(name)).json(path)
     insert(name, preprocess(raw))
   }
@@ -642,7 +642,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def insertCsv(name: String, path: String,
       options: Map[String, String] = Map("header" -> "true", "escape" -> "\""),
-      preprocess: DataFrame => DataFrame = identity): Unit = {
+      preprocess: DataFrame => DataFrame = identity): Long = {
     val raw = spark.read.options(options).schema(schema(name)).csv(path)
     insert(name, preprocess(raw))
   }
@@ -653,7 +653,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * catalog stays parquet; this is the ingest decoder, not a storage mode.
     */
   def insertOrc(name: String, path: String,
-      preprocess: DataFrame => DataFrame = identity): Unit = {
+      preprocess: DataFrame => DataFrame = identity): Long = {
     val raw = spark.read.schema(schema(name)).orc(path)
     insert(name, preprocess(raw))
   }

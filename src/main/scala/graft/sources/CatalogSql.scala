@@ -116,6 +116,10 @@ object CatalogSql {
     """(?is)^DROP\s+VIEW\s+(\w+)\s*$""".r
   private val Explain =
     """(?is)^EXPLAIN\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$""".r
+  private val CopyInto =
+    """(?is)^COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*$""".r
+  private val CopyTo =
+    """(?is)^COPY\s+(\w+)\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*$""".r
 
   /** Split on `sep` at paren/quote depth 0 — SET lists whose expressions
     * contain function calls or string literals must not split inside them.
@@ -184,6 +188,7 @@ object CatalogSql {
           History(_) | ShowTables() | ShowCreate(_) | Describe(_) |
           Analyze(_) | ShowStats(_) | CreateView(_, _, _) | DropView(_) |
           CreateMView(_, _) | RefreshMView(_) | DropMView(_) |
+          CopyInto(_, _, _) | CopyTo(_, _, _) |
           Explain(_) => true
       case _ => false
     }
@@ -433,6 +438,40 @@ object CatalogSql {
         cat.dropView(v)
         spark.catalog.dropTempView(v)
         status(spark, "drop_view", v, 0L)
+      case CopyInto(t, path, fmt) =>
+        val n = Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
+          case "csv" => cat.insertCsv(t, path)
+          case "json" => cat.insertJson(t, path)
+          case "orc" => cat.insertOrc(t, path)
+          case "parquet" =>
+            cat.insert(t, spark.read.schema(cat.schema(t)).parquet(path))
+          case other => throw new IllegalArgumentException(
+            s"COPY INTO format must be csv/json/orc/parquet, got $other")
+        }
+        status(spark, "copy_into", t, n)
+      case CopyTo(t, path, fmt) =>
+        val df = cat.table(t)
+        val n = Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
+          case "csv" =>
+            df.write.mode("overwrite")
+              .option("header", "true").option("escape", "\"").csv(path)
+            // export audit: count what actually landed, read back with the
+            // declared schema (not what the source query claimed)
+            spark.read.options(Map("header" -> "true", "escape" -> "\""))
+              .schema(df.schema).csv(path).count()
+          case "json" =>
+            df.write.mode("overwrite").json(path)
+            spark.read.schema(df.schema).json(path).count()
+          case "orc" =>
+            df.write.mode("overwrite").orc(path)
+            spark.read.orc(path).count()
+          case "parquet" =>
+            df.write.mode("overwrite").parquet(path)
+            spark.read.parquet(path).count()
+          case other => throw new IllegalArgumentException(
+            s"COPY TO format must be csv/json/orc/parquet, got $other")
+        }
+        status(spark, "copy_to", t, n)
       case Explain(q) =>
         import spark.implicits._
         Seq(subQuery(spark, cat, q).queryExecution.explainString(

@@ -481,6 +481,27 @@ class CatalogSqlSpec extends SparkSpec {
     assert(areas.max <= 500, s"file areas ${areas.toSeq} — not z-clustered (global 961)")
   }
 
+  test("COPY TO / COPY INTO round-trip parquet and validate formats") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v STRING)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    val out = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    val exp = CatalogSql.exec(spark, cat, s"COPY t TO '$out/p' FORMAT parquet")
+      .collect()(0)
+    assert(exp.getString(0) == "copy_to" && exp.getLong(2) == 2L)
+    CatalogSql.exec(spark, cat, "CREATE TABLE u (id BIGINT, v STRING)")
+    val imp = CatalogSql.exec(spark, cat, s"COPY INTO u FROM '$out/p'") // parquet default
+      .collect()(0)
+    assert(imp.getString(0) == "copy_into" && imp.getLong(2) == 2L)
+    val rows = CatalogSql.exec(spark, cat, "SELECT id, v FROM u ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+    val e = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat, s"COPY t TO '$out/x' FORMAT avro")
+    }
+    assert(e.getMessage.contains("format"))
+  }
+
   test("EXPLAIN returns the formatted plan with pushed filters visible") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")

@@ -600,4 +600,36 @@ class FunctionsSpec extends SparkSpec {
     assert(cat.table("mh_idx_bands").count() > 0L)
     assert(cat.table("mh_idx_arr").count() > 0L)
   }
+
+  test("encodeVideoTrimmed shares the original's frames 1..n-1 byte-exactly") {
+    for (id <- Seq(1L, 18L, 35L, 100L)) {
+      val orig = Multimodal.sampleFrames(Multimodal.encodeVideo(id), 1)
+      val trim = Multimodal.sampleFrames(Multimodal.encodeVideoTrimmed(id), 1)
+      assert(trim.size == orig.size - 1)
+      trim.map(_._2).zip(orig.drop(1).map(_._2)).foreach { case (t, o) =>
+        assert(java.util.Arrays.equals(t, o))
+      }
+    }
+  }
+
+  test("video near-dup finds the planted trimmed copies with n_shared = nf-1") {
+    import spark.implicits._
+    // ids 1 and 18 are % 17 == 1 → trimmed copies planted at id + 10^7
+    val docs = Seq(1L, 5L, 18L, 30L).toDF("doc_id")
+    val media = Multimodal.videoFromIds(docs, "doc_id").unionByName(
+      Multimodal.trimmedVideosFromIds(
+        docs.filter($"doc_id" % 17 === 1), "doc_id", offset = 10000000L))
+    val fp = Multimodal.frameSample(media, 1)
+      .select($"media_id", $"width", $"height", $"sample_sum").distinct()
+    val pairs = fp.as("a").join(fp.as("b"),
+        $"a.width" === $"b.width" && $"a.height" === $"b.height" &&
+          $"a.sample_sum" === $"b.sample_sum" && $"a.media_id" < $"b.media_id")
+      .groupBy($"a.media_id".as("vid_a"), $"b.media_id".as("vid_b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // nf(1) = 2 + 1%3 = 3 → copy shares 2 frames; nf(18) = 2 → shares 1
+    assert(pairs((1L, 10000001L)) == 2L)
+    assert(pairs((18L, 10000018L)) == 1L)
+  }
 }
