@@ -264,6 +264,46 @@ object CatalogOps {
       x("SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang")
     },
 
+    // ---- persisted SQL functions: CREATE FUNCTION stores the definition
+    // text; Spark's native SQL-UDF registration analyzes and INLINES the
+    // body at call sites (no interpreted UDF boundary — stays inside
+    // whole-stage codegen). A scalar quality score and a bucketing
+    // function compose in one query; the oracle inlines both bodies ----
+    Q(
+      "catalog_sql_udf",
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |        CAST(n_chars * 1000 // (n_tokens + 1) AS BIGINT) AS density,
+        |        CASE WHEN n_chars < 200 THEN 'short'
+        |             WHEN n_chars < 1000 THEN 'medium' ELSE 'long' END AS bucket
+        |      FROM t)
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(density) AS BIGINT) AS total_density
+        |FROM s GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE FUNCTION toks(t STRING) RETURNS BIGINT
+          |RETURN CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT)""".stripMargin)
+      x("""CREATE FUNCTION density(c BIGINT, tk BIGINT) RETURNS BIGINT
+          |RETURN c * 1000 DIV (tk + 1)""".stripMargin)
+      x("""CREATE FUNCTION len_bucket(c BIGINT) RETURNS STRING
+          |RETURN CASE WHEN c < 200 THEN 'short'
+          |            WHEN c < 1000 THEN 'medium' ELSE 'long' END""".stripMargin)
+      x("""CREATE TABLE docs_fn AS
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+          |FROM documents""".stripMargin)
+      x("""SELECT lang, len_bucket(n_chars) AS bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(density(n_chars, toks(text))) AS BIGINT) AS total_density
+          |FROM docs_fn GROUP BY lang, len_bucket(n_chars)
+          |ORDER BY lang, bucket""".stripMargin)
+    },
+
     // ---- COPY TO / COPY INTO as text: export a catalog table to CSV and
     // re-ingest it into a second table — the full interchange cycle driven
     // by SQL alone. The md5-top-60 text fingerprint proves the text column

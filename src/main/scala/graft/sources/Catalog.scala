@@ -264,6 +264,41 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Files.delete(viewPath(name))
   }
 
+  // ------------------------------------------------------------- functions
+
+  private def fnPath(name: String) = viewsDir.resolve(s"$name.fnsql")
+
+  /** Persist a SQL function definition (the text after `CREATE FUNCTION
+    * <name>` — parameter list, RETURNS clause, RETURN body). Spark's
+    * native SQL UDFs analyze and INLINE the body into the calling plan
+    * (scalar and TABLE functions both), so persisted functions stay
+    * whole-stage-codegen-friendly — no interpreted UDF boundary. Like
+    * views, the stored artifact is TEXT re-registered against the session
+    * per statement.
+    */
+  def defineFunction(name: String, defText: String, orReplace: Boolean = false): Unit = {
+    require(orReplace || !functionExists(name), s"function $name already exists")
+    Files.createDirectories(viewsDir)
+    Files.writeString(fnPath(name), defText)
+  }
+
+  def functionExists(name: String): Boolean = Files.exists(fnPath(name))
+
+  def functions(): Seq[String] =
+    if (!Files.exists(viewsDir)) Seq.empty
+    else listDir(viewsDir).map(_.getFileName.toString)
+      .filter(_.endsWith(".fnsql")).map(_.stripSuffix(".fnsql")).sorted
+
+  def functionSql(name: String): String = {
+    require(functionExists(name), s"function $name does not exist")
+    Files.readString(fnPath(name))
+  }
+
+  def dropFunction(name: String): Unit = {
+    require(functionExists(name), s"function $name does not exist")
+    Files.delete(fnPath(name))
+  }
+
   // ------------------------------------------------------ materialized views
 
   private def mviewPath(name: String) = viewsDir.resolve(s"$name.msql")

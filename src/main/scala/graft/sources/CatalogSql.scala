@@ -116,6 +116,12 @@ object CatalogSql {
     """(?is)^DROP\s+VIEW\s+(\w+)\s*$""".r
   private val Explain =
     """(?is)^EXPLAIN\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$""".r
+  private val CreateFunction =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*(\(.*)$""".r
+  private val DropFunction =
+    """(?is)^DROP\s+FUNCTION\s+(\w+)\s*$""".r
+  private val ShowFunctions =
+    """(?is)^SHOW\s+FUNCTIONS\s*$""".r
   private val CopyInto =
     """(?is)^COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*$""".r
   private val CopyTo =
@@ -189,6 +195,7 @@ object CatalogSql {
           Analyze(_) | ShowStats(_) | CreateView(_, _, _) | DropView(_) |
           CreateMView(_, _) | RefreshMView(_) | DropMView(_) |
           CopyInto(_, _, _) | CopyTo(_, _, _) |
+          CreateFunction(_, _, _) | DropFunction(_) | ShowFunctions() |
           Explain(_) => true
       case _ => false
     }
@@ -204,6 +211,13 @@ object CatalogSql {
     * engine, instead of poisoning every other statement.
     */
   private[graft] def registerAll(spark: SparkSession, cat: Catalog): Unit = {
+    // functions first: views (and any statement) may call them. Native SQL
+    // UDF registration analyzes AND inlines the body at call sites, so
+    // persisted functions stay inside whole-stage codegen.
+    cat.functions().foreach { f =>
+      try spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f ${cat.functionSql(f)}")
+      catch { case _: Exception => () } // invalid defs error when referenced
+    }
     cat.tables().foreach(n => cat.table(n).createOrReplaceTempView(n))
     // drop every catalog view's temp view FIRST: a temp view snapshots its
     // analyzed plan, so a view-on-view registered this round must not bind
@@ -438,6 +452,22 @@ object CatalogSql {
         cat.dropView(v)
         spark.catalog.dropTempView(v)
         status(spark, "drop_view", v, 0L)
+      case CreateFunction(orReplace, f, defText) =>
+        require(orReplace != null || !cat.functionExists(f),
+          s"function $f already exists")
+        // validate NOW: the native registration parses and analyzes the
+        // parameter list, RETURNS clause and body before anything persists
+        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f ${defText.trim}")
+        cat.defineFunction(f, defText.trim, orReplace = true)
+        status(spark, "create_function", f, 0L)
+      case DropFunction(f) =>
+        cat.dropFunction(f)
+        spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $f")
+        status(spark, "drop_function", f, 0L)
+      case ShowFunctions() =>
+        import spark.implicits._
+        cat.functions().map(f => (f, cat.functionSql(f)))
+          .toDF("name", "definition")
       case CopyInto(t, path, fmt) =>
         val n = Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
           case "csv" => cat.insertCsv(t, path)

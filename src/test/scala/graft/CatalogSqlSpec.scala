@@ -481,6 +481,42 @@ class CatalogSqlSpec extends SparkSpec {
     assert(areas.max <= 500, s"file areas ${areas.toSeq} — not z-clustered (global 961)")
   }
 
+  test("persisted SQL functions: scalar + table, persistence, guards") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat,
+      "CREATE FUNCTION dbl(x BIGINT) RETURNS BIGINT RETURN x * 2")
+    assert(CatalogSql.exec(spark, cat, "SELECT dbl(21) AS v")
+      .collect()(0).getLong(0) == 42L)
+    // table-valued function, usable in FROM
+    CatalogSql.exec(spark, cat,
+      "CREATE FUNCTION upto(n INT) RETURNS TABLE (x INT) RETURN SELECT explode(sequence(1, n))")
+    assert(CatalogSql.exec(spark, cat, "SELECT SUM(x) AS s FROM upto(4)")
+      .collect()(0).getLong(0) == 10L)
+    // persisted: a fresh router session (temp registry wiped) still resolves
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS dbl")
+    assert(CatalogSql.exec(spark, cat, "SELECT dbl(5) AS v")
+      .collect()(0).getLong(0) == 10L)
+    // plain CREATE on an existing name fails; OR REPLACE swaps the body
+    intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat,
+        "CREATE FUNCTION dbl(x BIGINT) RETURNS BIGINT RETURN x * 3")
+    }
+    CatalogSql.exec(spark, cat,
+      "CREATE OR REPLACE FUNCTION dbl(x BIGINT) RETURNS BIGINT RETURN x * 3")
+    assert(CatalogSql.exec(spark, cat, "SELECT dbl(5) AS v")
+      .collect()(0).getLong(0) == 15L)
+    // invalid body rejected AT CREATION, nothing persisted
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat,
+        "CREATE FUNCTION broken(x INT) RETURNS INT RETURN no_such_col + 1")
+    }
+    assert(!cat.functionExists("broken"))
+    assert(CatalogSql.exec(spark, cat, "SHOW FUNCTIONS")
+      .collect().map(_.getString(0)).toSet == Set("dbl", "upto"))
+    CatalogSql.exec(spark, cat, "DROP FUNCTION upto")
+    assert(!cat.functionExists("upto"))
+  }
+
   test("COPY TO / COPY INTO round-trip parquet and validate formats") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v STRING)")
