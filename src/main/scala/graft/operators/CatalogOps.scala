@@ -264,6 +264,49 @@ object CatalogOps {
       x("SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang")
     },
 
+    // ---- MERGE WITH SCHEMA EVOLUTION: source-only columns become new
+    // nullable target columns (metadata-only ALTER, no backfill) before
+    // the upsert — the Delta-style evolving-upsert shape. Pre-merge rows
+    // read NULL for the new column; the oracle replays both sides ----
+    Q(
+      "catalog_sql_merge_evolve",
+      """WITH base AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |upd AS (
+        |  SELECT doc_id, lang, CAST(n_chars + 100 AS BIGINT) AS n_chars,
+        |         CAST(doc_id % 7 AS BIGINT) AS score
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |m AS (
+        |  SELECT u.doc_id, u.lang, u.n_chars, u.score FROM upd u
+        |  UNION ALL
+        |  SELECT b.doc_id, b.lang, b.n_chars, CAST(NULL AS BIGINT)
+        |  FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(COALESCE(score, -1)) AS BIGINT) AS score_sum
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_me AS
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("""MERGE WITH SCHEMA EVOLUTION INTO docs_me AS t USING (
+          |  SELECT doc_id, lang, CAST(n_chars + 100 AS BIGINT) AS n_chars,
+          |         CAST(doc_id % 7 AS BIGINT) AS score
+          |  FROM documents WHERE doc_id % 3 = 0) s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      x("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(SUM(COALESCE(score, -1)) AS BIGINT) AS score_sum
+          |FROM docs_me GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     // ---- persisted SQL functions: CREATE FUNCTION stores the definition
     // text; Spark's native SQL-UDF registration analyzes and INLINES the
     // body at call sites (no interpreted UDF boundary — stays inside

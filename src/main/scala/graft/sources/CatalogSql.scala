@@ -40,7 +40,7 @@ object CatalogSql {
   private val Delete =
     """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$""".r
   private val Merge =
-    ("""(?is)^MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+\((.*)\)(?:\s+AS)?\s+(\w+)""" +
+    ("""(?is)^MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+\((.*)\)(?:\s+AS)?\s+(\w+)""" +
       """\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""" +
       """\s+(WHEN\s+.+)$""").r
   // one WHEN clause each; lazy (.+?) for the AND condition backs off until
@@ -186,7 +186,7 @@ object CatalogSql {
     val stmt = statement.trim.stripSuffix(";").trim
     stmt match {
       case CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
-          Merge(_, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
+          Merge(_, _, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
           AddCheck(_, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
           Update(_, _, _) | Truncate(_) | Vacuum(_, _) | Optimize(_, _) |
@@ -335,7 +335,16 @@ object CatalogSql {
         import spark.implicits._
         cat.history(t)
           .toDF("version", "operation", "n_files")
-      case Merge(t, tAlias, sel, sAlias, lq, lk, rq, rk, clauseTail) =>
+      case Merge(evolve, t, tAlias, sel, sAlias, lq, lk, rq, rk, clauseTail) =>
+        if (evolve != null) {
+          // WITH SCHEMA EVOLUTION: source-only columns become new nullable
+          // target columns (metadata-only ALTER, no backfill) before the
+          // merge aligns the source — the Delta-style evolving-upsert shape
+          val srcSchema = subQuery(spark, cat, sel).schema
+          val have = cat.schema(t).fieldNames.map(_.toLowerCase).toSet
+          srcSchema.fields.filterNot(f => have(f.name.toLowerCase))
+            .foreach(f => cat.addColumn(t, f.name, f.dataType, "NULL"))
+        }
         val ta = Option(tAlias).getOrElse(t)
         val (tk, sk) = (ta, sAlias) match {
           case (a, b) if lq.equalsIgnoreCase(a) && rq.equalsIgnoreCase(b) => (lk, rk)

@@ -481,6 +481,32 @@ class CatalogSqlSpec extends SparkSpec {
     assert(areas.max <= 500, s"file areas ${areas.toSeq} — not z-clustered (global 961)")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; plain MERGE drops them") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO t VALUES (1, 10), (2, 20)")
+    // plain MERGE: extra source column is dropped by schema alignment
+    CatalogSql.exec(spark, cat,
+      """MERGE INTO t USING (SELECT CAST(2 AS BIGINT) AS id,
+        |CAST(99 AS BIGINT) AS v, CAST(7 AS BIGINT) AS extra) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(cat.schema("t").fieldNames.toSeq == Seq("id", "v"))
+    // WITH SCHEMA EVOLUTION: the column lands, old rows read NULL
+    CatalogSql.exec(spark, cat,
+      """MERGE WITH SCHEMA EVOLUTION INTO t USING (
+        |SELECT CAST(3 AS BIGINT) AS id, CAST(30 AS BIGINT) AS v,
+        |CAST(7 AS BIGINT) AS extra) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(cat.schema("t").fieldNames.toSeq == Seq("id", "v", "extra"))
+    val rows = CatalogSql.exec(spark, cat,
+      "SELECT id, v, extra FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 10L, -1L), (2L, 99L, -1L), (3L, 30L, 7L)))
+  }
+
   test("persisted SQL functions: scalar + table, persistence, guards") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat,
