@@ -230,5 +230,57 @@ object DataQuality {
           (col("violations") === 0).as("pass"))
         .orderBy("check_name")
     },
+
+    // ---- k-anonymity release gate: rows whose quasi-identifier group
+    // (lang, source, length bucket) has fewer than k=5 members are
+    // SUPPRESSED before release — the standard re-identification guard a
+    // governed training-data export runs after PII redaction (a rare
+    // combination of quasi-identifiers IS an identifier). One window pass
+    // (single shuffle on the quasi key, no join); the l-diversity variant
+    // additionally requires >= 2 distinct sources per released (lang,
+    // bucket) slice. Oracle replays both gates relationally ----
+    Q(
+      "dq_k_anonymity",
+      """WITH t AS (
+        |  SELECT lang, source, CAST(n_chars // 500 AS BIGINT) AS len_bucket
+        |  FROM documents),
+        |g AS (SELECT t.*, COUNT(*) OVER (PARTITION BY lang, source, len_bucket) AS gsz
+        |      FROM t),
+        |kept AS (SELECT * FROM g WHERE gsz >= 5),
+        |ld AS (SELECT lang, len_bucket,
+        |         COUNT(DISTINCT source) AS n_sources,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows
+        |       FROM kept GROUP BY 1, 2)
+        |SELECT lang, len_bucket, n_rows,
+        |  CAST(n_sources AS BIGINT) AS n_sources,
+        |  n_sources >= 2 AS diverse
+        |FROM ld ORDER BY lang, len_bucket""".stripMargin,
+    ) { (s, d) =>
+      val quasi = Seq(col("lang"), col("source"), col("len_bucket"))
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr("CAST(n_chars AS BIGINT) DIV 500").as("len_bucket"))
+      val kept = kAnonymize(t, quasi, k = 5)
+      kept.groupBy("lang", "len_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("source")).cast("long").as("n_sources"))
+        .withColumn("diverse", col("n_sources") >= 2)
+        .select("lang", "len_bucket", "n_rows", "n_sources", "diverse")
+        .orderBy("lang", "len_bucket")
+    },
   )
+
+  /** Suppress rows whose quasi-identifier combination appears fewer than
+    * `k` times — the k-anonymity release gate. ONE window count over the
+    * quasi key (single shuffle, no self-join); at 100 TB this is the same
+    * cost shape as any keyed aggregation, and the suppressed tail is
+    * exactly the re-identifiable one.
+    */
+  def kAnonymize(df: DataFrame, quasi: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(quasi: _*)
+    df.withColumn("__gsz", count(lit(1)).over(w))
+      .filter(col("__gsz") >= k)
+      .drop("__gsz")
+  }
 }

@@ -745,9 +745,14 @@ object TextOps {
       val media = Multimodal.videoFromIds(docs, "doc_id").unionByName(
         Multimodal.trimmedVideosFromIds(
           docs.filter(col("doc_id") % 17 === 1), "doc_id", offset = 10000000L))
+      // eagerly checkpointed: BOTH sides of the fingerprint self-join (and
+      // the cap subquery) read this table — without it every consumer
+      // re-decodes every frame (the multi-consumer discipline of the text
+      // dedup pipelines)
       val fp = Multimodal.frameSample(media, stride = 1)
         .select(col("media_id"), col("width"), col("height"), col("sample_sum"))
         .distinct()
+        .localCheckpoint(true)
       // df-cap: fingerprints shared by more than 16 videos are too common
       // to be evidence of copying (and would pair quadratically)
       val keep = fp.groupBy("width", "height", "sample_sum")

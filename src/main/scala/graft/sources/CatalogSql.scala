@@ -443,11 +443,16 @@ object CatalogSql {
         // full recompute of the stored definition into a fresh snapshot
         // (truncate + insert = two manifest commits, an honest refresh
         // history; the programmatic rollForward tier is the incremental
-        // path for aggregate-shaped views)
+        // path for aggregate-shaped views). A failed recompute must not
+        // leave the view empty: roll back to the pre-refresh snapshot.
         val sel = cat.materializedViewSql(v)
         val df = subQuery(spark, cat, sel)
+        val pre = cat.currentVersion(v)
         cat.truncate(v)
-        status(spark, "refresh_materialized_view", v, cat.insert(v, df))
+        val n =
+          try cat.insert(v, df)
+          catch { case e: Throwable => cat.restoreVersion(v, pre); throw e }
+        status(spark, "refresh_materialized_view", v, n)
       case DropMView(v) =>
         cat.dropMaterializedViewDef(v)
         cat.drop(v)

@@ -564,6 +564,24 @@ class CatalogSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("format"))
   }
 
+  test("REFRESH failure rolls the materialized view back to its prior snapshot") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE b (v BIGINT)")
+    CatalogSql.exec(spark, cat, "INSERT INTO b VALUES (1), (2)")
+    CatalogSql.exec(spark, cat,
+      """CREATE MATERIALIZED VIEW m AS
+        |SELECT CASE WHEN v > 50 THEN raise_error('boom') ELSE v END AS v
+        |FROM b""".stripMargin)
+    def total() = CatalogSql.exec(spark, cat, "SELECT SUM(v) AS s FROM m")
+      .collect()(0).getLong(0)
+    assert(total() == 3L)
+    CatalogSql.exec(spark, cat, "INSERT INTO b VALUES (99)") // poisons refresh
+    intercept[Exception] {
+      CatalogSql.exec(spark, cat, "REFRESH MATERIALIZED VIEW m").collect()
+    }
+    assert(total() == 3L) // prior snapshot restored, not an empty view
+  }
+
   test("EXPLAIN returns the formatted plan with pushed filters visible") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v BIGINT)")

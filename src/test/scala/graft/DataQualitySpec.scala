@@ -68,4 +68,21 @@ class DataQualitySpec extends SparkSpec {
     assert(byCol("o_orderkey").getLong(3) === nRows) // key is unique
     assert(byCol("o_orderstatus").getLong(3) <= 3L)
   }
+
+  test("kAnonymize suppresses exactly the groups smaller than k") {
+    import spark.implicits._
+    // groups: ('a','x') ×3, ('a','y') ×2, ('b','x') ×1
+    val df = Seq(
+      ("a", "x", 1), ("a", "x", 2), ("a", "x", 3),
+      ("a", "y", 4), ("a", "y", 5),
+      ("b", "x", 6),
+    ).toDF("q1", "q2", "v")
+    def ids(k: Int) = graft.operators.DataQuality
+      .kAnonymize(df, Seq($"q1", $"q2"), k)
+      .collect().map(_.getInt(2)).toSet
+    assert(ids(1) == Set(1, 2, 3, 4, 5, 6)) // k=1 releases everything
+    assert(ids(2) == Set(1, 2, 3, 4, 5))    // the singleton is suppressed
+    assert(ids(3) == Set(1, 2, 3))
+    assert(ids(4) == Set.empty)
+  }
 }
