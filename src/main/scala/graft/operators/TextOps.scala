@@ -94,7 +94,155 @@ object TextOps {
       .groupBy(col(id)).agg(Det.davg(col("lp")).as("avg_logp3"))
   }
 
+  // ---------------------------------------------------------------- BPE
+
+  /** The BPE training vocabulary: top-`topN` lowercase alpha words by
+    * (freq desc, word) — the word-frequency table BPE trainers actually
+    * operate on (corpus-scale text folds into a vocab-scale table first;
+    * Zipf makes the tail irrelevant to early merges).
+    */
+  private[graft] def bpeWords(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(topN)
+
+  /** Byte-pair-encoding merge learning as RELATIONAL operators — no UDF,
+    * no driver-side token loops. Words live as (word, freq, pos, sym)
+    * symbol rows; each round:
+    *   1. adjacent-pair counts via one `lead` window + groupBy(sum(freq));
+    *   2. the merge = argmax by (count desc, pair asc) — a 1-row collect,
+    *      model-sized like the k-means centroid hop;
+    *   3. greedy LEFT-TO-RIGHT non-overlapping application, relationally:
+    *      occurrences that overlap are consecutive positions (only
+    *      possible when left == right, e.g. "aaa" under (a,a)), so
+    *      gaps-and-islands over consecutive occurrence positions + odd
+    *      ranks within each island IS the greedy scan; merged rows take
+    *      `left || right`, their successors drop via a `lag`, positions
+    *      reindex by row_number.
+    * Deterministic end to end (integer freqs, total-order tie-breaks), so
+    * the DuckDB oracle replays every round hash-exactly ([[bpeOracleSql]]
+    * unrolls them, the [[Similarity.kMeansAssign]] discipline). Scale
+    * shape: all per-round work is vocab-sized windows partitioned by
+    * word; the corpus is touched once, building the word table.
+    */
+  private[graft] def bpeTrain(docs: DataFrame, topN: Int, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wByPos = Window.partitionBy("word").orderBy("pos")
+    var syms = bpeWords(docs, topN)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word"), col("freq"), col("p").cast("long").as("pos"),
+        expr("substring(word, p, 1)").as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
+      val best = paired.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, c))
+        val occ = paired.withColumn("occ",
+          coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
+        val wOcc = Window.partitionBy("word", "occ").orderBy("pos")
+        val isl = occ.withColumn("isl",
+          when(col("occ"), col("pos") - row_number().over(wOcc)))
+        val wIsl = Window.partitionBy("word", "isl").orderBy("pos")
+        val kept = isl.withColumn("kept",
+          col("occ") && row_number().over(wIsl) % 2 === 1)
+        val dropped = kept.withColumn("pk",
+          lag(col("kept"), 1, false).over(wByPos))
+        syms = dropped.filter(!col("pk"))
+          .select(col("word"), col("freq"),
+            row_number().over(wByPos).cast("long").as("pos"),
+            when(col("kept"), lit(a + b)).otherwise(col("sym")).as("sym"))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** The oracle's CTE chain for [[bpeTrain]]: word table, char rows, then
+    * `rounds` unrolled (pair-count → argmax → islands → greedy merge)
+    * blocks ending in `s<rounds>`; merge r is CTE `m<r>`.
+    */
+  private[graft] def bpeOracleCtes(topN: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT word, freq, pos, sym,
+         |  LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s${r - 1}),
+         |m$r AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |o$r AS (SELECT p.word, p.freq, p.pos, p.sym, m.a, m.b,
+         |  COALESCE(p.sym = m.a AND p.nxt = m.b, FALSE) AS occ
+         |  FROM p$r p CROSS JOIN m$r m),
+         |g$r AS (SELECT *, CASE WHEN occ THEN pos -
+         |  ROW_NUMBER() OVER (PARTITION BY word, occ ORDER BY pos) END AS isl FROM o$r),
+         |k$r AS (SELECT *, occ AND
+         |  ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) % 2 = 1 AS kept FROM g$r),
+         |d$r AS (SELECT *, COALESCE(LAG(kept) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pk FROM k$r),
+         |s$r AS (SELECT word, freq,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |  CASE WHEN kept THEN a || b ELSE sym END AS sym
+         |  FROM d$r WHERE NOT pk)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word
+       |  ORDER BY freq DESC, word LIMIT $topN),
+       |sp AS (SELECT word, freq,
+       |  unnest(generate_series(1, length(word))) AS p FROM w),
+       |s0 AS (SELECT word, freq, CAST(p AS BIGINT) AS pos,
+       |  substr(word, p, 1) AS sym FROM sp),
+       |$roundCtes""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    // ---- BPE merge learning, relationally (see [[bpeTrain]]): 6 merge
+    // rounds over the top-150 word vocabulary; the oracle replays every
+    // round (pair count → argmax → greedy non-overlap merge) unrolled —
+    // the learned merge TABLE is hash-exact across engines ----
+    Q(
+      "bpe_train",
+      s"""WITH ${bpeOracleCtes(150, 6)}
+         |SELECT merge_rank, lhs, rhs, pair_freq FROM (
+         |${(1 to 6).map(r =>
+        s"  SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, c AS pair_freq FROM m$r")
+        .mkString("\n  UNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin,
+    ) { (s, d) =>
+      val (merges, _) = bpeTrain(Tables.documents(s, d), topN = 150, rounds = 6)
+      import s.implicits._
+      merges.map { case (r, a, b, c) => (r.toLong, a, b, c) }
+        .toDF("merge_rank", "lhs", "rhs", "pair_freq")
+        .orderBy("merge_rank")
+    },
+
+    // ---- the trained merges APPLIED: each vocab word's final token
+    // sequence after the 6 merges (the encode side of the same run; a
+    // production encoder applies the persisted merge table in rank order
+    // to unseen text the same way) ----
+    Q(
+      "bpe_encode",
+      s"""WITH ${bpeOracleCtes(150, 6)}
+         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  STRING_AGG(sym, '|' ORDER BY pos) AS token_str
+         |FROM s6 GROUP BY word ORDER BY word""".stripMargin,
+    ) { (s, d) =>
+      val (_, syms) = bpeTrain(Tables.documents(s, d), topN = 150, rounds = 6)
+      syms.groupBy("word")
+        .agg(count(lit(1)).as("n_tokens"),
+          concat_ws("|", transform(
+            array_sort(collect_list(struct(col("pos"), col("sym")))),
+            t => t.getField("sym"))).as("token_str"))
+        .orderBy("word")
+    },
+
     // ---- per-document stats: token counts, lengths, fingerprints ----
     Q(
       "text_stats",

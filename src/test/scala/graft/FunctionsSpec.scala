@@ -601,6 +601,25 @@ class FunctionsSpec extends SparkSpec {
     assert(cat.table("mh_idx_arr").count() > 0L)
   }
 
+  test("bpeTrain learns the classic merges; greedy overlap on 'aaaa' is left-to-right") {
+    import spark.implicits._
+    val docs = Seq("low low low lower lowest aaaa").toDF("text")
+    val (merges, syms) = graft.operators.TextOps.bpeTrain(docs, topN = 10, rounds = 5)
+    // r1: (l,o)=5 ties (o,w)=5 → pair-asc tie-break; r3: (a,a)=3 beats
+    // (low,e)=2; "aaaa" merges at positions 1 and 3 (greedy, non-overlap);
+    // r5: all pairs tie at 1 → (aa,aa) wins lexicographically
+    assert(merges == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "a", "a", 3L),
+      (4, "low", "e", 2L), (5, "aa", "aa", 1L)))
+    val toks = syms.orderBy("word", "pos")
+      .collect().groupBy(_.getString(0))
+      .map { case (w, rs) => w -> rs.sortBy(_.getLong(2)).map(_.getString(3)).toSeq }
+    assert(toks("low") == Seq("low"))
+    assert(toks("lower") == Seq("lowe", "r"))
+    assert(toks("lowest") == Seq("lowe", "s", "t"))
+    assert(toks("aaaa") == Seq("aaaa"))
+  }
+
   test("encodeVideoTrimmed shares the original's frames 1..n-1 byte-exactly") {
     for (id <- Seq(1L, 18L, 35L, 100L)) {
       val orig = Multimodal.sampleFrames(Multimodal.encodeVideo(id), 1)
