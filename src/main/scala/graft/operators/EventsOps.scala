@@ -207,6 +207,27 @@ object EventsOps {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- W1: distribution-position window functions — percent_rank and
+    // cume_dist as integer ppm (micros-quantized: both are exact rational
+    // values rank/(n−1) and rank/n, so ppm floors are engine-identical) ----
+    Q(
+      "q_window_dist",
+      """SELECT user_id, event_id,
+        |  CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+        |  CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cdist_ppm
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("prank_ppm"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_ppm"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- batch sessionization: 30-min-gap sessions via window marker ----
     Q(
       "q_sessionize_gap",
