@@ -138,32 +138,107 @@ object TextOps {
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
-      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
-      val best = paired.filter(col("nxt").isNotNull)
+      val best = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
+        .filter(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
         .collect()
       if (best.nonEmpty) {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, c))
-        val occ = paired.withColumn("occ",
-          coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
-        val wOcc = Window.partitionBy("word", "occ").orderBy("pos")
-        val isl = occ.withColumn("isl",
-          when(col("occ"), col("pos") - row_number().over(wOcc)))
-        val wIsl = Window.partitionBy("word", "isl").orderBy("pos")
-        val kept = isl.withColumn("kept",
-          col("occ") && row_number().over(wIsl) % 2 === 1)
-        val dropped = kept.withColumn("pk",
-          lag(col("kept"), 1, false).over(wByPos))
-        syms = dropped.filter(!col("pk"))
-          .select(col("word"), col("freq"),
-            row_number().over(wByPos).cast("long").as("pos"),
-            when(col("kept"), lit(a + b)).otherwise(col("sym")).as("sym"))
-          .localCheckpoint(true)
+        syms = applyMerge(syms, Seq("word"), a, b).localCheckpoint(true)
       }
     }
     (merges.result(), syms)
+  }
+
+  /** One greedy left-to-right application of merge (a, b) to symbol rows
+    * keyed by `keys` — the island machinery described on [[bpeTrain]].
+    * Input columns: `keys`, `pos`, `sym` (+ any carried columns);
+    * output: the same columns with merged/reindexed (pos, sym).
+    */
+  private def applyMerge(syms: DataFrame, keys: Seq[String],
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
+    val wByPos = Window.partitionBy(ks: _*).orderBy("pos")
+    val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
+    val occ = paired.withColumn("occ",
+      coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
+    val wOcc = Window.partitionBy(ks :+ col("occ"): _*).orderBy("pos")
+    val isl = occ.withColumn("isl",
+      when(col("occ"), col("pos") - row_number().over(wOcc)))
+    val wIsl = Window.partitionBy(ks :+ col("isl"): _*).orderBy("pos")
+    val kept = isl.withColumn("kept",
+      col("occ") && row_number().over(wIsl) % 2 === 1)
+    val dropped = kept.withColumn("pk",
+      lag(col("kept"), 1, false).over(wByPos))
+    val carried = syms.columns.filterNot(c => c == "pos" || c == "sym").map(col)
+    dropped.filter(!col("pk"))
+      .select(carried ++ Seq(
+        row_number().over(wByPos).cast("long").as("pos"),
+        when(col("kept"), lit(a + b)).otherwise(col("sym")).as("sym")): _*)
+  }
+
+  /** Apply the learned merge table to the WHOLE corpus in rank order —
+    * the production encode path (train on the vocab table, tokenize every
+    * document). Symbol rows are keyed by (doc_id, word index): windows
+    * partition by word occurrence, so all per-round work is one shuffle
+    * over corpus symbol rows and nothing is quadratic; rounds are the
+    * learned merge count, a constant.
+    */
+  private[graft] def bpeEncodeCorpus(docs: DataFrame, topN: Int,
+      rounds: Int): DataFrame = {
+    val (merges, _) = bpeTrain(docs, topN, rounds)
+    var syms = docs
+      .select(col("doc_id"), posexplode(filter(
+        split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)).as(Seq("wid", "word")))
+      .select(col("doc_id"), col("wid"), col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("doc_id"), col("wid"), col("p").cast("long").as("pos"),
+        expr("substring(word, p, 1)").as("sym"))
+      .localCheckpoint(true)
+    for ((_, a, b, _) <- merges)
+      syms = applyMerge(syms, Seq("doc_id", "wid"), a, b).localCheckpoint(true)
+    syms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("sym")).cast("long").as("n_token_types"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle chain for [[bpeEncodeCorpus]]: [[bpeOracleCtes]]'s training
+    * rounds (supplying `m1..mR`), then the corpus symbol rows pushed
+    * through the same R merge blocks keyed by (doc_id, wid), ending in
+    * `c<rounds>`.
+    */
+  private[graft] def bpeCorpusCtes(topN: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cp$r AS (SELECT doc_id, wid, pos, sym,
+         |  LEAD(sym) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS nxt FROM c${r - 1}),
+         |co$r AS (SELECT p.doc_id, p.wid, p.pos, p.sym, m.a, m.b,
+         |  COALESCE(p.sym = m.a AND p.nxt = m.b, FALSE) AS occ
+         |  FROM cp$r p CROSS JOIN m$r m),
+         |cg$r AS (SELECT *, CASE WHEN occ THEN pos -
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id, wid, occ ORDER BY pos) END AS isl FROM co$r),
+         |ck$r AS (SELECT *, occ AND
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id, wid, isl ORDER BY pos) % 2 = 1 AS kept FROM cg$r),
+         |cd$r AS (SELECT *, COALESCE(LAG(kept) OVER (PARTITION BY doc_id, wid ORDER BY pos), FALSE) AS pk FROM ck$r),
+         |c$r AS (SELECT doc_id, wid,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, wid ORDER BY pos) AS BIGINT) AS pos,
+         |  CASE WHEN kept THEN a || b ELSE sym END AS sym
+         |  FROM cd$r WHERE NOT pk)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeOracleCtes(topN, rounds)},
+       |cw AS (SELECT doc_id, unnest(lf) AS word, generate_subscripts(lf, 1) AS wid
+       |  FROM (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |      w -> len(w) > 0) AS lf FROM documents)),
+       |cq AS (SELECT doc_id, wid, word,
+       |  unnest(generate_series(1, length(word))) AS p FROM cw),
+       |c0 AS (SELECT doc_id, wid, CAST(p AS BIGINT) AS pos,
+       |  substr(word, p, 1) AS sym FROM cq),
+       |$roundCtes""".stripMargin
   }
 
   /** The oracle's CTE chain for [[bpeTrain]]: word table, char rows, then
@@ -241,6 +316,20 @@ object TextOps {
             array_sort(collect_list(struct(col("pos"), col("sym")))),
             t => t.getField("sym"))).as("token_str"))
         .orderBy("word")
+    },
+
+    // ---- the learned merges applied to the WHOLE corpus: per-document
+    // token counts after the 6 trained merges (train on the vocab table,
+    // tokenize every document — the production encode path); windows key
+    // by word occurrence, one shuffle over corpus symbol rows per round ----
+    Q(
+      "bpe_corpus_tokens",
+      s"""WITH ${bpeCorpusCtes(150, 6)}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_token_types
+         |FROM c6 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      bpeEncodeCorpus(Tables.documents(s, d), topN = 150, rounds = 6)
     },
 
     // ---- per-document stats: token counts, lengths, fingerprints ----
