@@ -728,8 +728,9 @@ object Similarity {
     * amortized — exactly the deployment cost model.
     */
   private[graft] def withStagedIndex(spark: SparkSession, sfDir: String,
-      tag: String)(build: String => Unit): String = {
-    val src = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+      tag: String, fixture: String = "embeddings.parquet")(
+      build: String => Unit): String = {
+    val src = java.nio.file.Paths.get(s"$sfDir/$fixture")
     val ident = s"$tag:$sfDir:${java.nio.file.Files.size(src)}:" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis
     val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),

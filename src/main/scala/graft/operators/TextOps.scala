@@ -188,8 +188,16 @@ object TextOps {
     * learned merge count, a constant.
     */
   private[graft] def bpeEncodeCorpus(docs: DataFrame, topN: Int,
-      rounds: Int): DataFrame = {
-    val (merges, _) = bpeTrain(docs, topN, rounds)
+      rounds: Int): DataFrame =
+    bpeApplyCorpus(docs, bpeTrain(docs, topN, rounds)._1)
+
+  /** Apply an already-learned merge table (e.g. loaded from
+    * [[graft.sources.ModelStore.loadMerges]]) to every document — the
+    * serving half of the tokenizer: no training cost, just `rounds`
+    * window passes over corpus symbol rows.
+    */
+  private[graft] def bpeApplyCorpus(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
     var syms = docs
       .select(col("doc_id"), posexplode(filter(
         split(lower(col("text")), "[^a-z]+"),
@@ -330,6 +338,26 @@ object TextOps {
          |FROM c6 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
       bpeEncodeCorpus(Tables.documents(s, d), topN = 150, rounds = 6)
+    },
+
+    // ---- the tokenizer SERVED from its persisted model: the merge table
+    // is trained once per fixture identity, written via ModelStore, and
+    // every later encode loads it — no retraining (the ANN serving
+    // discipline applied to tokenization). Same oracle: served ≡ trained ----
+    Q(
+      "bpe_corpus_tokens_served",
+      s"""WITH ${bpeCorpusCtes(150, 6)}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_token_types
+         |FROM c6 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val dir = Similarity.withStagedIndex(s, d, "bpe:150:6",
+        fixture = "documents.parquet") { tmp =>
+        graft.sources.ModelStore.saveMerges(s, tmp,
+          bpeTrain(Tables.documents(s, d), topN = 150, rounds = 6)._1)
+      }
+      bpeApplyCorpus(Tables.documents(s, d),
+        graft.sources.ModelStore.loadMerges(s, dir))
     },
 
     // ---- per-document stats: token counts, lengths, fingerprints ----

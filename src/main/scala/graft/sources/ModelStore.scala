@@ -69,4 +69,23 @@ object ModelStore {
   /** Centroid table as a DataFrame (cluster, centroid) for broadcast use. */
   def centroidsDf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).select(col("cluster"), col("centroid"))
+
+  /** Write a learned BPE merge table (rank, left, right, pair freq) —
+    * the tokenizer-model artifact: train once on the vocab table, encode
+    * any corpus forever after by applying the persisted merges in rank
+    * order.
+    */
+  def saveMerges(spark: SparkSession, dir: String,
+      merges: Seq[(Int, String, String, Long)]): Unit =
+    spark.createDataFrame(merges)
+      .toDF("merge_rank", "lhs", "rhs", "pair_freq")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/merges")
+
+  /** Load [[saveMerges]]'s table back in rank order (model-sized). */
+  def loadMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    spark.read.parquet(s"$dir/merges")
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_freq"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
 }

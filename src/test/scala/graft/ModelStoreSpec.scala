@@ -60,6 +60,20 @@ class ModelStoreSpec extends SparkSpec {
     assert(served.nonEmpty && served == inline)
   }
 
+  test("BPE merge table round-trips; served corpus encode == trained") {
+    val docs = Tables.documents(spark, sf0001)
+    val (merges, _) = graft.operators.TextOps.bpeTrain(docs, topN = 50, rounds = 4)
+    val dir = tmpDir("bpe")
+    ModelStore.saveMerges(spark, dir, merges)
+    assert(ModelStore.loadMerges(spark, dir) == merges)
+    val trained = graft.operators.TextOps.bpeEncodeCorpus(docs, topN = 50, rounds = 4)
+      .collect().toSeq
+    val served = graft.operators.TextOps
+      .bpeApplyCorpus(docs, ModelStore.loadMerges(spark, dir))
+      .collect().toSeq
+    assert(served.nonEmpty && served == trained)
+  }
+
   test("staged index builds once per fixture identity and is reused") {
     var builds = 0
     def dir(): String =
