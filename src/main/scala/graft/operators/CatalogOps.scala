@@ -264,6 +264,34 @@ object CatalogOps {
       x("SELECT lang, n_docs, total_chars FROM v_big ORDER BY lang")
     },
 
+    // ---- OPTIMIZE ... ZORDER BY as text: recluster a catalog table's
+    // files by the Morton z-value of two columns, then aggregate — the
+    // recluster must be CONTENT-NEUTRAL (the oracle never sees it), and
+    // the manifest records the op. Per-file bounding boxes are asserted
+    // quadrant-sized in CatalogSqlSpec ----
+    Q(
+      "catalog_sql_zorder",
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_zo AS
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      x("OPTIMIZE docs_zo FILES 4 ZORDER BY (doc_id, n_chars)")
+      x("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          |FROM docs_zo GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     // ---- MERGE WITH SCHEMA EVOLUTION: source-only columns become new
     // nullable target columns (metadata-only ALTER, no backfill) before
     // the upsert — the Delta-style evolving-upsert shape. Pre-merge rows

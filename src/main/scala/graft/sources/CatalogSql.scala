@@ -115,7 +115,7 @@ object CatalogSql {
   private val DropView =
     """(?is)^DROP\s+VIEW\s+(\w+)\s*$""".r
   private val Explain =
-    """(?is)^EXPLAIN\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$""".r
+    """(?is)^EXPLAIN\s+(?:(FORMATTED|EXTENDED|COST|CODEGEN)\s+)?((?:SELECT|WITH|TABLE|VALUES)\b.*)$""".r
   private val CreateFunction =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*(\(.*)$""".r
   private val DropFunction =
@@ -196,7 +196,7 @@ object CatalogSql {
           CreateMView(_, _) | RefreshMView(_) | DropMView(_) |
           CopyInto(_, _, _) | CopyTo(_, _, _) |
           CreateFunction(_, _, _) | DropFunction(_) | ShowFunctions() |
-          Explain(_) => true
+          Explain(_, _) => true
       case _ => false
     }
   }
@@ -429,8 +429,12 @@ object CatalogSql {
       case Analyze(t) =>
         cat.analyze(t)
       case ShowStats(t) =>
+        // `stale` flags stats computed against an older snapshot than the
+        // current head — the signal to re-ANALYZE after DML
         cat.statsOf(t).getOrElse(throw new IllegalArgumentException(
           s"no statistics for $t — run ANALYZE TABLE $t first"))
+          .withColumn("stale",
+            col("analyzed_version") < lit(cat.currentVersion(t)))
       case CreateMView(v, sel) =>
         // definition + backing table in one statement: materialize now,
         // serve the snapshot at table-scan cost until REFRESH re-runs it
@@ -516,10 +520,11 @@ object CatalogSql {
             s"COPY TO format must be csv/json/orc/parquet, got $other")
         }
         status(spark, "copy_to", t, n)
-      case Explain(q) =>
+      case Explain(mode, q) =>
         import spark.implicits._
+        val m = Option(mode).map(_.toLowerCase).getOrElse("formatted")
         Seq(subQuery(spark, cat, q).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          org.apache.spark.sql.execution.ExplainMode.fromString(m)))
           .toDF("plan")
       case Query() =>
         subQuery(spark, cat, stmt)

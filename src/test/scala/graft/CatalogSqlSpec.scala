@@ -308,8 +308,13 @@ class CatalogSqlSpec extends SparkSpec {
     assert(st("v").getLong(2) == 100L) // the x % 10 = 0 rows
     val ndv = st("v").getLong(3).toDouble
     assert(math.abs(ndv - 57.0) / 57.0 < 0.15, s"ndv_approx $ndv vs exact 57")
-    // SHOW STATS serves the persisted copy; unanalyzed tables fail loud
-    assert(CatalogSql.exec(spark, cat, "SHOW STATS t").count() == 2L)
+    // SHOW STATS serves the persisted copy; unanalyzed tables fail loud;
+    // DML after ANALYZE flips the staleness flag
+    val fresh = CatalogSql.exec(spark, cat, "SHOW STATS t").collect()
+    assert(fresh.length == 2 && fresh.forall(!_.getBoolean(7)))
+    CatalogSql.exec(spark, cat, "DELETE FROM t WHERE id = 1")
+    assert(CatalogSql.exec(spark, cat, "SHOW STATS t").collect()
+      .forall(_.getBoolean(7)), "stats must flag stale after DML")
     CatalogSql.exec(spark, cat, "CREATE TABLE u (id INT)")
     val e = intercept[IllegalArgumentException] {
       CatalogSql.exec(spark, cat, "SHOW STATS u")
