@@ -41,15 +41,25 @@ object Bench {
     "dedup_semantic_scaled",
     "decontaminate_semantic", "lm_trigram_backoff", "catalog_merge")
 
-  /** Queries whose iterative checkpoint lifecycle makes a single timed
-    * run noisy (block-manager churn from the previous query's cleanup can
-    * land inside a one-shot timer — observed 2.7× one-shot vs median-of-3
-    * in round 8). These always run at least 3 timed runs, even when the
-    * invoker sets SPARK_GRAFT_BENCH_RUNS=1: the median is the honest
-    * statistic for them, and two extra ~1.5 s runs are cheap.
+  /** Queries whose timing is fragile under one-shot measurement. Two
+    * causes, one remedy (always run ≥3 timed runs and take the median,
+    * even when the invoker sets SPARK_GRAFT_BENCH_RUNS=1):
+    *  - iterative checkpoint lifecycles (block-manager churn from the
+    *    previous query's cleanup can land inside a one-shot timer —
+    *    observed 2.7× one-shot vs median-of-3 in round 8):
+    *    dedup_components*, dedup_embedding_srp;
+    *  - allocation-heavy pair joins whose one-shot time spiked 4× in the
+    *    round-11 records (11.1 s vs 2.5 s) with byte-identical operator
+    *    code, and could NOT be reproduced in round 12 under any suite
+    *    prefix (solo / TextOps-prefix / 99-query prefix / full 191-query
+    *    suite, all 2.4–2.7 s, RUNS=1): the spike was transient machine
+    *    contention at measurement time, so the median is the honest
+    *    statistic — one contended run must not become the recorded value:
+    *    dedup_ngram_jaccard, dedup_jaccard_capped, kafka_wire_parse.
     */
   private val checkpointHeavy: Set[String] = Set(
-    "dedup_components", "dedup_components_star", "dedup_embedding_srp")
+    "dedup_components", "dedup_components_star", "dedup_embedding_srp",
+    "dedup_ngram_jaccard", "dedup_jaccard_capped", "kafka_wire_parse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

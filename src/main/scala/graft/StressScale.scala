@@ -143,7 +143,7 @@ object StressScale {
     val emb = Tables.embeddings(spark, dir)
     val t0 = System.nanoTime()
     val pairs = Similarity
-      .semanticNearDupPairs(emb, "vec_id", "embedding", k, 2, 0.4).count()
+      .semanticNearDupPairs(emb, "vec_id", "embedding", k, 2, 0.4, fixedK = true).count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"dir":"$dir","k":$k,"sem_pairs":$pairs,"secs":$secs%.2f}""")
   }

@@ -362,10 +362,22 @@ object Similarity {
     * `StressScale sem` measures the 10× stress corpus at 17.1 s / 28k
     * pairs with k=8 (clusters 10× bigger → ~100× intra-cluster pairs)
     * vs 7.6 s / bounded clusters with k=80 (NOTES_r8.md table).
+    *
+    * Because of that, a FIXED k is an explicit opt-in: calls must pass
+    * `fixedK = true` (used to pin the k-parameterized semantics against
+    * the oracle at a known scale) — the default REJECTS the call and
+    * points at [[semanticNearDupPairsScaled]], the k ∝ n form a 100 TB
+    * caller uses. An API that silently accepted a constant k at scale
+    * would hide a ~100× blowup behind a correct-looking signature.
     */
   def semanticNearDupPairs(
       corpus: DataFrame, id: String, vec: String, k: Int, iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, fixedK: Boolean = false): DataFrame = {
+    require(fixedK,
+      "semanticNearDupPairs with a constant k is quadratic at scale " +
+        "(clusters grow with the corpus; intra-cluster pairs with its " +
+        "square). Use semanticNearDupPairsScaled(targetClusterSize) — " +
+        "k ∝ n — or opt in explicitly with fixedK = true.")
     val assign = kMeansAssign(corpus, id, vec, k, iters)
       .select(col(id), col("cluster"))
     val v = corpus.join(assign, id)
@@ -391,7 +403,7 @@ object Similarity {
       iters: Int, threshold: Double): DataFrame = {
     require(targetClusterSize > 0, s"targetClusterSize must be > 0, got $targetClusterSize")
     val k = math.ceil(corpus.count() / targetClusterSize.toDouble).toInt
-    semanticNearDupPairs(corpus, id, vec, math.max(k, 1), iters, threshold)
+    semanticNearDupPairs(corpus, id, vec, math.max(k, 1), iters, threshold, fixedK = true)
   }
 
   /** DuckDB replay of [[semanticNearDupPairs]]: the Lloyd CTE chain, then
@@ -1058,7 +1070,8 @@ object Similarity {
     // (its max pairwise cosine is ~0.6); the oracle replays cluster →
     // pairwise → threshold exactly ----
     Q("dedup_semantic", semanticOracleSql(8, 2, 0.4)) { (s, d) =>
-      semanticNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2, 0.4)
+      semanticNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", 8, 2, 0.4, fixedK = true)
         .select(col("vec_a"), col("vec_b"), col("cluster"),
           round(col("sim"), 6).as("sim_r"))
         .orderBy("vec_a", "vec_b")

@@ -676,7 +676,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * a Spark-written CSV round-trips; override via `options`.
     */
   def insertCsv(name: String, path: String,
-      options: Map[String, String] = Map("header" -> "true", "escape" -> "\""),
+      // multiLine by default: quoted text values with embedded newlines
+      // must not split into spurious records on ingest.
+      options: Map[String, String] =
+        Map("header" -> "true", "escape" -> "\"", "multiLine" -> "true"),
       preprocess: DataFrame => DataFrame = identity): Long = {
     val raw = spark.read.options(options).schema(schema(name)).csv(path)
     insert(name, preprocess(raw))
@@ -738,6 +741,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val g = raw.agg(aggs.head, aggs.tail: _*).head()
     val dims = phys.zipWithIndex.map { case (c, i) =>
+      // min/max come back null when the column is all-NULL or not castable
+      // to double — reject with a diagnostic instead of a bare NPE from
+      // getDouble.
+      require(!g.isNullAt(2 * i) && !g.isNullAt(2 * i + 1),
+        s"ZORDER BY column $c of $name has no numeric range " +
+          "(all-NULL or not castable to double) — z-ordering needs " +
+          "numeric/date/timestamp columns with at least one non-null value")
       (col(c), g.getDouble(2 * i), g.getDouble(2 * i + 1))
     }
     val added = stageIn(name, raw

@@ -129,10 +129,20 @@ object CatalogSql {
 
   /** Split on `sep` at paren/quote depth 0 — SET lists whose expressions
     * contain function calls or string literals must not split inside them.
+    * `angles = true` additionally tracks `<`/`>` nesting, required for
+    * column-DDL lists where complex types carry commas inside the brackets
+    * (`MAP<STRING, INT>`, `STRUCT<a: INT, b: INT>`). Angle chars are
+    * counted ONLY at paren depth 0 — inside parens they are comparison
+    * operators (`CHECK (v >= 0)`), and type brackets never occur inside
+    * parens in a column list — and a stray `>` at angle depth 0 is
+    * ignored rather than driving the counter negative. It must stay OFF
+    * for expression lists (SET assignments), where `<`/`>` are top-level
+    * comparison operators.
     */
-  private def splitTop(s: String, sep: Char): Seq[String] = {
+  private def splitTop(s: String, sep: Char, angles: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var depth = 0
+    var angleDepth = 0
     var inStr = false
     var last = 0
     var i = 0
@@ -142,7 +152,11 @@ object CatalogSql {
       else if (ch == '\'') inStr = true
       else if (ch == '(') depth += 1
       else if (ch == ')') depth -= 1
-      else if (ch == sep && depth == 0) { out += s.substring(last, i); last = i + 1 }
+      else if (angles && depth == 0 && ch == '<') angleDepth += 1
+      else if (angles && depth == 0 && ch == '>' && angleDepth > 0) angleDepth -= 1
+      else if (ch == sep && depth == 0 && angleDepth == 0) {
+        out += s.substring(last, i); last = i + 1
+      }
       i += 1
     }
     out += s.substring(last)
@@ -158,16 +172,28 @@ object CatalogSql {
     * required for SHOW CREATE TABLE output to round-trip back through
     * CREATE TABLE. Returns the schema plus the CHECK expressions.
     */
+  private val TrailingNotNull = """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r
+
   private def schemaWithDefaults(cols: String): (StructType, Seq[String]) = {
-    val parts = splitTop(cols, ',').map(_.trim).filter(_.nonEmpty)
+    // angles = true: complex column types (MAP<STRING, INT>, STRUCT<...>)
+    // carry top-level-looking commas inside <>.
+    val parts = splitTop(cols, ',', angles = true).map(_.trim).filter(_.nonEmpty)
     val checks = parts.collect { case TableCheck(c) => c.trim }
     val fields = parts.filter(p => TableCheck.findFirstIn(p).isEmpty).map {
-      case ColDefault(colDef, dflt) =>
+      case ColDefault(colDef, dflt0) =>
+        // Standard ordering puts NOT NULL after DEFAULT (`x INT DEFAULT 5
+        // NOT NULL`); the lazy DEFAULT capture would otherwise swallow it
+        // into the default expression and fail only at write time.
+        val (dflt, nullable) = dflt0.trim match {
+          case TrailingNotNull(d) => (d.trim, false)
+          case d => (d, true)
+        }
         val f = StructType.fromDDL(colDef).head
-        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable,
+        org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, f.nullable && nullable,
           new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
-            .putString(Catalog.DefaultKey, dflt.trim).build())
+            .putString(Catalog.DefaultKey, dflt).build())
       case colDef => StructType.fromDDL(colDef).head
     }
     (StructType(fields), checks)
@@ -504,8 +530,11 @@ object CatalogSql {
             df.write.mode("overwrite")
               .option("header", "true").option("escape", "\"").csv(path)
             // export audit: count what actually landed, read back with the
-            // declared schema (not what the source query claimed)
-            spark.read.options(Map("header" -> "true", "escape" -> "\""))
+            // declared schema (not what the source query claimed).
+            // multiLine: the writer quotes embedded newlines correctly;
+            // without it the reader splits them into spurious records.
+            spark.read.options(Map(
+              "header" -> "true", "escape" -> "\"", "multiLine" -> "true"))
               .schema(df.schema).csv(path).count()
           case "json" =>
             df.write.mode("overwrite").json(path)

@@ -1009,12 +1009,21 @@ object StreamingOps {
         f.copy(dataType = asNullable(f.dataType), nullable = true)))
       case other => other
     }
-    cat.create("emb_idx", asNullable(
+    // Both sink tables are PARTITIONED by the writing batch id: foreachBatch
+    // is at-least-once, and the two inserts below are not atomic — a retry
+    // after the pairs insert but before the index insert would otherwise
+    // commit duplicate pair rows. Each attempt first drops its own batch's
+    // partition (metadata-only O(1); a no-op on the first attempt,
+    // self-healing on a retry), then inserts — so stream == batch equality
+    // holds under replays.
+    cat.create("emb_idx", StructType(asNullable(
       Similarity.srpBlockRows(emb.limit(1), "vec_id", "embedding", dim, 32).schema)
-      .asInstanceOf[StructType])
+      .asInstanceOf[StructType].fields :+ StructField("batch_id", LongType)),
+      partitionBy = Some("batch_id"))
     cat.create("emb_pairs", StructType(Seq(
       StructField("vec_a", LongType), StructField("vec_b", LongType),
-      StructField("sim", DoubleType))))
+      StructField("sim", DoubleType), StructField("batch_id", LongType))),
+      partitionBy = Some("batch_id"))
     val work = java.nio.file.Files.createTempDirectory("graft_semb_")
     try {
       val feed = java.nio.file.Files.createDirectory(work.resolve("feed"))
@@ -1038,7 +1047,11 @@ object StreamingOps {
         .parquet(feed.toString)
         .writeStream
         .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          // idempotent replay: drop any partial rows a failed earlier
+          // attempt of THIS batch left behind before re-inserting
+          cat.deletePartition("emb_pairs", String.valueOf(batchId))
+          cat.deletePartition("emb_idx", String.valueOf(batchId))
           val blocks = Similarity
             .srpBlockRows(df, "vec_id", "embedding", dim, 32)
             .localCheckpoint(true) // consumed by probe AND index insert
@@ -1056,14 +1069,15 @@ object StreamingOps {
               greatest(col("__i_id"), col("__b_id")).as("vec_b"), col("sim"))
           val within = Similarity
             .srpNearDupPairs(df, "vec_id", "embedding", threshold, dim = dim)
-          cat.insert("emb_pairs", cross.unionByName(within))
-          cat.insert("emb_idx", blocks)
+          cat.insert("emb_pairs",
+            cross.unionByName(within).withColumn("batch_id", lit(batchId)))
+          cat.insert("emb_idx", blocks.withColumn("batch_id", lit(batchId)))
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
     } finally deleteRecursively(work)
-    cat.table("emb_pairs")
+    cat.table("emb_pairs").drop("batch_id")
   }
 }

@@ -30,6 +30,37 @@ class CatalogSqlSpec extends SparkSpec {
     assert(got == Seq(("eu", 2L), ("us", 1L)))
   }
 
+  test("CREATE TABLE parses complex types with commas inside <> and DEFAULT ... NOT NULL") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat,
+      """CREATE TABLE t (
+        |  id BIGINT NOT NULL,
+        |  tags MAP<STRING, INT>,
+        |  pt STRUCT<a: INT, b: STRING>,
+        |  hist ARRAY<STRUCT<ts: BIGINT, v: DOUBLE>>,
+        |  status STRING DEFAULT 'new' NOT NULL,
+        |  CHECK (id >= 0))""".stripMargin)
+    val s = cat.schema("t")
+    assert(s("tags").dataType == MapType(StringType, IntegerType))
+    assert(s("pt").dataType == StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    assert(s("hist").dataType == ArrayType(StructType(Seq(
+      StructField("ts", LongType), StructField("v", DoubleType)))))
+    // DEFAULT ... NOT NULL: trailing NOT NULL must not leak into the
+    // default expression, and the field must be non-nullable
+    assert(!s("status").nullable)
+    // the captured default is the bare expression — NOT NULL must not
+    // leak into it (it would fail at write time with an expr parse error)
+    assert(s("status").metadata.getString("graft.default") == "'new'")
+    assert(cat.checks("t") == Seq("id >= 0"))
+    // SHOW CREATE TABLE round-trips the complex types through CREATE
+    val ddl = CatalogSql.exec(spark, cat, "SHOW CREATE TABLE t")
+      .collect()(0).getString(0)
+    val cat2 = freshCat()
+    CatalogSql.exec(spark, cat2, ddl)
+    assert(cat2.schema("t") == cat.schema("t"))
+  }
+
   test("ALTER RENAME / ALTER TYPE (widen) / DROP TABLE route to catalog ops") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE t (id INT, v INT)")

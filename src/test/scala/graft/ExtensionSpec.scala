@@ -199,7 +199,7 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val expected = exact.keySet.filter { case (a, b) => cluster(a) == cluster(b) }
     val got = graft.operators.Similarity
-      .semanticNearDupPairs(emb, "vec_id", "embedding", 8, 2, 0.4)
+      .semanticNearDupPairs(emb, "vec_id", "embedding", 8, 2, 0.4, fixedK = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.map(p => (p._1, p._2)).toSet == expected)
     assert(expected.nonEmpty, "fixture has no intra-cluster pairs at 0.4")
@@ -207,6 +207,21 @@ class ExtensionSpec extends SparkSpec {
       assert(cl == cluster(a) && cl == cluster(b), s"pair ($a,$b) reported wrong cluster")
       assert(math.abs(exact((a, b)) - sim) < 1e-9)
     }
+  }
+
+  test("semanticNearDupPairs default REJECTS a constant k (quadratic-null guard)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity
+        .semanticNearDupPairs(emb, "vec_id", "embedding", 8, 2, 0.4)
+    }
+    assert(e.getMessage.contains("semanticNearDupPairsScaled"),
+      "guard message must point the caller at the k ∝ n form")
+    // and the scaled form stays callable without any opt-in: k ∝ n is the default path
+    assert(graft.operators.Similarity
+      .semanticNearDupPairsScaled(emb, "vec_id", "embedding",
+        targetClusterSize = 16, iters = 1, threshold = 0.4)
+      .columns.sameElements(Seq("vec_a", "vec_b", "cluster", "sim")))
   }
 
   test("srpSignature raises on a dim mismatch instead of degenerating") {
