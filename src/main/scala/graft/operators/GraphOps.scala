@@ -73,13 +73,22 @@ object GraphOps {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
+      // both edge directions in ONE pass over pairs (a unionAll of two
+      // projections would recompute the orders ⋈ lineitem distinct twice)
       val edges = pairs
-        .select(col("c").as("src"), (col("s") + 1000000L).as("dst"))
-        .unionAll(pairs.select((col("s") + 1000000L).as("src"), col("c").as("dst")))
+        .select(explode(array(
+          struct(col("c").as("src"), (col("s") + 1000000L).as("dst")),
+          struct((col("s") + 1000000L).as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val nodes = edges.select(col("src").as("id")).distinct()
       val nTot = nodes.agg(count(lit(1)).as("n"))
-      // (src, dst, outdeg) — reused by every iteration's contribution join.
+      // (src, dst, outdeg) — reused by every iteration's contribution
+      // join. NOT eagerly materialized: the repeated subtree hashes to the
+      // same canonicalized Exchange, so AQE's ReusedExchange shares the
+      // base join's shuffle output across all iterations within the one
+      // physical plan — measured FASTER than a localCheckpoint here, which
+      // forces an extra serial materialization job and blocks the reuse.
       val edgesDeg = edges.join(deg, "src")
 
       var r = nodes
@@ -145,29 +154,35 @@ object GraphOps {
           Tables.part(s, d).filter(col("p_size") <= 12),
           col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // the undirected edge set feeds the degree table AND the
+      // orientation join — materialize it once instead of re-running the
+      // pair self-join + distinct per consumer
       val und = lp.as("a")
         .join(lp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
-      val deg = und.select(col("u").as("n"))
-        .unionAll(und.select(col("v").as("n")))
+        .localCheckpoint(true)
+      // degrees in ONE pass over und (explode, not a two-projection union)
+      val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      // the oriented edge list is read THREE times (both wedge sides +
+      // closure probe): materialize it, as any compact-forward
+      // implementation stores its oriented adjacency
       val fwd = und
         .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
         .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
         .select(
           when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
+        .localCheckpoint(true)
       val wedge = fwd.as("e1")
         .join(fwd.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
       val tri = wedge.join(
         fwd.as("e3"),
         col("a") === col("e3.src") && col("c") === col("e3.dst"))
-      tri.select(col("a").as("n"))
-        .unionAll(tri.select(col("b").as("n")))
-        .unionAll(tri.select(col("c").as("n")))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("tri_cnt"))
         .select(col("n").cast("long").as("part_id"), col("tri_cnt"))
         .orderBy(col("tri_cnt").desc, col("part_id"))
@@ -198,7 +213,9 @@ object GraphOps {
         .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
         .distinct()
-      pairs.select(col("pa").as("n")).unionAll(pairs.select(col("pb").as("n")))
+      // one pass over the pair set (a two-projection union would run the
+      // self-join + distinct twice)
+      pairs.select(explode(array(col("pa"), col("pb"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .groupBy(floor(log(col("d").cast("double")) / math.log(2.0)).cast("long")
           .as("deg_bucket"))

@@ -408,9 +408,29 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val added = stageIn(name, projectToPhysical(name, df))
     commitVersion(name, "insert", manifest(name, currentVersion(name)) ++ added)
     if (added.isEmpty) 0L
-    else spark.read
-      .parquet(added.map(rel => dataDir(name).resolve(rel).toString): _*).count()
+    else parquetRowCount(added.map(rel => dataDir(name).resolve(rel)))
   }
+
+  /** Exact row count of freshly written parquet files from their footer
+    * metadata — a driver-side footer read per file, NO Spark job (the
+    * previous `spark.read.parquet(...).count()` launched a full job per
+    * insert just to report the inserted-row count). O(added files) small
+    * reads, the same order as the manifest commit itself; falls back to
+    * the distributed count if any footer is unreadable.
+    */
+  private def parquetRowCount(paths: Seq[java.nio.file.Path]): Long =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    } catch {
+      case _: Exception =>
+        spark.read.parquet(paths.map(_.toString): _*).count()
+    }
 
   // ------------------------------------------------ version manifests
 

@@ -60,6 +60,30 @@ class ModelStoreSpec extends SparkSpec {
     assert(served.nonEmpty && served == inline)
   }
 
+  test("frozen-model PQ / IVF-PQ (re-encode per call) == inline trained forms") {
+    val pqDir = tmpDir("pqfrozen")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", m = 4, kc = 8, iters = 2, dir = pqDir)
+    val frozen = Similarity.pqTopKWithModel(emb, "vec_id", "embedding",
+        ModelStore.loadPq(spark, pqDir), k = 5, queryPred = col("vec_id") < 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inline = Similarity.pqTopK(emb, "vec_id", "embedding",
+        m = 4, kc = 8, iters = 2, k = 5, queryPred = col("vec_id") < 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(frozen.nonEmpty && frozen == inline)
+
+    val ivfDir = tmpDir("ivfpqfrozen")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nlist = 8, m = 4, kc = 8, iters = 2, dir = ivfDir)
+    val frozenIvf = Similarity.ivfPqTopKWithIndex(spark, ivfDir, emb,
+        "vec_id", "embedding", nprobe = 3, k = 5, queryPred = col("vec_id") < 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inlineIvf = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        nlist = 8, nprobe = 3, m = 4, kc = 8, iters = 2, k = 5,
+        queryPred = col("vec_id") < 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(frozenIvf.nonEmpty && frozenIvf == inlineIvf)
+  }
+
   test("BPE merge table round-trips; served corpus encode == trained") {
     val docs = Tables.documents(spark, sf0001)
     val (merges, _) = graft.operators.TextOps.bpeTrain(docs, topN = 50, rounds = 4)
