@@ -53,11 +53,21 @@ object Dump {
       lines: Iterator[String], out: String => Unit, limit: Int = 20,
       warehouse: Option[String] = None): Unit = {
     graft.sources.GraftSql.registerFixtures(spark, sfDir)
-    out(s"graft on $sfDir — \\d lists tables, \\d <t> describes, " +
-      "\\schema <t> prints DDL columns, \\profile <t> column stats, " +
-      "\\explain <sql> shows the physical plan, " +
-      "\\history <t> / \\restore <t> <v> operate on the bound warehouse, " +
-      "\\timing toggles timing, \\q quits")
+    // command-first, one per line — the shape a line-completion hook
+    // (rlwrap, jline) consumes directly
+    val helpText = Seq(
+      "\\d                     list tables and views",
+      "\\d <table>             nested schema tree",
+      "\\schema <table>        DDL-style column list",
+      "\\profile <table>       per-column stats (one aggregate pass)",
+      "\\explain [mode] <sql>  plan; mode: formatted|extended|codegen|cost",
+      "\\history <table>       manifest log of the bound warehouse",
+      "\\restore <table> <v>   restore table to version v (new version)",
+      "\\timing                toggle per-statement wall-clock",
+      "\\help                  this listing",
+      "\\q                     quit",
+    ).mkString("\n")
+    out(s"graft on $sfDir — \\help lists commands, \\q quits")
     lazy val cat: Option[graft.sources.Catalog] =
       warehouse.map(new graft.sources.Catalog(spark, _))
     def withCat(f: graft.sources.Catalog => Unit): Unit = cat match {
@@ -165,15 +175,24 @@ object Dump {
             case _ => out("usage: \\restore <table> <version>")
           }
         }
+        else if (line == "\\help") out(helpText)
         else if (line.startsWith("\\explain "))
-          // FormattedMode is the proof surface for the engine's two
-          // inherited optimizations: a pruned parquet scan prints its
-          // `PushedFilters:` and `PartitionFilters:` lines here
+          // default FormattedMode is the proof surface for the engine's
+          // two inherited optimizations: a pruned parquet scan prints its
+          // `PushedFilters:` and `PartitionFilters:` lines there; the
+          // other EXPLAIN modes (extended/codegen/cost — same set as the
+          // SQL `EXPLAIN <MODE>` statement) select via a leading word
           try {
             cat.foreach(syncCatalogViews) // catalog tables explainable too
-            out(spark.sql(line.drop(9).trim.stripSuffix(";"))
-              .queryExecution.explainString(
-                org.apache.spark.sql.execution.FormattedMode).stripLineEnd)
+            val arg = line.drop(9).trim.stripSuffix(";")
+            val modes = Set("formatted", "extended", "codegen", "cost")
+            val (mode, sql) = arg.split("\\s+", 2) match {
+              case Array(m, rest) if modes(m.toLowerCase) => (m.toLowerCase, rest)
+              case _ => ("formatted", arg)
+            }
+            out(spark.sql(sql).queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+              .stripLineEnd)
           } catch { case e: Exception => out(s"error: ${e.getMessage}") }
         else if (!terminated && incompleteSql(spark, line))
           buf.append(line) // open a multi-line statement

@@ -377,6 +377,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .withColumn("analyzed_version", lit(currentVersion(name)))
     out.coalesce(1).write.mode(SaveMode.Overwrite)
       .json(metaDir(name).resolve("stats").toString)
+    // a pre-ANALYZE read may have memoized "no fresh stats" for this
+    // snapshot — drop it so planning sees the new stats immediately
+    statsRowCache.remove((name, currentVersion(name)))
     statsOf(name).getOrElse(out)
   }
 
@@ -806,7 +809,71 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * written before an addColumn read their nulls coalesced to the
     * declared default (per-read, no physical backfill).
     */
-  def table(name: String): DataFrame = tableAt(name, currentVersion(name))
+  def table(name: String): DataFrame = {
+    val df = tableAt(name, currentVersion(name))
+    applyStatsHint(name, df)
+  }
+
+  /** Feed persisted ANALYZE statistics into PLANNING: Spark's static
+    * broadcast decision keys off on-disk bytes × compression factor,
+    * which mis-sizes parquet in both directions — a highly-compressed
+    * table under the `autoBroadcastJoinThreshold` on disk can explode
+    * past executor memory when decoded (mis-broadcast → OOM at 100 TB
+    * shapes), and a small-but-poorly-encoded dim can sit over the
+    * threshold on disk while its in-memory footprint is fine (missed
+    * broadcast → needless shuffle of the fact side). When FRESH stats
+    * exist (analyzed_version == current snapshot), estimate the decoded
+    * size as rowCount × schema default row width and, ONLY where that
+    * estimate and the on-disk size disagree across the threshold, attach
+    * the corresponding join-strategy hint (`broadcast` / `merge`) to the
+    * read. Stale or absent stats change nothing — the cost model a
+    * versioned lakehouse catalog feeds its planner.
+    */
+  private def applyStatsHint(name: String, df: DataFrame): DataFrame = {
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr <= 0) return df // auto-broadcast disabled: nothing to correct
+    freshRowCount(name) match {
+      case None => df
+      case Some(rows) =>
+        val est = rows * (schema(name).defaultSize + 8L)
+        val disk = manifest(name, currentVersion(name))
+          .map(rel => try Files.size(dataDir(name).resolve(rel)) catch {
+            case _: Exception => 0L
+          }).sum
+        if (est <= thr && disk > thr) df.hint("broadcast")
+        else if (est > thr && disk <= thr && disk > 0) df.hint("merge")
+        else df
+    }
+  }
+
+  /** Row count from persisted [[analyze]] stats iff they describe the
+    * CURRENT snapshot — a driver-side file read (no job), memoized per
+    * (table, version). Stale stats return None: a post-ANALYZE write
+    * invalidates the estimate rather than feeding the planner a lie.
+    */
+  private val statsRowCache =
+    scala.collection.concurrent.TrieMap[(String, Int), Option[Long]]()
+  private def freshRowCount(name: String): Option[Long] = {
+    val v = currentVersion(name)
+    statsRowCache.getOrElseUpdate((name, v), {
+      val dir = metaDir(name).resolve("stats")
+      if (!Files.exists(dir)) None
+      else try {
+        val line = listDir(dir)
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .iterator.flatMap(p => Files.readString(p).split("\n"))
+          .find(_.nonEmpty)
+        val nRows = """"n_rows"\s*:\s*(\d+)""".r
+        val aVer = """"analyzed_version"\s*:\s*(\d+)""".r
+        for {
+          l <- line
+          r <- nRows.findFirstMatchIn(l).map(_.group(1).toLong)
+          av <- aVer.findFirstMatchIn(l).map(_.group(1).toInt)
+          if av == v
+        } yield r
+      } catch { case _: Exception => None }
+    })
+  }
 
   /** Time travel: read the table AS OF snapshot version `v` (0 = the
     * empty table right after create; [[versions]] lists what is

@@ -34,6 +34,22 @@ object KafkaOps {
     StructField("offset", LongType), StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
+  /** The exact (format, options) pair [[kafkaSource]] hands to
+    * `readStream` — split out so an environment WITHOUT the connector jar
+    * can still contract-test the assembled reader config (KafkaSpec pins
+    * it against a golden map; the one-line `format("kafka")` swap cannot
+    * drift silently).
+    */
+  def kafkaReaderConfig(
+      bootstrapServers: String, subscribe: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): (String, Map[String, String]) =
+    ("kafka", Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> subscribe,
+      "startingOffsets" -> startingOffsets) ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString))
+
   /** Streaming Kafka reader. `startingOffsets`: "earliest" | "latest" |
     * per-partition JSON. `maxOffsetsPerTrigger` caps records per
     * micro-batch across all partitions.
@@ -42,12 +58,9 @@ object KafkaOps {
       spark: SparkSession, bootstrapServers: String, subscribe: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
-    val reader = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", subscribe)
-      .option("startingOffsets", startingOffsets)
-    val configured = maxOffsetsPerTrigger
-      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+    val (fmt, opts) = kafkaReaderConfig(
+      bootstrapServers, subscribe, startingOffsets, maxOffsetsPerTrigger)
+    val configured = spark.readStream.format(fmt).options(opts)
     try configured.load()
     catch {
       case e: Exception if Option(e.getMessage).exists(_.toLowerCase.contains("kafka")) =>

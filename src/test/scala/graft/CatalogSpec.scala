@@ -695,6 +695,30 @@ class CatalogSpec extends SparkSpec {
     assert(out(2).startsWith("error:"))
   }
 
+  test("repl \\explain modes and \\help") {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    graft.dsl.Dump.repl(
+      spark, sf0001,
+      Iterator(
+        "\\explain extended SELECT r_name FROM region WHERE r_regionkey = 1;",
+        "\\explain codegen SELECT COUNT(*) FROM region;",
+        "\\explain cost SELECT r_name FROM region;",
+        "\\help",
+        "\\q"),
+      out += _)
+    // extended: all four plan phases
+    assert(out(1).contains("== Parsed Logical Plan ==") &&
+      out(1).contains("== Physical Plan =="))
+    // codegen: the generated-code listing header
+    assert(out(2).contains("WholeStageCodegen subtrees"))
+    // cost: logical plan annotated with sizeInBytes statistics
+    assert(out(3).contains("Statistics(") && out(3).contains("sizeInBytes"))
+    // \help: one command per line, command-first (completion-friendly)
+    val help = out(4).split("\n")
+    assert(help.length >= 9 && help.forall(_.startsWith("\\")))
+    assert(help.exists(_.startsWith("\\explain [mode] <sql>")))
+  }
+
   test("repl \\explain surfaces PartitionFilters + PushedFilters for a pruned catalog scan") {
     // the proof surface for the engine's two inherited optimizations:
     // partition pruning (lang = 'en' never reads other lang dirs) and

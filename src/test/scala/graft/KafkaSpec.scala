@@ -76,6 +76,36 @@ class KafkaSpec extends SparkSpec {
     }
   }
 
+  test("kafka reader config matches the golden connector contract") {
+    // the exact option names spark-sql-kafka-0-10 documents — if any of
+    // these drift, a live-broker deployment breaks even though every
+    // in-env test stays green, so they are pinned literally
+    assert(KafkaOps.kafkaReaderConfig("b1:9092,b2:9092", "events") ==
+      ("kafka", Map(
+        "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+        "subscribe" -> "events",
+        "startingOffsets" -> "earliest")))
+    // per-partition offset JSON + backpressure cap pass through verbatim
+    val offs = """{"events":{"0":42,"1":-1}}"""
+    assert(KafkaOps.kafkaReaderConfig("b:9092", "events",
+      startingOffsets = offs, maxOffsetsPerTrigger = Some(10000L)) ==
+      ("kafka", Map(
+        "kafka.bootstrap.servers" -> "b:9092",
+        "subscribe" -> "events",
+        "startingOffsets" -> offs,
+        "maxOffsetsPerTrigger" -> "10000")))
+    // offset bookkeeping: the parse layer must keep the exactly-once
+    // handle (topic, partition, offset) ahead of the decoded fields
+    val parsed = KafkaOps.parseJsonEvents(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        KafkaOps.kafkaWireSchema),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "event_id", org.apache.spark.sql.types.LongType))))
+    assert(parsed.columns.take(3).sameElements(Seq("topic", "partition", "offset")))
+  }
+
   test("kafkaSource fails fast with an actionable error when connector absent") {
     val e = intercept[Exception] {
       KafkaOps.kafkaSource(spark, "localhost:9092", "events")

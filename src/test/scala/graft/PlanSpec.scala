@@ -30,6 +30,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("fresh ANALYZE stats flip a threshold-straddling join to broadcast; stale stats don't") {
+    val cat = new graft.sources.Catalog(
+      spark, graft.operators.CatalogOps.tempWarehouse())
+    import org.apache.spark.sql.types._
+    cat.create("dim", StructType(Seq(
+      StructField("k", LongType), StructField("label", StringType))))
+    cat.insert("dim", spark.range(10).selectExpr("id AS k", "concat('l', id) AS label"))
+    val fact = spark.range(2000).selectExpr("id % 10 AS k", "id AS v")
+    def joinPlan() = fact.join(cat.table("dim"), "k")
+      .queryExecution.sparkPlan.toString
+    // threshold between the in-memory estimate (10 rows × ~36 B ≈ 360 B)
+    // and the on-disk parquet size (footer overhead pushes a 10-row file
+    // past 700 B): Spark's file-size heuristic says "too big to
+    // broadcast"; fresh stats say broadcast
+    assert(cat.statsOf("dim").isEmpty) // not yet analyzed
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "700")
+      assert(!joinPlan().contains("BroadcastHashJoin"),
+        "without stats, the on-disk size must rule the decision")
+      cat.analyze("dim")
+      assert(joinPlan().contains("BroadcastHashJoin"),
+        "fresh stats (10 rows) must flip the join to broadcast")
+      // a write after ANALYZE makes the stats stale — they must stop
+      // feeding the planner
+      cat.insert("dim", spark.range(10, 20).selectExpr("id AS k", "concat('l', id) AS label"))
+      assert(!joinPlan().contains("BroadcastHashJoin"),
+        "stale stats must not feed the planner")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("semi/anti joins compile to semi/anti physical joins") {
     val semi = SparkEntry.queries("q_semi_join")(spark, sf0001)
     assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
