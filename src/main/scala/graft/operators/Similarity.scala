@@ -289,19 +289,29 @@ object Similarity {
     */
   def kMeansAssign(
       corpus: DataFrame, id: String, vec: String, k: Int, iters: Int): DataFrame = {
+    assignToCentroids(corpus, id, vec,
+      kMeansCentroids(corpus, id, vec, k, iters)).orderBy(col(id))
+  }
+
+  /** The trained Lloyd centroids behind [[kMeansAssign]] (same seeds,
+    * same rounds — the model state a frozen quantizer persists), without
+    * the final assignment pass. [[assignToCentroids]] over these yields
+    * exactly [[kMeansAssign]]'s output.
+    */
+  def kMeansCentroids(
+      corpus: DataFrame, id: String, vec: String, k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
     val vd = VectorFunctions.asDouble(col(vec))
     // one codegen'd argmin kernel over the raw array column per pass —
     // see plans.L2ArgMin for why this beats the least(round(aggregate(
     // zip_with(...)))) functional form it replaced (k interpreted lambda
     // chains per row, outside whole-stage codegen)
-    def assignExpr(cs: Seq[(Long, Seq[Double])]): Column =
-      graft.plans.VectorKernels.l2ArgMin(col(vec), cs)
-
     var cents: Seq[(Long, Seq[Double])] = corpus.filter(col(id) < k)
       .select(col(id).cast("long"), vd.as("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).sortBy(_._1).toSeq
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(vd.as("v"), assignExpr(cents).as("cl"))
+      val assigned = corpus.select(vd.as("v"),
+        graft.plans.VectorKernels.l2ArgMin(col(vec), cents).as("cl"))
       cents = assigned
         .select(col("cl"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cl", "pos").agg(graft.Det.davg(col("x")).as("m"))
@@ -311,8 +321,16 @@ object Similarity {
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
         .sortBy(_._1).toSeq
     }
-    corpus.select(col(id), assignExpr(cents).as("cluster")).orderBy(col(id))
+    cents
   }
+
+  /** One linear argmin pass: assign every vector to its nearest (squared
+    * L2) centroid — indexing a new batch with a FROZEN quantizer.
+    */
+  def assignToCentroids(corpus: DataFrame, id: String, vec: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    corpus.select(col(id),
+      graft.plans.VectorKernels.l2ArgMin(col(vec), cents).as("cluster"))
 
   /** Shared CTE chain replaying [[kMeansAssign]] in SQL: unrolled Lloyd
     * rounds ending in `kassign(vec_id, cluster)`. `k` is a SQL expression
@@ -708,8 +726,12 @@ object Similarity {
   def buildIvfPqIndex(corpus: DataFrame, id: String, vec: String,
       nlist: Int, m: Int, kc: Int, iters: Int, dir: String): Unit = {
     val spark = corpus.sparkSession
-    val assign = kMeansAssign(corpus, id, vec, nlist, iters)
-      .select(col(id), col("cluster"))
+    val lloyd = kMeansCentroids(corpus, id, vec, nlist, iters)
+    // the quantizer itself (Lloyd centroids) persists alongside the probe
+    // centroids: a frozen-quantizer caller re-assigns NEW vectors against
+    // these, so post-build corpus growth stays indexable
+    graft.sources.ModelStore.saveCentroids(spark, s"$dir/lloyd", lloyd)
+    val assign = assignToCentroids(corpus, id, vec, lloyd).orderBy(col(id))
     centroids(corpus.join(assign, id), "cluster", vec)
       .repartition(1).write.mode("overwrite").parquet(s"$dir/cents")
     assign.withColumnRenamed(id, "neighbor_id")
@@ -740,7 +762,13 @@ object Similarity {
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("cluster"))
-    val cand = spark.read.parquet(s"$dir/assign")
+    // the CURRENT corpus is re-assigned against the frozen Lloyd
+    // quantizer — NOT read from the persisted build-time assignment,
+    // which only covers the build corpus and would silently exclude any
+    // vector added since from every result
+    val lloyd = graft.sources.ModelStore.loadCentroids(spark, s"$dir/lloyd")
+    val cand = assignToCentroids(corpus, id, vec, lloyd)
+      .select(col(id).as("neighbor_id"), col("cluster"))
       .join(broadcast(probed), Seq("cluster"))
       .select("query_id", "neighbor_id")
     val codeRows = pqCodeRows(corpus, id, vec, model)
@@ -1176,7 +1204,7 @@ object Similarity {
     // cost with training amortized. Train-inline `ivfPqTopK` stays the
     // public API and is spec-pinned at sf0.001 ----
     Q("ann_topk_ivfpq", ivfPqOracleSql(8, 3, 4, 8, 2, 5, 20)) { (s, d) =>
-      val dir = withStagedIndex(s, d, "ivfpq:8:4:8:2")(tmp =>
+      val dir = withStagedIndex(s, d, "ivfpq:v2:8:4:8:2")(tmp =>
         buildIvfPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
           nlist = 8, m = 4, kc = 8, iters = 2, dir = tmp))
       ivfPqTopKWithIndex(s, dir, Tables.embeddings(s, d),
@@ -1200,7 +1228,7 @@ object Similarity {
     },
 
     Q("ann_topk_ivfpq_served", ivfPqOracleSql(8, 3, 4, 8, 2, 5, 20)) { (s, d) =>
-      val dir = withStagedIndex(s, d, "ivfpq:8:4:8:2")(tmp =>
+      val dir = withStagedIndex(s, d, "ivfpq:v2:8:4:8:2")(tmp =>
         buildIvfPqIndex(Tables.embeddings(s, d), "vec_id", "embedding",
           nlist = 8, m = 4, kc = 8, iters = 2, dir = tmp))
       serveIvfPqTopK(s, dir,

@@ -352,10 +352,30 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val fields = schema(name).fields
     def orderable(dt: DataType): Boolean =
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+    // avg decoded width for variable-width columns: the planner's
+    // broadcast estimate MUST NOT assume a fixed 20 B per string (a
+    // 10 KB-text column would be underestimated 500× and force-broadcast
+    // a huge decoded table); fixed-width types report their type width.
+    def widthAgg(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.Column =
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType |
+            org.apache.spark.sql.types.BinaryType =>
+          avg(length(col(f.name)).cast("double") + 8.0)
+        // nested types have no honest fixed width (defaultSize ignores
+        // cardinality) — record unknown; the planner then refuses the
+        // size-underestimate-dangerous broadcast direction for this table
+        case _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.MapType |
+            _: org.apache.spark.sql.types.StructType =>
+          lit(null).cast("double")
+        case dt => lit(dt.defaultSize.toDouble)
+      }
     val aggs = fields.toSeq.flatMap { f =>
       val c = col(f.name)
       Seq(count(c).as(s"nn_${f.name}"),
-        approx_count_distinct(c).as(s"nd_${f.name}")) ++
+        approx_count_distinct(c).as(s"nd_${f.name}"),
+        widthAgg(f).as(s"aw_${f.name}")) ++
         (if (orderable(f.dataType))
           Seq(min(c).cast("string").as(s"mn_${f.name}"),
             max(c).cast("string").as(s"mx_${f.name}"))
@@ -365,21 +385,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
     val nRows = row.getLong(row.fieldIndex("n_rows"))
     def str(i: Int): Option[String] = if (row.isNullAt(i)) None else Some(row.getString(i))
+    def width(i: Int): Option[Double] =
+      if (row.isNullAt(i)) None else Some(row.getDouble(i))
     val stats = fields.toSeq.map { f =>
       (f.name, nRows,
         nRows - row.getLong(row.fieldIndex(s"nn_${f.name}")),
         row.getLong(row.fieldIndex(s"nd_${f.name}")),
         str(row.fieldIndex(s"mn_${f.name}")),
-        str(row.fieldIndex(s"mx_${f.name}")))
+        str(row.fieldIndex(s"mx_${f.name}")),
+        width(row.fieldIndex(s"aw_${f.name}")))
     }
     val out = spark.createDataFrame(stats)
-      .toDF("column", "n_rows", "n_nulls", "ndv_approx", "min_v", "max_v")
+      .toDF("column", "n_rows", "n_nulls", "ndv_approx", "min_v", "max_v",
+        "avg_width")
       .withColumn("analyzed_version", lit(currentVersion(name)))
     out.coalesce(1).write.mode(SaveMode.Overwrite)
       .json(metaDir(name).resolve("stats").toString)
     // a pre-ANALYZE read may have memoized "no fresh stats" for this
     // snapshot — drop it so planning sees the new stats immediately
-    statsRowCache.remove((name, currentVersion(name)))
+    invalidateStatsCache(name)
     statsOf(name).getOrElse(out)
   }
 
@@ -395,6 +419,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       Some(raw.select(c("column", "string"), c("n_rows", "long"),
         c("n_nulls", "long"), c("ndv_approx", "long"),
         c("min_v", "string"), c("max_v", "string"),
+        c("avg_width", "double"),
         c("analyzed_version", "int"))
         .orderBy("column"))
     }
@@ -700,7 +725,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def insertCsv(name: String, path: String,
       // multiLine by default: quoted text values with embedded newlines
-      // must not split into spurious records on ingest.
+      // must not split into spurious records on ingest — correctness over
+      // speed. TRADE-OFF: multiLine makes each CSV file non-splittable
+      // (one task per file), so bulk ingest of few huge files should pass
+      // explicit options WITHOUT multiLine (splittable, parallel) after
+      // confirming the data has no embedded newlines — or split the
+      // input into many files, which restores full parallelism here.
       options: Map[String, String] =
         Map("header" -> "true", "escape" -> "\"", "multiLine" -> "true"),
       preprocess: DataFrame => DataFrame = identity): Long = {
@@ -832,45 +862,69 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def applyStatsHint(name: String, df: DataFrame): DataFrame = {
     val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
     if (thr <= 0) return df // auto-broadcast disabled: nothing to correct
-    freshRowCount(name) match {
+    freshStats(name) match {
       case None => df
-      case Some(rows) =>
-        val est = rows * (schema(name).defaultSize + 8L)
-        val disk = manifest(name, currentVersion(name))
-          .map(rel => try Files.size(dataDir(name).resolve(rel)) catch {
-            case _: Exception => 0L
-          }).sum
-        if (est <= thr && disk > thr) df.hint("broadcast")
+      case Some(PlannerStats(rows, width, widthComplete, disk)) =>
+        // per-row overhead on top of the measured/typed column widths
+        val est = (rows * (width + 8.0)).toLong
+        // broadcast ONLY on a complete width estimate: a partial sum is a
+        // lower bound, and under-estimating here is the direction that
+        // OOMs executors. The merge hint is safe on a lower bound — if
+        // even the known columns exceed the threshold, the table is too
+        // big to broadcast regardless of the unknown ones.
+        if (widthComplete && est <= thr && disk > thr) df.hint("broadcast")
         else if (est > thr && disk <= thr && disk > 0) df.hint("merge")
         else df
     }
   }
 
-  /** Row count from persisted [[analyze]] stats iff they describe the
-    * CURRENT snapshot — a driver-side file read (no job), memoized per
-    * (table, version). Stale stats return None: a post-ANALYZE write
-    * invalidates the estimate rather than feeding the planner a lie.
+  /** Planner-facing digest of fresh [[analyze]] stats: row count, summed
+    * avg row width (and whether every column's width is known — nested
+    * types record none), and the snapshot's on-disk bytes.
+    */
+  private case class PlannerStats(
+      rows: Long, width: Double, widthComplete: Boolean, diskBytes: Long)
+
+  /** [[PlannerStats]] iff persisted stats describe the CURRENT snapshot —
+    * driver-side file reads (no job), memoized per (table, version); the
+    * disk-size sum is version-stable so it is cached alongside. Stale
+    * stats return None: a post-ANALYZE write invalidates the estimate
+    * rather than feeding the planner a lie. [[drop]] purges the table's
+    * entries — version numbers restart after drop+create, so a stale
+    * entry would otherwise describe the PREVIOUS table of the same name.
     */
   private val statsRowCache =
-    scala.collection.concurrent.TrieMap[(String, Int), Option[Long]]()
-  private def freshRowCount(name: String): Option[Long] = {
+    scala.collection.concurrent.TrieMap[(String, Int), Option[PlannerStats]]()
+  private[sources] def invalidateStatsCache(name: String): Unit =
+    statsRowCache.keys.filter(_._1 == name).foreach(statsRowCache.remove)
+  private def freshStats(name: String): Option[PlannerStats] = {
     val v = currentVersion(name)
     statsRowCache.getOrElseUpdate((name, v), {
       val dir = metaDir(name).resolve("stats")
       if (!Files.exists(dir)) None
       else try {
-        val line = listDir(dir)
+        val lines = listDir(dir)
           .filter(_.getFileName.toString.endsWith(".json"))
-          .iterator.flatMap(p => Files.readString(p).split("\n"))
-          .find(_.nonEmpty)
-        val nRows = """"n_rows"\s*:\s*(\d+)""".r
-        val aVer = """"analyzed_version"\s*:\s*(\d+)""".r
+          .flatMap(p => Files.readString(p).split("\n"))
+          .filter(_.nonEmpty)
+        val nRowsR = """"n_rows"\s*:\s*(\d+)""".r
+        val aVerR = """"analyzed_version"\s*:\s*(\d+)""".r
+        val widthR = """"avg_width"\s*:\s*([0-9.eE+-]+)""".r
         for {
-          l <- line
-          r <- nRows.findFirstMatchIn(l).map(_.group(1).toLong)
-          av <- aVer.findFirstMatchIn(l).map(_.group(1).toInt)
+          first <- lines.headOption
+          rows <- nRowsR.findFirstMatchIn(first).map(_.group(1).toLong)
+          av <- aVerR.findFirstMatchIn(first).map(_.group(1).toInt)
           if av == v
-        } yield r
+          // stats written before avg_width existed parse as 0 known
+          // widths over >0 columns → widthComplete = false → merge-only
+          widths = lines.map(l => widthR.findFirstMatchIn(l).map(_.group(1).toDouble))
+        } yield PlannerStats(
+          rows,
+          widths.flatten.sum,
+          widths.forall(_.isDefined),
+          manifest(name, v).map(rel =>
+            try Files.size(dataDir(name).resolve(rel))
+            catch { case _: Exception => 0L }).sum)
       } catch { case _: Exception => None }
     })
   }
@@ -974,6 +1028,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(name)
     if (Files.exists(dir))
       walkAll(dir).reverse.foreach(Files.delete)
+    // version numbers restart after drop+create: purge the planner-stats
+    // cache or a recreated same-name table would plan with the old one's
+    // row count
+    invalidateStatsCache(name)
   }
 
   /** Materialize a query result as a new table (the reference's

@@ -342,10 +342,14 @@ class CatalogSqlSpec extends SparkSpec {
     // SHOW STATS serves the persisted copy; unanalyzed tables fail loud;
     // DML after ANALYZE flips the staleness flag
     val fresh = CatalogSql.exec(spark, cat, "SHOW STATS t").collect()
-    assert(fresh.length == 2 && fresh.forall(!_.getBoolean(7)))
+    assert(fresh.length == 2 && fresh.forall(!_.getAs[Boolean]("stale")))
+    // measured avg decoded width: id is fixed 8 B; v averages ~len('v28')+8
+    val aw = fresh.map(r => r.getString(0) -> r.getAs[Double]("avg_width")).toMap
+    assert(aw("id") == 8.0)
+    assert(aw("v") > 8.0 && aw("v") < 16.0, s"avg_width(v) = ${aw("v")}")
     CatalogSql.exec(spark, cat, "DELETE FROM t WHERE id = 1")
     assert(CatalogSql.exec(spark, cat, "SHOW STATS t").collect()
-      .forall(_.getBoolean(7)), "stats must flag stale after DML")
+      .forall(_.getAs[Boolean]("stale")), "stats must flag stale after DML")
     CatalogSql.exec(spark, cat, "CREATE TABLE u (id INT)")
     val e = intercept[IllegalArgumentException] {
       CatalogSql.exec(spark, cat, "SHOW STATS u")

@@ -84,6 +84,27 @@ class ModelStoreSpec extends SparkSpec {
     assert(frozenIvf.nonEmpty && frozenIvf == inlineIvf)
   }
 
+  test("frozen IVF-PQ quantizer indexes vectors added AFTER the build") {
+    val dir = tmpDir("ivfpqgrow")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nlist = 8, m = 4, kc = 8, iters = 2, dir = dir)
+    // a post-build batch: clones of existing vectors under fresh ids —
+    // each clone lands in its source's cluster and, sharing its exact
+    // vector, must appear among the query's nearest by ADC distance
+    val grown = emb.unionByName(
+      emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    val got = Similarity.ivfPqTopKWithIndex(spark, dir, grown,
+        "vec_id", "embedding", nprobe = 3, k = 5,
+        queryPred = col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { q =>
+      assert(got.contains((q, q + 1000000L)),
+        s"clone of query $q (added after the index build) missing from its top-k — " +
+          "the frozen quantizer failed to index the new batch")
+    }
+  }
+
   test("BPE merge table round-trips; served corpus encode == trained") {
     val docs = Tables.documents(spark, sf0001)
     val (merges, _) = graft.operators.TextOps.bpeTrain(docs, topN = 50, rounds = 4)
