@@ -207,6 +207,37 @@ object TrainingData {
       .withColumn("is_keeper", col("doc_id") === col("component"))
   }
 
+  /** Quality-aware duplicate-cluster resolution: resolve near-dup pairs
+    * into clusters and keep the HIGHEST-QUALITY member of each (ties by
+    * smaller id), instead of [[dupClusters]]' min-id keeper — the
+    * representative-selection policy production dedup pipelines actually
+    * ship (keep the longest / best-scored copy, drop the rest). Output is
+    * one row per CORPUS document: (id, component, n_members, is_kept),
+    * with singletons (docs in no pair) as their own kept component.
+    *
+    * Scale shape: the ranking window runs ONLY over cluster members —
+    * a table bounded by the dup-pair endpoint count, typically a small
+    * fraction of the corpus — while singletons take a linear left-anti
+    * hash join with no window. Never sorts or windows the full corpus.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame, id: String, quality: Column,
+      pairs: DataFrame, a: String, b: String): DataFrame = {
+    val comp = connectedComponents(pairs, a, b).withColumnRenamed("node", id)
+    val members = docs.select(col(id), quality.as("__q")).join(comp, Seq(id))
+    val w = Window.partitionBy("component")
+    val rk = Window.partitionBy("component").orderBy(col("__q").desc, col(id))
+    val clustered = members.select(
+      col(id), col("component"),
+      count(lit(1)).over(w).as("n_members"),
+      (row_number().over(rk) === 1).as("is_kept"))
+    val singletons = docs.select(col(id))
+      .join(comp.select(id), Seq(id), "left_anti")
+      .select(col(id), col(id).as("component"),
+        lit(1L).as("n_members"), lit(true).as("is_kept"))
+    clustered.unionByName(singletons)
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram with a benchmark/eval set — the standard pre-training
     * contamination check (the reason eval numbers stay meaningful). Grams
@@ -229,6 +260,38 @@ object TrainingData {
       .join(hits, Seq(id), "left")
       .select(col(id), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Graded form of [[decontaminate]]: per-document contamination REPORT —
+    * distinct n-gram count, benchmark-overlapping gram count, and the
+    * overlap fraction quantized to integer micros — rather than a boolean
+    * flag. This is the threshold-tuning artifact: pipelines pick the
+    * "contaminated" cutoff from this distribution (e.g. PaLM's ≥70%
+    * 8-gram overlap rule), and auditors report it per eval suite.
+    * Same cost shape as [[decontaminate]]: broadcast benchmark gram set,
+    * one linear scan + per-doc partial agg of the training side.
+    */
+  def contaminationOverlap(
+      docs: DataFrame, benchmark: DataFrame, id: String, text: Column,
+      n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(
+      col(id),
+      explode(TextFunctions.wordShingles(text, n)).as("g"))
+      .select(col(id), TextFunctions.tokenHash60(col("g")).as("h"))
+    val benchGrams = grams(benchmark).select("h").distinct()
+    val per = grams(docs)
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    docs.select(col(id))
+      .join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        floor(when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_hits"), lit(0L)) * lit(1000000.0) / col("n_grams"))
+          .otherwise(lit(0.0)) + lit(0.5)).cast("long").as("overlap_micros"))
   }
 
   /** Fuzzy decontamination: flag training documents whose shingle-set
@@ -450,6 +513,63 @@ object TrainingData {
       .select(col(id), col(source), col("n_tok"))
   }
 
+  /** Repetition-aware corpus mixture — the data-constrained-LM recipe
+    * (Muennighoff et al., "Scaling Data-Constrained Language Models"):
+    * each source's token quota is a REPETITION FACTOR × its available
+    * tokens, so factors > 1 replicate the source for ⌊factor⌋ full epochs
+    * and fill the fractional remainder with a deterministic hash-ordered
+    * prefix (the same cumsum discipline as [[mixtureSample]]). Output is
+    * one row per (doc, epoch): `(id, source, epoch, n_tok)`, epoch 0-based,
+    * the partial epoch carrying index ⌊factor⌋.
+    *
+    * Scale shape: per-source totals are a 1-row-per-source aggregate
+    * joined back as a broadcast; full epochs are a codegen'd
+    * `explode(sequence(...))` — linear in OUTPUT size, no shuffle; the
+    * partial epoch reuses the bounded two-level cumsum (bucket offsets
+    * window over ≤`buckets` rows per source, in-bucket window over one
+    * bucket's rows) — never a corpus-wide total-order sort.
+    */
+  def mixtureWithEpochs(
+      df: DataFrame, source: String, id: String, tokens: Column,
+      repetition: Map[String, Double], buckets: Int = 4096): DataFrame = {
+    require(repetition.values.forall(m => m >= 0 && !m.isNaN && !m.isInfinite),
+      s"repetition factors must be finite and >= 0, got ${repetition.filterNot {
+        case (_, m) => m >= 0 && !m.isNaN && !m.isInfinite
+      }}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rtab = repetition.toSeq.toDF(source, "__mult")
+    val h = TextFunctions.tokenHash60(col(id).cast("string"))
+    val base = df
+      .select(col(id), col(source), tokens.as("__toks"), h.as("__h"))
+      .select(col(id), col(source), size(col("__toks")).cast("long").as("n_tok"),
+        col("__h"), pmod(col("__h"), lit(buckets)).as("__b"))
+    val totals = base.groupBy(source).agg(sum("n_tok").as("__tot"))
+    // repetition factors restricted to exact binary fractions (quarters in
+    // the registered query) keep __rem float-exact on both engines
+    val quota = broadcast(rtab.join(totals, source)
+      .select(col(source),
+        floor(col("__mult")).cast("long").as("__full"),
+        ((col("__mult") - floor(col("__mult"))) * col("__tot")).as("__rem")))
+    val fullRows = base.join(quota, source)
+      .filter(col("__full") > 0)
+      .select(col(id), col(source), col("n_tok"),
+        explode(sequence(lit(0L), col("__full") - 1)).as("epoch"))
+    val wB = Window.partitionBy(source).orderBy("__b")
+    val offsets = base.groupBy(col(source), col("__b"))
+      .agg(sum("n_tok").as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(wB) - col("__bt"))
+      .drop("__bt")
+    val wIn = Window.partitionBy(source, "__b").orderBy(col("__h"), col(id))
+    val partial = base.join(offsets, Seq(source, "__b"))
+      .withColumn("__start",
+        col("__off") + sum(col("n_tok")).over(wIn) - col("n_tok"))
+      .join(quota, source)
+      .filter(col("__start") < col("__rem"))
+      .select(col(id), col(source), col("n_tok"), col("__full").as("epoch"))
+    fullRows.unionByName(partial)
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Oracle edge set: exact 3-shingle Jaccard ≥ 0.8 pairs — proven equal to
@@ -523,6 +643,40 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- quality-aware cluster resolution: keep the highest-n_chars
+    // member per near-dup cluster (ties → smaller id) — the
+    // representative-selection stage; singletons pass through kept.
+    // Oracle = recursive-CTE components + the same argmax window ----
+    Q(
+      "dedup_cluster_keep_best",
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT ea AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, e.eb FROM reach JOIN edges e ON e.ea = reach.r),
+         |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+         |ranked AS (SELECT d.doc_id, c.component,
+         |    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
+         |    ROW_NUMBER() OVER (PARTITION BY c.component
+         |                       ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, component, n_members, rk = 1 AS is_kept FROM ranked
+         |UNION ALL
+         |SELECT d.doc_id, d.doc_id AS component, CAST(1 AS BIGINT) AS n_members,
+         |  TRUE AS is_kept
+         |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+         |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDupPairs(
+        docs, "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
+      keepBestPerCluster(docs, "doc_id", col("n_chars"), pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    },
+
     // ---- benchmark decontamination: every 50th doc plays the eval set;
     // training docs sharing any 5-gram with it are flagged. Broadcast
     // semi-join on hashed grams — the training side is scanned once ----
@@ -545,6 +699,39 @@ object TrainingData {
     ) { (s, d) =>
       val docs = Tables.documents(s, d)
       decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", col("text"), 5)
+        .orderBy("doc_id")
+    },
+
+    // ---- graded contamination report: per-doc distinct-5-gram count,
+    // benchmark-overlap count, and quantized overlap fraction — the
+    // distribution the "contaminated" cutoff is tuned from ----
+    Q(
+      "decontaminate_overlap",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(toks) >= 5 THEN
+        |           list_transform(generate_series(1, len(toks) - 4),
+        |             i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        |         ELSE [] END)) AS g FROM t),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |per AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |        FROM sh s LEFT JOIN bench b ON b.g = s.g
+        |        WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(FLOOR(CASE WHEN COALESCE(p.n_grams, 0) > 0
+        |       THEN COALESCE(p.n_hits, 0) * 1000000.0 / p.n_grams
+        |       ELSE 0.0 END + 0.5) AS BIGINT) AS overlap_micros
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      contaminationOverlap(
         docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "doc_id", col("text"), 5)
@@ -803,6 +990,43 @@ object TrainingData {
         Tables.documents(s, d), "source", "doc_id",
         TextFunctions.tokens(col("text")), weights, totalTokenBudget = 3000)
         .orderBy("doc_id")
+    },
+
+    // ---- repetition-aware mixture: srcN repeats (N%4)*0.75 + 0.5 epochs
+    // (0.5 / 1.25 / 2.0 / 2.75 — exact binary quarters, so the
+    // fractional-remainder threshold is float-exact on both engines).
+    // Full epochs replicate every doc; the partial epoch is the
+    // hash-ordered prefix under the same cumsum as corpus_mixture ----
+    Q(
+      "corpus_mixture_epochs",
+      """WITH t AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |q AS (SELECT source, SUM(n_tok) AS tot,
+        |    (CAST(substr(source, 4) AS INTEGER) % 4) * 0.75 + 0.5 AS mult
+        |  FROM t GROUP BY source),
+        |qq AS (SELECT source, CAST(FLOOR(mult) AS BIGINT) AS nfull,
+        |    (mult - FLOOR(mult)) * tot AS rem FROM q),
+        |full_rows AS (SELECT t.doc_id, t.source, t.n_tok,
+        |    unnest(range(qq.nfull)) AS epoch
+        |  FROM t JOIN qq USING (source)),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h % 4096, h, doc_id) - n_tok AS strt
+        |  FROM t),
+        |part_rows AS (SELECT c.doc_id, c.source, c.n_tok, qq.nfull AS epoch
+        |  FROM c JOIN qq USING (source) WHERE c.strt < qq.rem)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tok
+        |FROM (SELECT * FROM full_rows UNION ALL SELECT * FROM part_rows)
+        |ORDER BY doc_id, epoch""".stripMargin,
+    ) { (s, d) =>
+      val reps = (0 until 20).map(i => s"src$i" -> ((i % 4) * 0.75 + 0.5)).toMap
+      mixtureWithEpochs(
+        Tables.documents(s, d), "source", "doc_id",
+        TextFunctions.tokens(col("text")), reps)
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"),
+          col("n_tok"))
+        .orderBy("doc_id", "epoch")
     },
 
     // ---- PII scrub: emails / IPv4s / phone-shaped numbers → typed

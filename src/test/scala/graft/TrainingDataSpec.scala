@@ -367,4 +367,84 @@ class TrainingDataSpec extends SparkSpec {
       assert(math.abs(share - rate / 1e6) < 0.15, s"$lang share $share vs rate $rate")
     }
   }
+
+  test("keepBestPerCluster keeps the best-quality member; singletons pass through") {
+    // docs 1..6; cluster {1,2,3} (chain), cluster {5,6}, singleton 4
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L), (5L, 7L), (6L, 7L),
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = TrainingData.keepBestPerCluster(docs, "doc_id", col("q"), pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, 3L, false)), 2L -> ((1L, 3L, true)), 3L -> ((1L, 3L, false)),
+      4L -> ((4L, 1L, true)), // singleton: own component, kept
+      5L -> ((5L, 2L, true)), 6L -> ((5L, 2L, false)), // quality tie → smaller id
+    ))
+  }
+
+  test("mixtureWithEpochs: full epochs replicate, fractional epoch is a hash prefix") {
+    // 4 docs of 10 tokens per source; a: 1.25 epochs, b: 0.5, c: 2.0
+    val docs = (for {
+      s <- Seq("a", "b", "c"); i <- 0 until 4
+    } yield (s + i, s, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "source", "text")
+    val out = TrainingData.mixtureWithEpochs(
+      docs, "source", "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+      Map("a" -> 1.25, "b" -> 0.5, "c" -> 2.0))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val bySource = out.groupBy(_._2)
+    // a: one full epoch (4 rows, epoch 0) + rem = 0.25*40 = 10 tokens → exactly
+    // the first hash-ordered doc at epoch 1
+    assert(bySource("a").count(_._3 == 0L) == 4)
+    assert(bySource("a").count(_._3 == 1L) == 1)
+    // b: no full epoch; rem = 20 tokens → exactly 2 docs, all at epoch 0
+    assert(bySource("b").map(_._3).toSet == Set(0L) && bySource("b").length == 2)
+    // c: exactly two full epochs, no partial
+    assert(bySource("c").length == 8 &&
+      bySource("c").groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(Seq(0L, 1L))))
+  }
+
+  test("keepBestPerCluster with constant quality ≡ dupClusters (min-id keeper)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 25L).toDF("doc_id")
+    val best = TrainingData.keepBestPerCluster(
+      docs, "doc_id", lit(1L), edges, "doc_a", "doc_b")
+      .filter(col("n_members") > 1) // restrict to clustered docs
+      .select("doc_id", "component", "n_members", "is_kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val minId = TrainingData.dupClusters(edges, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(best == minId)
+  }
+
+  test("mixtureWithEpochs rejects negative / non-finite repetition factors") {
+    val docs = Seq(("a0", "a", "t t t")).toDF("doc_id", "source", "text")
+    for (bad <- Seq(-0.5, Double.NaN, Double.PositiveInfinity)) {
+      intercept[IllegalArgumentException] {
+        TrainingData.mixtureWithEpochs(
+          docs, "source", "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+          Map("a" -> bad))
+      }
+    }
+  }
+
+  test("contaminationOverlap reports gram counts and quantized overlap fraction") {
+    // doc 1: 6 tokens → 2 distinct 5-grams, one shared with the benchmark;
+    // doc 2: 4 tokens → no 5-grams; doc 3: exact copy of the benchmark doc
+    val train = Seq(
+      (1L, "a b c d e f"), (2L, "x y z w"), (3L, "a b c d e"),
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val out = TrainingData.contaminationOverlap(train, bench, "doc_id", col("text"), 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 500000L)), // 1 of 2 grams hit → 0.5 → 500000 micros
+      2L -> ((0L, 0L, 0L)), // too short: no grams, fraction defined as 0
+      3L -> ((1L, 1L, 1000000L)), // full overlap
+    ))
+  }
 }
