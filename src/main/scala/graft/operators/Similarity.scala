@@ -332,6 +332,55 @@ object Similarity {
     corpus.select(col(id),
       graft.plans.VectorKernels.l2ArgMin(col(vec), cents).as("cluster"))
 
+  /** Greedy k-center coreset (farthest-point traversal, the 2-approx
+    * k-center heuristic; the diverse-subset-selection stage of
+    * embedding-based data curation — pick k maximally-spread exemplars,
+    * then study/assign the corpus by its nearest exemplar). Seed = the
+    * minimum-id vector; each round adds the vector FARTHEST (max min
+    * squared-L2, quantized to 6 decimals, ties → smaller id) from the
+    * centers chosen so far. Output: every corpus vector with its nearest
+    * chosen center, the quantized distance, and an `is_center` flag.
+    *
+    * Scale shape: k−1 selection rounds, each ONE linear scan evaluating
+    * ≤k codegen-fold center distances per row and reducing via a 1-row
+    * TakeOrdered — centers live driver-side as model state (k×dim
+    * doubles, the same contract as [[kMeansCentroids]]); no shuffle
+    * anywhere. Total work O(k²·n·dim) — the standard greedy k-center
+    * cost; for k beyond a few hundred, switch to the sampled/hierarchical
+    * variant rather than growing k linearly with the corpus.
+    *
+    * Distances are quantized (ROUND(·,6)) BEFORE every comparison on both
+    * engines, so selection and assignment are engine-portable; duplicate
+    * vectors tie at distance 0 and resolve by id deterministically.
+    */
+  def kCenterCoreset(
+      corpus: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vd = VectorFunctions.asDouble(col(vec))
+    def distTo(center: Seq[Double]): Column =
+      round(aggregate(
+        zip_with(vd, array(center.map(lit): _*), (x, m) => (x - m) * (x - m)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    val seed = corpus.orderBy(col(id)).limit(1)
+      .select(col(id).cast("long"), vd).collect()(0)
+    var centers = Vector(seed.getLong(0) -> seed.getSeq[Double](1).toVector)
+    for (_ <- 2 to k) {
+      val mind = centers.map(c => distTo(c._2)).reduce(least(_, _))
+      val next = corpus
+        .select(col(id).cast("long").as("__i"), vd.as("__v"), mind.as("__mind"))
+        .orderBy(col("__mind").desc, col("__i")).limit(1).collect()(0)
+      centers = centers :+ (next.getLong(0) -> next.getSeq[Double](1).toVector)
+    }
+    val byCenter = centers.map { case (cid, cv) =>
+      struct(distTo(cv).as("d"), lit(cid).as("c"))
+    }
+    corpus
+      .select(col(id), element_at(array_sort(array(byCenter: _*)), 1).as("__best"))
+      .select(col(id),
+        col("__best.c").as("nearest_center"), col("__best.d").as("dist_r"),
+        col(id).isin(centers.map(_._1): _*).as("is_center"))
+  }
+
   /** Shared CTE chain replaying [[kMeansAssign]] in SQL: unrolled Lloyd
     * rounds ending in `kassign(vec_id, cluster)`. `k` is a SQL expression
     * (a literal for the fixed-k rows; a COUNT(*)-derived scalar subquery
@@ -360,6 +409,45 @@ object Similarity {
        |  SELECT vec_id, cl,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
        |  FROM final_d) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of [[kCenterCoreset]]: unrolled greedy rounds — each
+    * round's argmax over the running quantized min-distance (ties →
+    * smaller id) picks the next center — then nearest-center assignment
+    * over all k per-center distance tables.
+    */
+  private[graft] def kCenterOracleSql(k: Int): String = {
+    val rounds = (1 until k).map { i =>
+      s"""s$i AS (SELECT vec_id AS cid FROM (
+         |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY mind DESC, vec_id) AS rn
+         |    FROM m${i - 1}) WHERE rn = 1),
+         |c$i AS (SELECT pos, x FROM ev WHERE vec_id = (SELECT cid FROM s$i)),
+         |d$i AS (SELECT ev.vec_id, ROUND(SUM((ev.x - c.x)*(ev.x - c.x)), 6) AS dist
+         |        FROM ev JOIN c$i c ON c.pos = ev.pos GROUP BY 1),
+         |m$i AS (SELECT m.vec_id, LEAST(m.mind, d.dist) AS mind
+         |        FROM m${i - 1} m JOIN d$i d ON d.vec_id = m.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val allD = (0 until k).map(i =>
+      s"SELECT vec_id, (SELECT cid FROM s$i) AS cid, dist FROM d$i")
+      .mkString("\n  UNION ALL ")
+    val centIds = (0 until k).map(i => s"SELECT cid FROM s$i").mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |s0 AS (SELECT MIN(vec_id) AS cid FROM embeddings),
+       |c0 AS (SELECT pos, x FROM ev WHERE vec_id = (SELECT cid FROM s0)),
+       |d0 AS (SELECT ev.vec_id, ROUND(SUM((ev.x - c.x)*(ev.x - c.x)), 6) AS dist
+       |       FROM ev JOIN c0 c ON c.pos = ev.pos GROUP BY 1),
+       |m0 AS (SELECT vec_id, dist AS mind FROM d0),
+       |$rounds,
+       |alld AS (
+       |  $allD),
+       |assign AS (SELECT vec_id, cid AS nearest_center, dist AS dist_r FROM (
+       |    SELECT vec_id, cid, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM alld) WHERE rn = 1)
+       |SELECT a.vec_id, a.nearest_center, a.dist_r,
+       |  a.vec_id IN ($centIds) AS is_center
+       |FROM assign a ORDER BY a.vec_id""".stripMargin
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found by
@@ -1133,6 +1221,14 @@ object Similarity {
     // build. Oracle replays seeds → rounds → final argmin in SQL ----
     Q("kmeans_assign", kMeansOracleSql(8, 2)) { (s, d) =>
       kMeansAssign(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+    },
+
+    // ---- greedy k-center coreset (k=8): diverse-exemplar selection by
+    // farthest-point traversal; every vector assigned to its nearest
+    // chosen exemplar. Oracle unrolls the greedy rounds ----
+    Q("coreset_kcenter", kCenterOracleSql(8)) { (s, d) =>
+      kCenterCoreset(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+        .orderBy("vec_id")
     },
 
     // ---- SemDeDup: cluster with the SAME k-means build, then exact

@@ -570,6 +570,55 @@ object TrainingData {
     fullRows.unionByName(partial)
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its hashed-unigram features are
+    * under a TARGET domain's distribution than under the raw corpus
+    * distribution — sum over tokens of
+    * `ln(p_target(bucket)) − ln(p_raw(bucket))` with add-1 smoothing over
+    * `buckets` hash buckets — and flag documents above the corpus-mean
+    * score as selected. This is the domain-selection stage: given a small
+    * high-quality target (e.g. one language / curated subset), rank the
+    * whole corpus by target-likeness without training a classifier.
+    *
+    * Scale shape: ONE tokenize pass feeds both the bucket-count aggregate
+    * (≤ `buckets` rows → the broadcast model) and the per-doc rescore
+    * join; the selection threshold is a 1-row broadcast aggregate, never
+    * a global sort. Per-token log terms come out of IEEE-identical `ln`
+    * on integer-derived ratios and are summed with [[graft.Det.dsum]]'s
+    * order-independent integer-micros contract, so scores are
+    * engine-portable and partitioning-independent.
+    */
+  def dsirImportance(
+      docs: DataFrame, isTarget: Column, id: String, text: Column,
+      buckets: Int = 256): DataFrame = {
+    val tok = docs
+      .select(col(id), isTarget.as("__tgt"),
+        explode(TextFunctions.tokens(text)).as("__t"))
+      .select(col(id), col("__tgt"),
+        pmod(TextFunctions.tokenHash60(col("__t")), lit(buckets.toLong)).as("__b"))
+    val counts = tok.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__ct"))
+    val totals = counts.agg(sum("__cr").as("__tr"), sum("__ct").as("__tt"))
+    val model = broadcast(counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((col("__ct") + 1).cast("double") / (col("__tt") + buckets))
+          - log((col("__cr") + 1).cast("double") / (col("__tr") + buckets)))
+          .as("__lw")))
+    val scored = tok.join(model, "__b")
+      .groupBy(col(id))
+      .agg(graft.Det.dsum(col("__lw")).as("sum_logw"),
+        count(lit(1)).as("n_tok"))
+    val thr = broadcast(scored.agg(graft.Det.davg(col("sum_logw")).as("__mean")))
+    docs.select(col(id)).join(scored, Seq(id), "left")
+      .crossJoin(thr)
+      .select(col(id),
+        coalesce(col("sum_logw"), lit(0.0)).as("sum_logw"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        (coalesce(col("sum_logw"), lit(0.0)) > col("__mean")).as("selected"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Oracle edge set: exact 3-shingle Jaccard ≥ 0.8 pairs — proven equal to
@@ -1027,6 +1076,41 @@ object TrainingData {
         .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"),
           col("n_tok"))
         .orderBy("doc_id", "epoch")
+    },
+
+    // ---- DSIR importance scoring: hashed-unigram log-likelihood ratio
+    // of target (lang = 'en') vs raw corpus, add-1 smoothing over 256
+    // buckets; selected = above corpus-mean score. ln() is IEEE-identical
+    // cross-engine (lm_unigram_score contract); Det.dsum micros keep the
+    // per-doc sums order-independent ----
+    Q(
+      "dsir_importance",
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+         |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |counts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+         |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+         |    CAST(SUM(ct) AS BIGINT) AS tt FROM counts),
+         |model AS (SELECT b,
+         |    ln((ct + 1.0) / (tt + 256)) - ln((cr + 1.0) / (tr + 256)) AS lw
+         |  FROM counts CROSS JOIN tot),
+         |sc AS (SELECT doc_id, ${graft.Det.dsumSql("lw")} AS sum_logw,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM tok JOIN model USING (b) GROUP BY doc_id),
+         |m AS (SELECT ${graft.Det.davgSql("sum_logw")} AS mean_w FROM sc)
+         |SELECT d.doc_id,
+         |  COALESCE(sc.sum_logw, 0.0) AS sum_logw,
+         |  CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS n_tok,
+         |  COALESCE(sc.sum_logw, 0.0) > m.mean_w AS selected
+         |FROM documents d LEFT JOIN sc USING (doc_id) CROSS JOIN m
+         |ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      dsirImportance(
+        Tables.documents(s, d), col("lang") === "en", "doc_id", col("text"))
+        .orderBy("doc_id")
     },
 
     // ---- PII scrub: emails / IPv4s / phone-shaped numbers → typed

@@ -189,6 +189,44 @@ class ExtensionSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1, "k-means degenerated to one cluster")
   }
 
+  test("kCenterCoreset: farthest-point invariant and exact-coverage radius") {
+    // 2-D points with an obvious spread: seed is min id (0); the farthest
+    // point from (0,0) is (10,10); then (0,9) joins before anything close in
+    val pts = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(10f, 10f)),
+      (3L, Seq(0f, 9f)), (4L, Seq(9f, 10f)),
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .kCenterCoreset(pts, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val centers = out.filter(_._4).map(_._1).toSet
+    assert(centers == Set(0L, 2L, 3L), s"got $centers")
+    // every center is its own nearest center at distance 0
+    out.filter(_._4).foreach { case (id, nc, d, _) => assert(nc == id && d == 0.0) }
+    // non-centers: 1 → (0,0) at 1; 4 → (10,10) at 1
+    assert(out(1) == ((1L, 0L, 1.0, false)))
+    assert(out(4) == ((4L, 2L, 1.0, false)))
+    // greedy 2-approx sanity: coverage radius shrinks as k grows
+    val r3 = out.map(_._3).max
+    val r2 = graft.operators.Similarity.kCenterCoreset(pts, "vec_id", "embedding", 2)
+      .collect().map(_.getDouble(2)).max
+    assert(r3 <= r2)
+  }
+
+  test("kCenterCoreset is deterministic and rejects k < 1") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def run() = graft.operators.Similarity
+      .kCenterCoreset(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val a = run(); val b = run()
+    assert(a.sameElements(b))
+    assert(a.count(_._3) == 4, "exactly k centers flagged")
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.kCenterCoreset(emb, "vec_id", "embedding", 0)
+    }
+  }
+
   test("semanticNearDupPairs ≡ exact cosine pairs restricted to same cluster (sf0.001)") {
     val emb = Tables.embeddings(spark, sf0001)
     val cluster = graft.operators.Similarity

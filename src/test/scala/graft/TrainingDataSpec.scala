@@ -431,6 +431,25 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("dsirImportance ranks target-vocabulary docs above off-target docs") {
+    // target docs speak "alpha beta", off-target docs "gamma delta";
+    // mixed doc sits in between — scores must order tgt > mixed > off
+    val docs = Seq(
+      (1L, true, "alpha beta alpha beta alpha beta"),
+      (2L, true, "beta alpha beta alpha beta alpha"),
+      (3L, false, "gamma delta gamma delta gamma delta"),
+      (4L, false, "delta gamma delta gamma delta gamma"),
+      (5L, false, "alpha beta gamma delta alpha beta"),
+    ).toDF("doc_id", "tgt", "text")
+    val out = TrainingData.dsirImportance(docs, col("tgt"), "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 > out(5L)._1 && out(5L)._1 > out(3L)._1)
+    // pure-target docs are selected, pure-off-target docs are not
+    assert(out(1L)._2 && out(2L)._2 && !out(3L)._2 && !out(4L)._2)
+    // identical texts (up to token order) score identically: bag-of-buckets
+    assert(out(1L)._1 == out(2L)._1 && out(3L)._1 == out(4L)._1)
+  }
+
   test("contaminationOverlap reports gram counts and quantized overlap fraction") {
     // doc 1: 6 tokens → 2 distinct 5-grams, one shared with the benchmark;
     // doc 2: 4 tokens → no 5-grams; doc 3: exact copy of the benchmark doc
