@@ -268,6 +268,32 @@ object DataQuality {
         .select("lang", "len_bucket", "n_rows", "n_sources", "diverse")
         .orderBy("lang", "len_bucket")
     },
+
+    // ---- PSI drift report: doc-length distribution of split A
+    // (doc_id%2=0) vs split B, 10 equal-width 100-char buckets, add-1
+    // smoothing; per-bucket contribution in micros ----
+    Q(
+      "dq_psi_drift",
+      """WITH t AS (SELECT
+        |    LEAST(GREATEST(CAST(n_chars // 100 AS BIGINT), 0), 9) AS bucket,
+        |    doc_id % 2 = 0 AS a FROM documents),
+        |c AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |    CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT bucket, n_a, n_b,
+        |  CAST(FLOOR(((n_a + 1.0) / (ta + 10) - (n_b + 1.0) / (tb + 10))
+        |    * ln(((n_a + 1.0) / (ta + 10)) / ((n_b + 1.0) / (tb + 10)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS psi_micros
+        |FROM c CROSS JOIN tot ORDER BY bucket""".stripMargin,
+    ) { (s, d) =>
+      psiDrift(
+        Tables.documents(s, d),
+        expr("CAST(n_chars AS BIGINT) DIV 100"),
+        pmod(col("doc_id"), lit(2)) === 0, buckets = 10)
+    },
   )
 
   /** Suppress rows whose quasi-identifier combination appears fewer than
@@ -282,5 +308,41 @@ object DataQuality {
     df.withColumn("__gsz", count(lit(1)).over(w))
       .filter(col("__gsz") >= k)
       .drop("__gsz")
+  }
+
+  /** Population Stability Index drift report between two row populations
+    * of the same table (old vs new snapshot, train vs serve, split A vs
+    * B): per feature bucket, both counts and the bucket's add-1-smoothed
+    * PSI contribution `(p_a − p_b)·ln(p_a/p_b)` in integer micros. The
+    * standard drift gate (Σ contributions: < 0.1 stable, > 0.25 action)
+    * over any bucketed feature.
+    *
+    * Scale shape: ONE scan + one ≤`buckets`-row aggregate (both
+    * populations counted in the same pass via `sum(when(split))`), then
+    * arithmetic on the bucket table joined with a 1-row totals broadcast —
+    * cost is a single keyed aggregation regardless of table size.
+    * Smoothing keeps buckets empty on one side finite (the classic PSI
+    * divide-by-zero); `ln` on integer-derived ratios + micros
+    * quantization keep the report engine-portable.
+    */
+  def psiDrift(
+      df: DataFrame, bucket: Column, inA: Column,
+      buckets: Int = 10): DataFrame = {
+    val counts = df
+      .select(least(greatest(bucket.cast("long"), lit(0L)), lit(buckets - 1L))
+        .as("bucket"), inA.as("__a"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__a"), lit(1L)).otherwise(lit(0L))).as("n_a"),
+        sum(when(col("__a"), lit(0L)).otherwise(lit(1L))).as("n_b"))
+    val totals = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__pa",
+        (col("n_a") + 1).cast("double") / (col("__ta") + buckets))
+      .withColumn("__pb",
+        (col("n_b") + 1).cast("double") / (col("__tb") + buckets))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        floor((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("psi_micros"))
+      .orderBy("bucket")
   }
 }

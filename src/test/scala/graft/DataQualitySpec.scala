@@ -85,4 +85,28 @@ class DataQualitySpec extends SparkSpec {
     assert(ids(3) == Set(1, 2, 3))
     assert(ids(4) == Set.empty)
   }
+
+  test("psiDrift: identical populations score zero, planted shift is loud") {
+    import graft.operators.DataQuality
+    // identical A/B per bucket → p_a == p_b → every contribution exactly 0
+    val same = (0 until 40).map(i => (i.toLong % 4, (i / 4) % 2 == 0))
+      .toDF("b", "a")
+    val zero = DataQuality.psiDrift(same, col("b"), col("a"), buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(zero.forall { case (_, na, nb, psi) => na == nb && psi == 0L })
+    // planted shift: A all in bucket 0, B all in bucket 3 → both buckets
+    // carry large positive contributions (PSI contributions are
+    // sign-symmetric: (pa-pb)ln(pa/pb) > 0 whenever pa != pb)
+    val shifted = ((0 until 20).map(_ => (0L, true)) ++
+      (0 until 20).map(_ => (3L, false))).toDF("b", "a")
+    val drift = DataQuality.psiDrift(shifted, col("b"), col("a"), buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(drift(0L) > 250000L && drift(3L) > 250000L,
+      s"planted shift must exceed the 0.25 action threshold per bucket: $drift")
+    // out-of-range buckets clamp instead of dropping rows
+    val clamped = DataQuality.psiDrift(
+      Seq((-5L, true), (99L, false)).toDF("b", "a"), col("b"), col("a"), buckets = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(clamped == Set(0L, 3L))
+  }
 }
