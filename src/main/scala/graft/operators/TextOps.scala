@@ -300,6 +300,38 @@ object TextOps {
        |$roundCtes""".stripMargin
   }
 
+  /** Vocabulary-coverage audit: per-group out-of-vocabulary token rate of
+    * a held-out corpus against a frequency vocabulary learned from a
+    * train split (top `vocabSize` tokens, ties broken lexically) — the
+    * pre-training check that a tokenizer/vocab choice actually covers the
+    * corpus it will serve, reported where it varies (per source, per
+    * language). OOV fraction is quantized to integer micros.
+    *
+    * Scale shape: the vocabulary is a model-sized top-k (TakeOrdered over
+    * a token aggregate) broadcast against ONE linear scan of the held-out
+    * side; per-group rates come from the same pass's aggregate. No
+    * corpus-sized shuffle beyond the token count.
+    */
+  def oovRateReport(
+      train: DataFrame, heldOut: DataFrame, group: String, text: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val vocab = train
+      .select(explode(TextFunctions.tokens(text)).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__t")).limit(vocabSize)
+      .select(col("__t"), lit(1L).as("__in"))
+    heldOut
+      .select(col(group), explode(TextFunctions.tokens(text)).as("__t"))
+      .join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(group)
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__in").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_micros",
+        floor(col("n_oov") * lit(1000000.0) / col("n_tok") + lit(0.5)).cast("long"))
+      .orderBy(group)
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- BPE merge learning, relationally (see [[bpeTrain]]): 6 merge
     // rounds over the top-150 word vocabulary; the oracle replays every
@@ -394,6 +426,37 @@ object TextOps {
         TextFunctions.regexTokenCount(col("text")).as("n_rx_tokens"),
         TextFunctions.fingerprintMd5(col("text")).as("fp"),
       ).orderBy("doc_id")
+    },
+
+    // ---- vocabulary-coverage audit: top-16 frequency vocab learned on a
+    // hash-split train side (id-hash % 10 < 8 — the fixture's doc_id%20
+    // IS the source, so a modular split would leave only 4 held-out
+    // sources), per-source OOV rate on the held-out 20%. 16 of the
+    // fixture's 31 distinct tokens → real OOV mass in every source ----
+    Q(
+      "oov_rate_report",
+      """WITH sp AS (SELECT source, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS sl
+        |  FROM documents),
+        |tr AS (SELECT unnest(string_split(text, ' ')) AS t FROM sp WHERE sl < 8),
+        |v AS (SELECT t FROM (SELECT t, COUNT(*) AS f FROM tr GROUP BY 1
+        |      ORDER BY f DESC, t LIMIT 16)),
+        |ho AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM sp WHERE sl >= 8)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(FLOOR(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1000000.0
+        |    / COUNT(*) + 0.5) AS BIGINT) AS oov_micros
+        |FROM ho LEFT JOIN v ON v.t = ho.t
+        |GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val slot = pmod(
+        TextFunctions.tokenHash60(col("doc_id").cast("string")), lit(10L))
+      oovRateReport(
+        docs.filter(slot < 8),
+        docs.filter(slot >= 8),
+        "source", col("text"), vocabSize = 16)
     },
 
     // ---- corpus-level token frequency (top 50) ----

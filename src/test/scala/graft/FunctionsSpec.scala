@@ -651,4 +651,19 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs((1L, 10000001L)) == 2L)
     assert(pairs((18L, 10000018L)) == 1L)
   }
+
+  test("oovRateReport: vocab top-k by freq (ties lexical), exact per-group rates") {
+    // train: 'a' ×3, 'b' ×2, 'c' ×2 — top-2 vocab = {a, b} (c ties b,
+    // loses lexically); held-out g1 = 'a b c d' → 2/4 OOV, g2 = 'a a' → 0
+    val train = Seq((1L, "a a a b"), (2L, "b c c")).toDF("doc_id", "text")
+    val ho = Seq(("g1", "a b c d"), ("g2", "a a")).toDF("grp", "text")
+    val out = graft.operators.TextOps
+      .oovRateReport(train, ho, "grp", col("text"), vocabSize = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map("g1" -> ((4L, 2L, 500000L)), "g2" -> ((2L, 0L, 0L))))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.oovRateReport(train, ho, "grp", col("text"), 0)
+    }
+  }
 }

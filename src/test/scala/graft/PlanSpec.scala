@@ -228,7 +228,9 @@ class PlanSpec extends SparkSpec {
       "graph_pagerank", // 1-row node-count scalar broadcast per iteration
       "stream_heavy_hitters", // 1-row streamed CMS sketch broadcast (32 KiB)
       "q_bloom_semi_reduction", // 1-row bloom sketch broadcast (128 KiB)
-      "corpus_lang_balance") // 1-row min-language-count scalar broadcast
+      "corpus_lang_balance", // 1-row min-language-count scalar broadcast
+      "dsir_importance", // 1-row bucket-totals + 1-row mean-score scalars
+      "dq_psi_drift") // 1-row population-totals scalar broadcast
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
