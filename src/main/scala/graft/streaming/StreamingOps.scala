@@ -377,6 +377,64 @@ object StreamingOps {
       })
     }.orderBy("event_type", "hour_start")
 
+  /** Streaming drift monitor: per event-time hour, the Population
+    * Stability Index of that hour's value-bucket distribution against a
+    * STATIC baseline distribution (here the whole table's, computed
+    * batch-side — in deployment an offline snapshot) — the serving-side
+    * companion of [[graft.operators.DataQuality.psiDrift]]: an alert
+    * fires when an hour's psi_micros crosses the 0.25 gate.
+    *
+    * Event-time windows make the report micro-batch-boundary-independent
+    * (the reconciliation contract every stream row here obeys): the
+    * stream only maintains per-(hour, bucket) counts — bounded state, 10
+    * buckets × open hours — and the PSI arithmetic runs batch-side on the
+    * materialized counts against the broadcast 10-row baseline. Bucket
+    * contributions are micros-quantized BEFORE the per-hour integer sum,
+    * so the report is order-independent and engine-portable.
+    */
+  def streamPsiDrift(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(spark, sfDir) { stageDir =>
+      def bucketOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        least(greatest(floor(v / 20).cast("long"), lit(0L)), lit(9L))
+      val perWin = runToFiles(spark, "stream_psi", { session =>
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), bucketOf(col("value")).as("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("window.start").cast(TimestampNTZType).as("hour_start"),
+            col("bucket"), col("c"))
+        (stream, org.apache.spark.sql.streaming.OutputMode.Complete())
+      })
+      val base = spark.read.schema(eventsSchema).parquet(stageDir)
+        .select(bucketOf(col("value")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cb"))
+      val dom = spark.range(10).select(col("id").as("bucket"))
+      val basef = dom.join(base, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("cb"), lit(0L)).as("cb"))
+      val tot = basef.agg(sum("cb").as("nt"))
+      val full = perWin.select("hour_start").distinct()
+        .crossJoin(broadcast(dom))
+        .join(perWin, Seq("hour_start", "bucket"), "left")
+        .select(col("hour_start"), col("bucket"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val hn = full.groupBy("hour_start").agg(sum("c").as("n_events"))
+      val psi = full.join(hn, "hour_start")
+        .join(broadcast(basef), "bucket")
+        .crossJoin(broadcast(tot))
+        .withColumn("__p", (col("c") + 1).cast("double") / (col("n_events") + 10))
+        .withColumn("__q", (col("cb") + 1).cast("double") / (col("nt") + 10))
+        .withColumn("__pm",
+          floor((col("__p") - col("__q")) * log(col("__p") / col("__q"))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy("hour_start").agg(sum("__pm").as("psi_micros"))
+      psi.join(hn, "hour_start")
+        .select(col("hour_start"), col("n_events"), col("psi_micros"))
+        .orderBy("hour_start")
+    }
+
   /** Streaming SLIDING-window aggregation (2 h windows every 30 min):
     * each event lands in size/slide = 4 overlapping windows — the window
     * type [[hourlyCountsStreaming]]'s tumbling case can't express
@@ -657,6 +715,37 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
     )(hourlyCountsStreaming),
+
+    // ---- streaming drift monitor: per-hour PSI of the value-bucket
+    // distribution vs the static whole-table baseline; per-bucket
+    // contributions micros-quantized before the integer per-hour sum ----
+    Q(
+      "stream_psi_drift",
+      """WITH e AS (SELECT DATE_TRUNC('hour', ts) AS hour_start,
+        |    CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) AS bucket
+        |  FROM events),
+        |hb AS (SELECT hour_start, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |dom AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bucket),
+        |hrs AS (SELECT DISTINCT hour_start FROM e),
+        |f AS (SELECT h.hour_start, d.bucket, COALESCE(hb.c, 0) AS c
+        |  FROM hrs h CROSS JOIN dom d
+        |  LEFT JOIN hb ON hb.hour_start = h.hour_start AND hb.bucket = d.bucket),
+        |hn AS (SELECT hour_start, CAST(SUM(c) AS BIGINT) AS n_events
+        |  FROM f GROUP BY 1),
+        |bs AS (SELECT d.bucket, COALESCE(b.cb, 0) AS cb FROM dom d
+        |  LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cb
+        |             FROM e GROUP BY 1) b USING (bucket)),
+        |tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS nt FROM bs),
+        |pm AS (SELECT f.hour_start,
+        |    CAST(FLOOR(((f.c + 1.0) / (hn.n_events + 10) - (bs.cb + 1.0) / (tot.nt + 10))
+        |      * ln(((f.c + 1.0) / (hn.n_events + 10)) / ((bs.cb + 1.0) / (tot.nt + 10)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM f JOIN hn USING (hour_start) JOIN bs USING (bucket) CROSS JOIN tot)
+        |SELECT p.hour_start, hn.n_events, CAST(SUM(p.v) AS BIGINT) AS psi_micros
+        |FROM pm p JOIN hn USING (hour_start)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    )(streamPsiDrift),
 
     // ---- sliding windows (every event in 4 overlapping 2h/30m windows):
     // the oracle enumerates each event's window starts explicitly —

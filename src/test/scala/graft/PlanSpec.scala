@@ -230,7 +230,8 @@ class PlanSpec extends SparkSpec {
       "q_bloom_semi_reduction", // 1-row bloom sketch broadcast (128 KiB)
       "corpus_lang_balance", // 1-row min-language-count scalar broadcast
       "dsir_importance", // 1-row bucket-totals + 1-row mean-score scalars
-      "dq_psi_drift") // 1-row population-totals scalar broadcast
+      "dq_psi_drift", // 1-row population-totals scalar broadcast
+      "stream_psi_drift") // 10-row bucket domain + 1-row totals broadcasts
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

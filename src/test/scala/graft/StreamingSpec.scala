@@ -303,4 +303,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((1L, 6L)), "cross-batch probe path must fire")
     assert(streamed.contains((2L, 14L)), "within-batch path must fire")
   }
+
+  test("stream PSI drift: non-negative per hour, events fully accounted") {
+    val out = graft.streaming.StreamingOps.streamPsiDrift(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // PSI contributions (p−q)·ln(p/q) are pointwise ≥ 0, so every hourly
+    // sum of quantized contributions must be ≥ −10 (10 buckets × the
+    // half-micro floor rounding) and realistically ≥ 0
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= -10L), "PSI must be non-negative up to rounding")
+    assert(out.exists(_._2 > 0L), "fixture hours must show some drift")
+    // every event lands in exactly one hour
+    val total = Tables.events(spark, sf0001).count()
+    assert(out.map(_._1).sum == total)
+  }
 }
