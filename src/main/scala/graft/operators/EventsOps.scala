@@ -68,6 +68,38 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- the INCREMENTAL distinct pattern: per-partition DataSketches
+    // HLL sketches (the persistable state a 100 TB pipeline stores per
+    // day/partition instead of raw ids), merged at query time with
+    // hll_union_agg. Two contracts: the merged estimate lands within
+    // tolerance of exact, and merging the SAME corpus sketched under two
+    // different partitionings (by day vs by event_type) yields the
+    // IDENTICAL estimate — union state is a function of the item set,
+    // not the split (the property that makes stored sketches composable) ----
+    Q(
+      "distinct_hll_partitioned_check",
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol, TRUE AS merge_invariant FROM events""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val byDay = ev.groupBy(expr("ts_ns div 86400000000000").as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val byType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val eDay = byDay.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as("e_day"))
+      val eType = byType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as("e_type"))
+      ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .crossJoin(broadcast(eDay)).crossJoin(broadcast(eType))
+        .select(col("n_exact"),
+          (abs(col("e_day") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.15).as("within_tol"),
+          (col("e_day") === col("e_type")).as("merge_invariant"))
+    },
+
     // ---- W1: row_number ranking, keep top-3 per user — bench headline ----
     Q(
       "window_rank",

@@ -211,4 +211,25 @@ class EventsSpec extends SparkSpec {
       assert(df.filter(col("max_concurrency") < 1).count() === 0L)
     } finally df.unpersist()
   }
+
+  test("HLL sketches survive parquet persistence: stored-state union == live union") {
+    // the incremental-distinct story: per-day sketches are STORED (binary
+    // parquet column), later batches' sketches union against them without
+    // re-reading raw ids — estimate must be identical to the live union
+    val ev = Tables.events(spark, sf0001)
+    val byDay = ev.groupBy(expr("ts_ns div 86400000000000").as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    def unionEstimate(df: org.apache.spark.sql.DataFrame): Long = df
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("e"))
+      .collect()(0).getLong(0)
+    val live = unionEstimate(byDay)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_").toString
+    byDay.write.mode("overwrite").parquet(dir)
+    val persisted = unionEstimate(spark.read.parquet(dir))
+    assert(persisted === live)
+    // and the estimate is a real count, not a degenerate zero
+    val exact = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(persisted - exact).toDouble / exact <= 0.15)
+  }
 }

@@ -231,7 +231,8 @@ class PlanSpec extends SparkSpec {
       "corpus_lang_balance", // 1-row min-language-count scalar broadcast
       "dsir_importance", // 1-row bucket-totals + 1-row mean-score scalars
       "dq_psi_drift", // 1-row population-totals scalar broadcast
-      "stream_psi_drift") // 10-row bucket domain + 1-row totals broadcasts
+      "stream_psi_drift", // 10-row bucket domain + 1-row totals broadcasts
+      "distinct_hll_partitioned_check") // two 1-row merged-sketch scalars
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
