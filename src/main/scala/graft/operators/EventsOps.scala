@@ -100,6 +100,100 @@ object EventsOps {
           (col("e_day") === col("e_type")).as("merge_invariant"))
     },
 
+    // ---- audience-overlap via KMV (bottom-k) sketches: distinct-user
+    // INTERSECTION estimates between segment pairs — the set operation
+    // HLL cannot deliver without inclusion-exclusion error blowup.
+    // Segment = users with a value≥100 event of each type; sketch = the
+    // k=64 smallest md5-derived user hashes per segment (a window top-k
+    // here; the skew-safe 100 TB form is a partial bottom-k aggregate);
+    // for each pair, τ = k-th smallest of the combined sketch set,
+    // D_union = (k−1)·2⁶⁰/τ, J = |both-sketch hashes ≤ τ|/k,
+    // D_inter = J·D_union — with the exact small-set branch when the
+    // combined set never fills k. Every step is deterministic integer /
+    // IEEE arithmetic, so the ORACLE REPLAYS THE SKETCH HASH-EXACTLY
+    // (not an accuracy waiver); sf0.001 exercises the exact branch,
+    // sf0.01/0.1 the estimator branch ----
+    Q(
+      "audience_overlap_kmv",
+      """WITH seg AS (SELECT DISTINCT event_type, user_id FROM events WHERE value >= 100),
+        |h AS (SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM seg),
+        |sk AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+        |    FROM h) WHERE rn <= 64),
+        |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM sk GROUP BY 1),
+        |prs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM sz a JOIN sz b ON a.event_type < b.event_type),
+        |comb AS (
+        |  SELECT p.ta, p.tb, s.h FROM prs p JOIN sk s ON s.event_type = p.ta
+        |  UNION
+        |  SELECT p.ta, p.tb, s.h FROM prs p JOIN sk s ON s.event_type = p.tb),
+        |rc AS (SELECT ta, tb, h,
+        |    ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM comb),
+        |st AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_comb,
+        |    MAX(CASE WHEN rn = 64 THEN h END) AS tau FROM rc GROUP BY 1, 2),
+        |ir AS (SELECT p.ta, p.tb, sa.h
+        |  FROM prs p JOIN sk sa ON sa.event_type = p.ta
+        |            JOIN sk sb ON sb.event_type = p.tb AND sb.h = sa.h),
+        |ia AS (SELECT ir.ta, ir.tb, CAST(COUNT(*) AS BIGINT) AS n_is,
+        |    CAST(SUM(CASE WHEN ir.h <= st.tau THEN 1 ELSE 0 END) AS BIGINT) AS ik
+        |  FROM ir JOIN st USING (ta, tb) GROUP BY 1, 2)
+        |SELECT st.ta, st.tb, sa.n AS n_a, sb.n AS n_b, st.n_comb,
+        |  CASE WHEN st.n_comb < 64 THEN COALESCE(ia.n_is, 0)
+        |    ELSE CAST(FLOOR((COALESCE(ia.ik, 0) / 64.0)
+        |      * (63.0 * 1152921504606846976.0 / CAST(st.tau AS DOUBLE)) + 0.5) AS BIGINT)
+        |  END AS inter_est,
+        |  CASE WHEN st.n_comb < 64 THEN st.n_comb
+        |    ELSE CAST(FLOOR(63.0 * 1152921504606846976.0 / CAST(st.tau AS DOUBLE) + 0.5) AS BIGINT)
+        |  END AS union_est
+        |FROM st LEFT JOIN ia USING (ta, tb)
+        |JOIN sz sa ON sa.event_type = st.ta JOIN sz sb ON sb.event_type = st.tb
+        |ORDER BY st.ta, st.tb""".stripMargin,
+    ) { (s, d) =>
+      val k = 64
+      val kNum = 63.0 * 1152921504606846976.0 // (k−1)·2⁶⁰, exact in double
+      val seg = Tables.events(s, d).filter(col("value") >= 100)
+        .select(col("event_type"), col("user_id")).distinct()
+      val hashed = seg.select(col("event_type"), col("user_id"),
+        graft.functions.TextFunctions.tokenHash60(col("user_id").cast("string")).as("h"))
+      val wT = Window.partitionBy("event_type").orderBy(col("h"), col("user_id"))
+      val sk = hashed.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= k).select(col("event_type"), col("h"))
+      val sz = sk.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val prs = sz.select(col("event_type").as("ta"))
+        .join(sz.select(col("event_type").as("tb")), col("ta") < col("tb"))
+      val comb = prs.join(sk.withColumnRenamed("event_type", "ta"), "ta")
+        .select("ta", "tb", "h")
+        .unionByName(prs.join(sk.withColumnRenamed("event_type", "tb"), "tb")
+          .select("ta", "tb", "h"))
+        .distinct()
+      val wc = Window.partitionBy("ta", "tb").orderBy("h")
+      val st = comb.withColumn("rn", row_number().over(wc))
+        .groupBy("ta", "tb").agg(
+          count(lit(1)).as("n_comb"),
+          max(when(col("rn") === k, col("h"))).as("tau"))
+      val ir = prs
+        .join(sk.select(col("event_type").as("ta"), col("h")), Seq("ta"))
+        .join(sk.select(col("event_type").as("tb"), col("h")), Seq("tb", "h"))
+      val ia = ir.join(st, Seq("ta", "tb"))
+        .groupBy("ta", "tb").agg(
+          count(lit(1)).as("n_is"),
+          sum(when(col("h") <= col("tau"), lit(1L)).otherwise(lit(0L))).as("ik"))
+      val dUnion = lit(kNum) / col("tau").cast("double")
+      st.join(ia, Seq("ta", "tb"), "left")
+        .join(sz.select(col("event_type").as("ta"), col("n").as("n_a")), "ta")
+        .join(sz.select(col("event_type").as("tb"), col("n").as("n_b")), "tb")
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_comb"),
+          when(col("n_comb") < k, coalesce(col("n_is"), lit(0L)))
+            .otherwise(floor((coalesce(col("ik"), lit(0L)) / lit(64.0))
+              * dUnion + lit(0.5)).cast("long")).as("inter_est"),
+          when(col("n_comb") < k, col("n_comb"))
+            .otherwise(floor(dUnion + lit(0.5)).cast("long")).as("union_est"))
+        .orderBy("ta", "tb")
+    },
+
     // ---- W1: row_number ranking, keep top-3 per user — bench headline ----
     Q(
       "window_rank",

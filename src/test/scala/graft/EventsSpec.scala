@@ -232,4 +232,38 @@ class EventsSpec extends SparkSpec {
     val exact = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
     assert(math.abs(persisted - exact).toDouble / exact <= 0.15)
   }
+
+  test("audience_overlap_kmv: small sets are exact; estimator tracks true overlap") {
+    // the exact branch (combined set < k) on the sf0.001 fixture: every
+    // pair's inter/union_est must equal the true set sizes
+    val ev = Tables.events(spark, sf0001)
+    val seg = ev.filter(col("value") >= 100)
+      .select("event_type", "user_id").distinct()
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rows = SparkEntry.queries("audience_overlap_kmv")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ta, tb, interEst, unionEst) =>
+      assert(interEst == (seg(ta) & seg(tb)).size.toLong, s"exact-branch inter $ta/$tb")
+      assert(unionEst == (seg(ta) | seg(tb)).size.toLong, s"exact-branch union $ta/$tb")
+    }
+    // estimator branch at sf0.01 (segments > k=64): inter_est within 50%
+    // of truth — a gross-breakage gate, not a tightness claim (k=64 KMV
+    // RSE is ~13% on the union and compounding on the intersection)
+    val sf001 = "/root/testdata/sf0.01"
+    val ev2 = Tables.events(spark, sf001)
+    val seg2 = ev2.filter(col("value") >= 100)
+      .select("event_type", "user_id").distinct()
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    SparkEntry.queries("audience_overlap_kmv")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4), r.getLong(5)))
+      .foreach { case (ta, tb, nComb, interEst) =>
+        assert(nComb >= 64L, "sf0.01 must exercise the estimator branch")
+        val exact = (seg2(ta) & seg2(tb)).size.toDouble
+        assert(math.abs(interEst - exact) / exact <= 0.5,
+          s"$ta/$tb est $interEst vs exact $exact")
+      }
+  }
 }
