@@ -97,4 +97,35 @@ class RobustnessSpec extends SparkSpec {
     assert(got.count() == 150)
     assert(got.select(countDistinct(col("id"))).collect()(0).getLong(0) == 150)
   }
+
+  test("curation operators degrade cleanly on empty inputs") {
+    import spark.implicits._
+    import graft.operators.{TrainingData, TextOps}
+    val docs = Seq((1L, "a b c", 5L), (2L, "d e f", 6L)).toDF("doc_id", "text", "n_chars")
+    // no near-dup pairs → every doc is its own kept singleton
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val kept = TrainingData.keepBestPerCluster(
+      docs, "doc_id", col("n_chars"), noPairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(kept == Set((1L, 1L, 1L, true), (2L, 2L, 1L, true)))
+    // empty benchmark → zero hits, zero overlap, full gram counts
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ov = TrainingData.contaminationOverlap(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), emptyBench,
+      "doc_id", col("text"), 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ov.sameElements(Array((1L, 0L, 0L))))
+    // empty target → every bucket's target count is 0; scores are finite
+    // (smoothing) and the report still covers every doc
+    val dsir = TrainingData.dsirImportance(docs, lit(false), "doc_id", col("text"))
+      .collect()
+    assert(dsir.length == 2 && dsir.forall(r => !r.getDouble(1).isNaN))
+    // empty train side → empty vocab → everything OOV at rate 1e6
+    val oov = TextOps.oovRateReport(
+      emptyBench.select(col("doc_id"), col("text")),
+      Seq(("g", "x y")).toDF("grp", "text"), "grp", col("text"), 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(oov.sameElements(Array((2L, 2L, 1000000L))))
+  }
 }
