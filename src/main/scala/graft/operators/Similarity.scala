@@ -496,6 +496,82 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Contrastive triplet mining for embedding-model training: for every
+    * ANCHOR that has a semantic near-duplicate (cosine ≥ `posThreshold`
+    * within its k-means cluster), emit `(anchor, positive, negative)`
+    * where the negative is the HARD one — the same-cluster vector with
+    * the highest cosine strictly below `negMargin` (maximally confusable
+    * yet clearly not a duplicate; ties → smaller id). Anchors whose
+    * cluster holds no sub-margin vector drop out (no valid negative).
+    *
+    * Scale shape: one same-cluster pair join (bounded per cluster by the
+    * k ∝ n sizing, `k = ⌈n/targetClusterSize⌉` — same contract as
+    * [[semanticNearDupPairsScaled]]) computes every candidate cosine
+    * ONCE; positives filter it, negatives take one row_number window per
+    * anchor over the same bounded candidate set. No corpus-wide window,
+    * no second pairwise pass.
+    */
+  def contrastiveTriplets(
+      corpus: DataFrame, id: String, vec: String, targetClusterSize: Int,
+      iters: Int, posThreshold: Double, negMargin: Double): DataFrame = {
+    require(targetClusterSize > 0, s"targetClusterSize must be > 0, got $targetClusterSize")
+    require(negMargin < posThreshold,
+      s"negMargin ($negMargin) must sit below posThreshold ($posThreshold)")
+    val k = math.max(
+      math.ceil(corpus.count() / targetClusterSize.toDouble).toInt, 1)
+    val assign = kMeansAssign(corpus, id, vec, k, iters)
+      .select(col(id), col("cluster"))
+    val v = corpus.join(assign, id)
+    val sims = v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && col(s"a.$id") =!= col(s"b.$id"))
+      .select(col(s"a.$id").as("anchor"), col(s"b.$id").as("other"),
+        col("a.cluster").as("cluster"),
+        VectorFunctions.cosine(col(s"a.$vec"), col(s"b.$vec")).as("sim"))
+    val positives = sims.filter(col("sim") >= posThreshold)
+      .select(col("anchor"), col("other").as("positive"), col("cluster"),
+        col("sim").as("sim_pos"))
+    val wN = Window.partitionBy("anchor").orderBy(col("sim").desc, col("other"))
+    val negatives = sims.filter(col("sim") < negMargin)
+      .withColumn("rn", row_number().over(wN)).filter(col("rn") === 1)
+      .select(col("anchor"), col("other").as("negative"), col("sim").as("sim_neg"))
+    positives.join(negatives, "anchor")
+      .select(col("anchor"), col("positive"), col("negative"), col("cluster"),
+        round(col("sim_pos"), 6).as("sim_pos_r"),
+        round(col("sim_neg"), 6).as("sim_neg_r"))
+      .orderBy("anchor", "positive")
+  }
+
+  /** DuckDB replay of [[contrastiveTriplets]]: the scaled Lloyd chain,
+    * ALL same-cluster directed-pair cosines once, then the positive
+    * filter and the per-anchor hardest-negative window.
+    */
+  private[graft] def contrastiveOracleSql(
+      targetClusterSize: Int, iters: Int, pos: Double, neg: Double): String =
+    s"""WITH ${kMeansCtes(
+         s"(SELECT CAST(CEIL(COUNT(*) / $targetClusterSize.0) AS BIGINT) FROM embeddings)",
+         iters)},
+       |vn AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+       |cp AS (SELECT a.vec_id AS anchor, b.vec_id AS other, a.cluster AS cl
+       |       FROM kassign a JOIN kassign b
+       |         ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |dots AS (SELECT p.anchor, p.other, p.cl, SUM(ea.x * eb.x) AS dot
+       |         FROM cp p JOIN ev ea ON ea.vec_id = p.anchor
+       |                   JOIN ev eb ON eb.vec_id = p.other AND eb.pos = ea.pos
+       |         GROUP BY 1, 2, 3),
+       |sims AS (SELECT anchor, other, cl, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
+       |         FROM dots JOIN vn na ON na.vec_id = anchor
+       |                   JOIN vn nb ON nb.vec_id = other),
+       |pos AS (SELECT anchor, other AS positive, cl, sim AS sim_pos
+       |        FROM sims WHERE sim >= $pos),
+       |neg AS (SELECT anchor, other AS negative, sim AS sim_neg FROM (
+       |    SELECT anchor, other, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY sim DESC, other) AS rn
+       |    FROM sims WHERE sim < $neg) WHERE rn = 1)
+       |SELECT p.anchor, p.positive, n.negative, p.cl AS cluster,
+       |  ROUND(p.sim_pos, 6) AS sim_pos_r, ROUND(n.sim_neg, 6) AS sim_neg_r
+       |FROM pos p JOIN neg n USING (anchor)
+       |ORDER BY anchor, positive""".stripMargin
+
   /** The k ∝ n contract of [[semanticNearDupPairs]] as code: k =
     * ⌈n / targetClusterSize⌉, so EXPECTED cluster size stays constant as
     * the corpus grows and the per-cluster quadratic stays bounded — the
@@ -1254,6 +1330,15 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("cluster"),
           round(col("sim"), 6).as("sim_r"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- contrastive triplet mining: anchors with a near-dup positive
+    // (cos ≥ 0.4) paired with their hardest same-cluster negative
+    // (max cos < 0.1); k ∝ n clustering, every candidate cosine once ----
+    Q("contrastive_triplets", contrastiveOracleSql(64, 2, 0.4, 0.1)) { (s, d) =>
+      contrastiveTriplets(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        targetClusterSize = 64, iters = 2, posThreshold = 0.4, negMargin = 0.1)
     },
 
     // ---- the REAL IVF path end-to-end: k-means index → probe → rank.

@@ -227,6 +227,32 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("contrastiveTriplets: planted positive/negative structure, invariants on fixture") {
+    // one cluster: 0≈1 (near-dup positive), 2 ⟂ both (the only negative)
+    val pts = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0f, 1f)),
+    ).toDF("vec_id", "embedding")
+    val t = graft.operators.Similarity.contrastiveTriplets(
+      pts, "vec_id", "embedding", targetClusterSize = 64, iters = 2,
+      posThreshold = 0.4, negMargin = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.sameElements(Array((0L, 1L, 2L), (1L, 0L, 2L))),
+      s"got ${t.mkString(",")}") // vec 2 has no positive → no anchor row
+    // fixture invariants: margins respected, roles distinct
+    val rows = SparkEntry.queries("contrastive_triplets")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a != p && a != n && p != n)
+      assert(r.getDouble(4) >= 0.4 && r.getDouble(5) < 0.1)
+    }
+    // guard: inverted margins rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.contrastiveTriplets(
+        pts, "vec_id", "embedding", 64, 2, posThreshold = 0.1, negMargin = 0.4)
+    }
+  }
+
   test("semanticNearDupPairs ≡ exact cosine pairs restricted to same cluster (sf0.001)") {
     val emb = Tables.embeddings(spark, sf0001)
     val cluster = graft.operators.Similarity
