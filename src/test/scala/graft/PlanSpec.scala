@@ -232,7 +232,8 @@ class PlanSpec extends SparkSpec {
       "dsir_importance", // 1-row bucket-totals + 1-row mean-score scalars
       "dq_psi_drift", // 1-row population-totals scalar broadcast
       "stream_psi_drift", // 10-row bucket domain + 1-row totals broadcasts
-      "distinct_hll_partitioned_check") // two 1-row merged-sketch scalars
+      "distinct_hll_partitioned_check", // two 1-row merged-sketch scalars
+      "audience_overlap_kmv") // segment-count-row (5) type-pair enumeration
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
@@ -249,6 +250,19 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.optimizedPlan.toString
     // the only broadcast HINT left in the logical plan is the 1-row scalar
     assert(plan.split("\n").count(_.contains("ResolvedHint")) <= 1)
+  }
+
+  test("dsir_importance: AQE reuses the scored-table exchange (one tokenize pass)") {
+    // the per-doc score table feeds BOTH the corpus left-join and the
+    // 1-row mean threshold; without exchange reuse the tokenize+model
+    // join would run twice. AQE must canonicalize the two subtrees to one
+    // exchange at runtime — assert on the EXECUTED adaptive plan.
+    val df = SparkEntry.queries("dsir_importance")(spark, sf0001)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      "expected AQE exchange reuse of the scored subtree:\n" +
+        executed.linesIterator.take(40).mkString("\n"))
   }
 
   test("approx_count_distinct lands within its rsd bound of the exact count") {
