@@ -533,6 +533,45 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // ---- VARIANT semi-structured access (Spark 4): nested JSON (planted
+    // deterministically — objects, arrays, mixed types) parsed ONCE to
+    // the binary VARIANT encoding, then typed-path extraction with
+    // variant_get. The 100 TB contract: props land AS VARIANT at ingest
+    // and every later query pays typed binary access, never a per-query
+    // string re-parse (what get_json_object costs in q_json_extract).
+    // Oracle = DuckDB JSON path extraction over the same planted text ----
+    Q(
+      "q_variant_extract",
+      """WITH j AS (SELECT event_type,
+        |    '{"u":{"id":' || CAST(user_id AS VARCHAR)
+        |      || ',"tags":["t' || CAST(user_id % 5 AS VARCHAR)
+        |      || '"]},"k":' || CAST(json_extract_string(props, '$.k') AS VARCHAR)
+        |      || '}' AS js
+        |  FROM events)
+        |SELECT event_type,
+        |  json_extract_string(js, '$.u.tags[0]') AS tag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(js, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(DISTINCT CAST(json_extract_string(js, '$.u.id') AS BIGINT)) AS BIGINT)
+        |    AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (s, d) =>
+      val js = concat(
+        lit("""{"u":{"id":"""), col("user_id").cast("string"),
+        lit(""","tags":["t"""), pmod(col("user_id"), lit(5)).cast("string"),
+        lit(""""]},"k":"""), get_json_object(col("props"), "$.k"), lit("}"))
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(js).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.u.tags[0]", "string").as("tag"),
+          variant_get(col("v"), "$.u.id", "bigint").as("uid"),
+          variant_get(col("v"), "$.k", "bigint").as("k"))
+        .groupBy("event_type", "tag")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("uid")).as("n_users"))
+        .orderBy("event_type", "tag")
+    },
+
     // ---- as-of join: for each purchase, the latest view by the same user
     // at-or-before it (the point-in-time feature-backfill primitive; see
     // operators.AsOfJoin for the single-shuffle union-trick plan). All
