@@ -896,6 +896,47 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- dead-letter ingest: every 10th doc's n_chars is corrupted to a
+    // non-numeric string in the staged CSV; the quarantine decoder routes
+    // those rows (raw, with _reason = 'n_chars') to the dead-letter table
+    // and commits the rest. Report = both paths in one result ----
+    Q(
+      "catalog_ingest_quarantine",
+      """SELECT status, lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN status = 'good' THEN CAST(n_chars AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS total_chars
+        |FROM (SELECT CASE WHEN doc_id % 10 = 7 THEN 'dead' ELSE 'good' END AS status,
+        |      lang, n_chars FROM documents)
+        |GROUP BY status, lang ORDER BY status, lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      val dirty = docs.withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(10)) === 7,
+          concat(lit("bad"), col("doc_id").cast("string")))
+          .otherwise(col("n_chars").cast("string")))
+      val csvDir = s"$wh/csv_dirty"
+      dirty.write.option("header", "true").option("escape", "\"").csv(csvDir)
+      cat.create("docs_q", docs.schema)
+      cat.create("docs_dead", org.apache.spark.sql.types.StructType(
+        docs.schema.fields.map(f => org.apache.spark.sql.types.StructField(
+          f.name, org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField(
+            "_reason", org.apache.spark.sql.types.StringType)))
+      cat.insertCsvQuarantine("docs_q", "docs_dead", csvDir)
+      val good = cat.table("docs_q")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"))
+        .select(lit("good").as("status"), col("lang"), col("n_rows"), col("total_chars"))
+      val dead = cat.table("docs_dead")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("dead").as("status"), col("lang"), col("n_rows"),
+          lit(0L).as("total_chars"))
+      good.unionByName(dead).orderBy("status", "lang")
+    },
+
     // ---- ORC ingest round-trip: stage the fixture as ORC, ingest through
     // the schema-directed decoder, and prove the content survived with the
     // same per-lang profile + byte-exact text fingerprint as the CSV path.

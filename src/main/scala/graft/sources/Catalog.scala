@@ -738,6 +738,57 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     insert(name, preprocess(raw))
   }
 
+  /** CSV ingest with a DEAD-LETTER path: every row whose raw text fails a
+    * `try_cast` to the target schema goes — uncorrupted, as the original
+    * strings plus a `_reason` column naming the failing columns — to the
+    * `quarantine` table instead of poisoning the ingest or silently
+    * nulling (what a plain schema-directed read does to bad cells). The
+    * standard 100 TB ingest contract: the good path commits, the bad path
+    * stays replayable for repair, and BOTH are one split of a single
+    * scan — no second pass over the input. Returns (inserted, quarantined).
+    *
+    * The quarantine table must pre-exist with the target's column NAMES
+    * as string columns plus `_reason` string (validated loudly). Raw
+    * NULLs are not failures — NOT NULL requiredness belongs to the
+    * table's constraints, not the decoder.
+    */
+  def insertCsvQuarantine(
+      name: String, quarantine: String, path: String,
+      options: Map[String, String] =
+        Map("header" -> "true", "escape" -> "\"", "multiLine" -> "true"))
+      : (Long, Long) = {
+    val target = schema(name)
+    val qSchema = schema(quarantine)
+    require(
+      target.fields.map(_.name).forall(n =>
+        qSchema.fields.exists(f => f.name == n &&
+          f.dataType == org.apache.spark.sql.types.StringType)) &&
+        qSchema.fields.exists(f => f.name == "_reason" &&
+          f.dataType == org.apache.spark.sql.types.StringType),
+      s"quarantine table '$quarantine' must carry ${name}'s columns as " +
+        "strings plus a _reason string column")
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      target.fields.map(f => org.apache.spark.sql.types.StructField(
+        f.name, org.apache.spark.sql.types.StringType, nullable = true)))
+    val raw = spark.read.options(options).schema(rawSchema).csv(path)
+    def tryCast(f: org.apache.spark.sql.types.StructField) =
+      expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
+    def cellBad(f: org.apache.spark.sql.types.StructField) =
+      col(f.name).isNotNull && tryCast(f).isNull
+    val rowBad = target.fields.map(cellBad).reduce(_ || _)
+    val good = raw.filter(!rowBad)
+      .select(target.fields.map(f => tryCast(f).as(f.name)).toSeq: _*)
+    val bad = raw.filter(rowBad)
+      .select(qSchema.fields.map { f =>
+        if (f.name == "_reason")
+          concat_ws(",", array_compact(array(
+            target.fields.map(tf =>
+              when(cellBad(tf), lit(tf.name))).toSeq: _*))).as("_reason")
+        else col(f.name)
+      }.toSeq: _*)
+    (insert(name, good), insert(quarantine, bad))
+  }
+
   /** Ingest ORC (interchange with ORC-producing warehouses): schema-directed
     * read — ORC is self-describing, so columns map by NAME and are cast to
     * the declared types — with optional row preprocess. Storage inside the

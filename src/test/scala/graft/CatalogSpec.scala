@@ -825,4 +825,42 @@ class CatalogSpec extends SparkSpec {
     assert(cat.tables().isEmpty)
     assert(!cat.exists("docs"))
   }
+
+  test("quarantine ingest: bad rows preserved raw with reasons, repair path re-ingests") {
+    import org.apache.spark.sql.types._
+    val cat = freshCatalog()
+    val wh = Files.createTempDirectory("graft_q_csv_").toString
+    val tgt = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType),
+      StructField("s", StringType)))
+    // row 2: bad n; row 3: bad n AND (string col can't fail) — null n is NOT bad
+    spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("1", "10", "a"),
+      org.apache.spark.sql.Row("2", "oops", "b"),
+      org.apache.spark.sql.Row("3", "1x", "c"),
+      org.apache.spark.sql.Row("4", null, "d")),
+      StructType(tgt.fields.map(f => StructField(f.name, StringType))))
+      .write.option("header", "true").csv(s"$wh/in")
+    cat.create("t", tgt)
+    cat.create("t_dead", StructType(
+      tgt.fields.map(f => StructField(f.name, StringType)) :+
+        StructField("_reason", StringType)))
+    val (good, dead) = cat.insertCsvQuarantine("t", "t_dead", s"$wh/in")
+    assert(good == 2L && dead == 2L)
+    assert(cat.table("t").filter(col("id") === 4 && col("n").isNull).count() == 1)
+    val deadRows = cat.table("t_dead")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(deadRows == Map("2" -> (("oops", "n")), "3" -> (("1x", "n"))))
+    // repair: fix the quarantined rows' raw strings and re-ingest them
+    val repaired = cat.table("t_dead")
+      .select(col("id").cast("long"), lit(99L).as("n"), col("s"))
+    cat.insert("t", repaired)
+    assert(cat.table("t").count() == 4)
+    // guard: a quarantine table without _reason is rejected loudly
+    cat.create("t_bad_dead", StructType(
+      tgt.fields.map(f => StructField(f.name, StringType))))
+    intercept[IllegalArgumentException] {
+      cat.insertCsvQuarantine("t", "t_bad_dead", s"$wh/in")
+    }
+  }
 }
