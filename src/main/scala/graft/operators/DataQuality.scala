@@ -269,6 +269,50 @@ object DataQuality {
         .orderBy("lang", "len_bucket")
     },
 
+    // ---- completeness / gap report: per event_type, expected hourly
+    // slots over the corpus's observed [min, max] hour span vs the hours
+    // actually present — the freshness/continuity audit a feed SLA runs.
+    // Expected grid = 1-row span aggregate × sequence() explode (no
+    // corpus-sized shuffle); actual = one distinct aggregate ----
+    Q(
+      "dq_completeness",
+      """WITH h AS (SELECT DISTINCT event_type, DATE_TRUNC('hour', ts) AS hr FROM events),
+        |span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+        |grid AS (SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |              FROM span) g),
+        |miss AS (SELECT g.event_type, COUNT(*) AS n_missing
+        |  FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+        |  WHERE h.hr IS NULL GROUP BY 1)
+        |SELECT t.event_type,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM grid g2
+        |   WHERE g2.event_type = t.event_type) AS n_expected,
+        |  CAST(COUNT(*) AS BIGINT) AS n_actual,
+        |  CAST(COALESCE(m.n_missing, 0) AS BIGINT) AS n_missing
+        |FROM h t LEFT JOIN miss m ON m.event_type = t.event_type
+        |GROUP BY t.event_type, m.n_missing ORDER BY t.event_type""".stripMargin,
+    ) { (s, d) =>
+      val h = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .distinct()
+      val span = h.agg(min("hr").as("h0"), max("hr").as("h1"))
+      val grid = h.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("hr"))
+      val expected = grid.groupBy("event_type").agg(count(lit(1)).as("n_expected"))
+      val actual = h.groupBy("event_type").agg(count(lit(1)).as("n_actual"))
+      val missing = grid.join(h, Seq("event_type", "hr"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n_missing"))
+      expected.join(actual, "event_type")
+        .join(missing, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_expected"), col("n_actual"),
+          coalesce(col("n_missing"), lit(0L)).as("n_missing"))
+        .orderBy("event_type")
+    },
+
     // ---- PSI drift report: doc-length distribution of split A
     // (doc_id%2=0) vs split B, 10 equal-width 100-char buckets, add-1
     // smoothing; per-bucket contribution in micros ----

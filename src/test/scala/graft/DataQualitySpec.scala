@@ -86,6 +86,18 @@ class DataQualitySpec extends SparkSpec {
     assert(ids(4) == Set.empty)
   }
 
+  test("dq_completeness: expected = actual + missing; sparse fixture has gaps") {
+    val rows = SparkEntry.queries("dq_completeness")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 5)
+    rows.foreach { case (t, exp, act, miss) =>
+      assert(exp == act + miss, s"$t: $exp != $act + $miss")
+      assert(act >= 1L)
+    }
+    // 1000 events can't fill 5 types × the full hour span: gaps must show
+    assert(rows.map(_._4).sum > 0L, "sparse fixture must report missing hours")
+  }
+
   test("psiDrift: identical populations score zero, planted shift is loud") {
     import graft.operators.DataQuality
     // identical A/B per bucket → p_a == p_b → every contribution exactly 0

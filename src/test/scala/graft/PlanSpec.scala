@@ -233,7 +233,8 @@ class PlanSpec extends SparkSpec {
       "dq_psi_drift", // 1-row population-totals scalar broadcast
       "stream_psi_drift", // 10-row bucket domain + 1-row totals broadcasts
       "distinct_hll_partitioned_check", // two 1-row merged-sketch scalars
-      "audience_overlap_kmv") // segment-count-row (5) type-pair enumeration
+      "audience_overlap_kmv", // segment-count-row (5) type-pair enumeration
+      "dq_completeness") // 1-row hour-span scalar broadcast for the grid
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
