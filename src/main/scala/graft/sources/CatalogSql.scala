@@ -123,7 +123,7 @@ object CatalogSql {
   private val ShowFunctions =
     """(?is)^SHOW\s+FUNCTIONS\s*$""".r
   private val CopyInto =
-    """(?is)^COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*$""".r
+    """(?is)^COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?(?:\s+WITH\s+QUARANTINE\s+(\w+))?\s*$""".r
   private val CopyTo =
     """(?is)^COPY\s+(\w+)\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*$""".r
 
@@ -220,7 +220,7 @@ object CatalogSql {
           History(_) | ShowTables() | ShowCreate(_) | Describe(_) |
           Analyze(_) | ShowStats(_) | CreateView(_, _, _) | DropView(_) |
           CreateMView(_, _) | RefreshMView(_) | DropMView(_) |
-          CopyInto(_, _, _) | CopyTo(_, _, _) |
+          CopyInto(_, _, _, _) | CopyTo(_, _, _) |
           CreateFunction(_, _, _) | DropFunction(_) | ShowFunctions() |
           Explain(_, _) => true
       case _ => false
@@ -512,8 +512,13 @@ object CatalogSql {
         import spark.implicits._
         cat.functions().map(f => (f, cat.functionSql(f)))
           .toDF("name", "definition")
-      case CopyInto(t, path, fmt) =>
-        val n = Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
+      case CopyInto(t, path, fmt, quarantine) =>
+        val fmtName = Option(fmt).map(_.toLowerCase).getOrElse("parquet")
+        require(quarantine == null || fmtName == "csv",
+          s"WITH QUARANTINE is a csv-decoder clause, got format $fmtName")
+        val n = fmtName match {
+          case "csv" if quarantine != null =>
+            cat.insertCsvQuarantine(t, quarantine, path)._1
           case "csv" => cat.insertCsv(t, path)
           case "json" => cat.insertJson(t, path)
           case "orc" => cat.insertOrc(t, path)

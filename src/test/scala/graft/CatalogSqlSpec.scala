@@ -604,6 +604,29 @@ class CatalogSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("format"))
   }
 
+  test("COPY INTO ... WITH QUARANTINE routes bad rows and rejects non-csv formats") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, v STRING)")
+    CatalogSql.exec(spark, cat,
+      "CREATE TABLE t_dead (id STRING, v STRING, _reason STRING)")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qcsv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"), "id,v\n1,a\nnope,b\n3,c\n")
+    val st = CatalogSql.exec(spark, cat,
+      s"COPY INTO t FROM '$dir/in.csv' FORMAT csv WITH QUARANTINE t_dead")
+      .collect()(0)
+    assert(st.getString(0) == "copy_into" && st.getLong(2) == 2L)
+    val dead = CatalogSql.exec(spark, cat,
+      "SELECT id, _reason FROM t_dead").collect()
+    assert(dead.length == 1 && dead(0).getString(0) == "nope" &&
+      dead(0).getString(1) == "id")
+    val e = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat,
+        s"COPY INTO t FROM '$dir/in.csv' FORMAT parquet WITH QUARANTINE t_dead")
+    }
+    assert(e.getMessage.contains("QUARANTINE"))
+  }
+
   test("REFRESH failure rolls the materialized view back to its prior snapshot") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE b (v BIGINT)")
