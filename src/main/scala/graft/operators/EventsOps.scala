@@ -100,6 +100,47 @@ object EventsOps {
           (col("e_day") === col("e_type")).as("merge_invariant"))
     },
 
+    // ---- rolling 7-day active users from windowed HLL-sketch union:
+    // the DAU/WAU curve, where exact rolling COUNT(DISTINCT) is the
+    // classic scale-killer (each day re-scans a week of raw ids) and the
+    // answer is per-day sketches + a frame union over the DAY-LEVEL
+    // table (tiny by construction — one row per day, so the global
+    // window is model-sized). Contract: every day's estimate within
+    // tolerance of exact, exact replayed via the explode(sequence)
+    // day-coverage trick (equi joins only, 7× linear) ----
+    Q(
+      "rolling_active_users_check",
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |cover AS (SELECT unnest(range(day, day + 7)) AS day, user_id FROM du),
+        |days AS (SELECT DISTINCT day FROM du),
+        |ex AS (SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_exact
+        |  FROM cover c JOIN days d ON d.day = c.day GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, n_exact, TRUE AS within_tol
+        |FROM ex ORDER BY day""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val du = ev.select(expr("ts_ns div 86400000000000").as("day"),
+        col("user_id")).distinct()
+      val byDay = du.groupBy("day").agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      val est = byDay.select(col("day"),
+        hll_sketch_estimate(
+          hll_union_agg(col("sk"), allowDifferentLgConfigK = false).over(w))
+          .as("est"))
+      val days = du.select("day").distinct()
+      val exact = du
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .join(days, "day")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, "day")
+        .select(col("day"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.15).as("within_tol"))
+        .orderBy("day")
+    },
+
     // ---- audience-overlap via KMV (bottom-k) sketches: distinct-user
     // INTERSECTION estimates between segment pairs — the set operation
     // HLL cannot deliver without inclusion-exclusion error blowup.
