@@ -498,6 +498,66 @@ object StreamingOps {
       })
     }.orderBy("user_id")
 
+  /** Streaming rolling-DAU: per-day HLL sketch STATE maintained
+    * incrementally (DataSketches union in `mapGroupsWithState` — the
+    * sketch, not raw ids, is the retained state, so a day's memory is
+    * fixed at ~2^lgK bytes no matter how many events arrive), then the
+    * same 7-day window union + estimate as the batch
+    * `rolling_active_users_check` over the final day-level sketch table.
+    * This is the continuous form of the DAU/WAU curve: ids are never
+    * retained beyond the micro-batch, state is mergeable and bounded,
+    * and the result is micro-batch-boundary-independent because HLL
+    * register state is a function of the per-day id SET, not arrival
+    * order or batching. Contract: every day's estimate within tolerance
+    * of the exact rolling distinct count.
+    */
+  def streamRollingDau(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(spark, sfDir) { stageDir =>
+      val perDay = runToFilesUpsert(spark, "stream_dau", Seq("day"), { session =>
+        import session.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+        session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .selectExpr("ts_ns div 86400000000000 AS day", "user_id")
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (day: Long, rows: Iterator[(Long, Long)],
+             state: GroupState[Array[Byte]]) =>
+              import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+              val u = new Union(12)
+              state.getOption.foreach(b => u.update(HllSketch.heapify(b)))
+              val batch = new HllSketch(12)
+              rows.foreach { case (_, uid) => batch.update(uid) }
+              u.update(batch)
+              val bytes = u.getResult(TgtHllType.HLL_4).toCompactByteArray
+              state.update(bytes)
+              (day, bytes)
+          }
+          .toDF("day", "sk")
+      })
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rangeBetween(-6, 0)
+      val est = perDay.select(col("day"),
+        hll_sketch_estimate(
+          hll_union_agg(col("sk"), allowDifferentLgConfigK = false).over(w))
+          .as("est"))
+      val du = spark.read.schema(eventsSchema).parquet(stageDir)
+        .selectExpr("ts_ns div 86400000000000 AS day", "user_id").distinct()
+      val days = du.select("day").distinct()
+      val exact = du
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .join(days, "day")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, "day")
+        .select(col("day").cast("long").as("day"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.15).as("within_tol"))
+        .orderBy("day")
+    }
+
   /** flatMapGroupsWithState (the 1-to-N stateful surface): per-event
     * running sequence numbers per user — emits one enriched record PER
     * INPUT row (mapGroups can only emit one per group per batch). The
@@ -715,6 +775,20 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND((value)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
     )(hourlyCountsStreaming),
+
+    // ---- streaming rolling-DAU: per-day HLL state (sketch bytes, never
+    // raw ids) + the 7-day window union; exact-contract per day ----
+    Q(
+      "stream_rolling_dau",
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |cover AS (SELECT unnest(range(day, day + 7)) AS day, user_id FROM du),
+        |days AS (SELECT DISTINCT day FROM du),
+        |ex AS (SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_exact
+        |  FROM cover c JOIN days d ON d.day = c.day GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, n_exact, TRUE AS within_tol
+        |FROM ex ORDER BY day""".stripMargin,
+    )(streamRollingDau),
 
     // ---- streaming drift monitor: per-hour PSI of the value-bucket
     // distribution vs the static whole-table baseline; per-bucket

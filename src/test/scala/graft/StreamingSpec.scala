@@ -304,6 +304,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((2L, 14L)), "within-batch path must fire")
   }
 
+  test("stream rolling DAU reconciles with the batch windowed-HLL row") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val stream = rows("stream_rolling_dau")
+    val batch = rows("rolling_active_users_check")
+    assert(stream.sameElements(batch),
+      "streaming sketch-state result must match the batch windowed-HLL row")
+    assert(stream.forall(_._3), "every day must sit within the tolerance contract")
+    assert(stream.length == 30)
+  }
+
   test("stream PSI drift: non-negative per hour, events fully accounted") {
     val out = graft.streaming.StreamingOps.streamPsiDrift(spark, sf0001)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
