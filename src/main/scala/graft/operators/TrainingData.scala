@@ -726,6 +726,52 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- dedup governance report: per source, how much the near-dup
+    // stage removes — docs in, docs kept (quality-argmax policy),
+    // survival rate in micros. The audit artifact a curation run ships
+    // next to its output; pure composition of keepBestPerCluster ----
+    Q(
+      "dedup_report_by_source",
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT ea AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, e.eb FROM reach JOIN edges e ON e.ea = reach.r),
+         |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+         |ranked AS (SELECT d.doc_id, c.component,
+         |    ROW_NUMBER() OVER (PARTITION BY c.component
+         |                       ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN comp c ON c.doc_id = d.doc_id),
+         |kept AS (SELECT doc_id FROM ranked WHERE rk = 1
+         |  UNION ALL
+         |  SELECT d.doc_id FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM comp))
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(FLOOR(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS survival_micros
+         |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDupPairs(
+        docs, "doc_id", TextFunctions.wordShingles(col("text"), 3), 0.8)
+      val kept = keepBestPerCluster(docs, "doc_id", col("n_chars"), pairs,
+        "doc_a", "doc_b")
+        .select(col("doc_id"), col("is_kept"))
+      docs.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          floor(col("n_kept") * lit(1000000.0) / col("n_docs") + lit(0.5))
+            .cast("long").as("survival_micros"))
+        .orderBy("source")
+    },
+
     // ---- benchmark decontamination: every 50th doc plays the eval set;
     // training docs sharing any 5-gram with it are flagged. Broadcast
     // semi-join on hashed grams — the training side is scanned once ----
