@@ -546,8 +546,19 @@ object TrainingData {
         col("__h"), pmod(col("__h"), lit(buckets)).as("__b"))
     val totals = base.groupBy(source).agg(sum("n_tok").as("__tot"))
     // repetition factors restricted to exact binary fractions (quarters in
-    // the registered query) keep __rem float-exact on both engines
-    val quota = broadcast(rtab.join(totals, source)
+    // the registered query) keep __rem float-exact on both engines.
+    // RIGHT join + raise_error: a source present in the data but missing
+    // from the repetition map is a silent-data-loss trap for a governance
+    // artifact (an inner join would drop it without a trace), so the job
+    // itself fails loudly naming the source — validated inside the same
+    // scan that builds the quotas, no extra validation pass.
+    val quota = broadcast(rtab.join(totals, Seq(source), "right")
+      .withColumn("__mult", when(col("__mult").isNull,
+        raise_error(concat(
+          lit("mixtureWithEpochs: source '"), col(source),
+          lit("' is present in the data but has no repetition factor; " +
+            "list every source (factor 0.0 excludes one explicitly)"))))
+        .otherwise(col("__mult")))
       .select(col(source),
         floor(col("__mult")).cast("long").as("__full"),
         ((col("__mult") - floor(col("__mult"))) * col("__tot")).as("__rem")))

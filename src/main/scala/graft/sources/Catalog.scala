@@ -359,9 +359,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     def widthAgg(f: org.apache.spark.sql.types.StructField)
         : org.apache.spark.sql.Column =
       f.dataType match {
+        // octet_length, not length: Spark holds strings as UTF-8 bytes
+        // (UTF8String), so the decoded width IS the byte count. length()
+        // counts characters and underestimates multi-byte text up to 4× —
+        // exactly the broadcast-OOM direction this estimate exists to
+        // prevent.
         case org.apache.spark.sql.types.StringType |
             org.apache.spark.sql.types.BinaryType =>
-          avg(length(col(f.name)).cast("double") + 8.0)
+          avg(octet_length(col(f.name)).cast("double") + 8.0)
         // nested types have no honest fixed width (defaultSize ignores
         // cardinality) — record unknown; the planner then refuses the
         // size-underestimate-dangerous broadcast direction for this table
@@ -744,8 +749,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * `quarantine` table instead of poisoning the ingest or silently
     * nulling (what a plain schema-directed read does to bad cells). The
     * standard 100 TB ingest contract: the good path commits, the bad path
-    * stays replayable for repair, and BOTH are one split of a single
-    * scan — no second pass over the input. Returns (inserted, quarantined).
+    * stays replayable for repair, and both splits come from ONE
+    * materialized snapshot of the input — the raw read is persisted
+    * (memory, spilling to local disk) before either sink writes, so the
+    * two insert jobs cannot observe different bytes if the source file is
+    * concurrently rewritten, and the CSV parse itself runs once. The
+    * price is staging the batch on executor-local disk — the standard
+    * exactly-once-ingest cost; batches should be sized accordingly.
+    * Returns (inserted, quarantined).
     *
     * The quarantine table must pre-exist with the target's column NAMES
     * as string columns plus `_reason` string (validated loudly). Raw
@@ -771,6 +782,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       target.fields.map(f => org.apache.spark.sql.types.StructField(
         f.name, org.apache.spark.sql.types.StringType, nullable = true)))
     val raw = spark.read.options(options).schema(rawSchema).csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def tryCast(f: org.apache.spark.sql.types.StructField) =
       expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
     def cellBad(f: org.apache.spark.sql.types.StructField) =
@@ -786,7 +798,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
               when(cellBad(tf), lit(tf.name))).toSeq: _*))).as("_reason")
         else col(f.name)
       }.toSeq: _*)
-    (insert(name, good), insert(quarantine, bad))
+    try (insert(name, good), insert(quarantine, bad))
+    finally raw.unpersist()
   }
 
   /** Ingest ORC (interchange with ORC-producing warehouses): schema-directed

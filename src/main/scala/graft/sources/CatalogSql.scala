@@ -134,11 +134,29 @@ object CatalogSql {
     * (`MAP<STRING, INT>`, `STRUCT<a: INT, b: INT>`). Angle chars are
     * counted ONLY at paren depth 0 — inside parens they are comparison
     * operators (`CHECK (v >= 0)`), and type brackets never occur inside
-    * parens in a column list — and a stray `>` at angle depth 0 is
-    * ignored rather than driving the counter negative. It must stay OFF
-    * for expression lists (SET assignments), where `<`/`>` are top-level
-    * comparison operators.
+    * parens in a column list — and a `<` only OPENS a bracket when it
+    * directly follows one of the bracketed type keywords (`ARRAY` / `MAP`
+    * / `STRUCT`), so a bare comparison in an unparenthesized DEFAULT
+    * (`f BOOLEAN DEFAULT 1 < 2, g INT`) cannot wedge the counter open and
+    * swallow every later separator. A stray `>` at angle depth 0 is
+    * likewise ignored rather than driving the counter negative. It must
+    * stay OFF for expression lists (SET assignments), where `<`/`>` are
+    * top-level comparison operators.
     */
+  private val AngleTypeKeywords = Set("ARRAY", "MAP", "STRUCT")
+
+  /** True iff the identifier word ending just before index `i` (skipping
+    * whitespace between it and the `<`) is a bracketed-type keyword.
+    */
+  private def angleOpensType(s: String, i: Int): Boolean = {
+    var j = i - 1
+    while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+    val end = j + 1
+    while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+    end > j + 1 && AngleTypeKeywords.contains(
+      s.substring(j + 1, end).toUpperCase(java.util.Locale.ROOT))
+  }
+
   private def splitTop(s: String, sep: Char, angles: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var depth = 0
@@ -152,7 +170,8 @@ object CatalogSql {
       else if (ch == '\'') inStr = true
       else if (ch == '(') depth += 1
       else if (ch == ')') depth -= 1
-      else if (angles && depth == 0 && ch == '<') angleDepth += 1
+      else if (angles && depth == 0 && ch == '<' &&
+        (angleDepth > 0 || angleOpensType(s, i))) angleDepth += 1
       else if (angles && depth == 0 && ch == '>' && angleDepth > 0) angleDepth -= 1
       else if (ch == sep && depth == 0 && angleDepth == 0) {
         out += s.substring(last, i); last = i + 1
@@ -183,9 +202,15 @@ object CatalogSql {
       case ColDefault(colDef, dflt0) =>
         // Standard ordering puts NOT NULL after DEFAULT (`x INT DEFAULT 5
         // NOT NULL`); the lazy DEFAULT capture would otherwise swallow it
-        // into the default expression and fail only at write time.
+        // into the default expression and fail only at write time. But a
+        // default expression genuinely ENDING in `IS NOT NULL` must keep
+        // its tail — stripping it would truncate `DEFAULT x IS NOT NULL`
+        // to `x IS` and wrongly mark the column non-nullable; the guard is
+        // that the stripped remainder may not end in the word IS.
         val (dflt, nullable) = dflt0.trim match {
-          case TrailingNotNull(d) => (d.trim, false)
+          case TrailingNotNull(d)
+              if !d.trim.toUpperCase(java.util.Locale.ROOT)
+                .matches("(?s).*\\bIS") => (d.trim, false)
           case d => (d, true)
         }
         val f = StructType.fromDDL(colDef).head

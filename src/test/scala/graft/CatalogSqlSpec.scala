@@ -61,6 +61,36 @@ class CatalogSqlSpec extends SparkSpec {
     assert(cat2.schema("t") == cat.schema("t"))
   }
 
+  test("column-list split survives comparison '<' in DEFAULT; IS NOT NULL default keeps its tail") {
+    val cat = freshCat()
+    // a bare '<' at depth 0 is a comparison, not a type bracket — it must
+    // not wedge the angle counter open and swallow the later separators
+    CatalogSql.exec(spark, cat,
+      """CREATE TABLE t (
+        |  f BOOLEAN DEFAULT 1 < 2,
+        |  g INT,
+        |  m MAP<STRING, INT>)""".stripMargin)
+    val s = cat.schema("t")
+    assert(s.fields.map(_.name).toSeq == Seq("f", "g", "m"))
+    assert(s("m").dataType == MapType(StringType, IntegerType))
+    assert(s("f").metadata.getString("graft.default") == "1 < 2")
+    // a default genuinely ending in IS NOT NULL keeps its tail and the
+    // column stays nullable...
+    CatalogSql.exec(spark, cat, "CREATE TABLE u (b BOOLEAN DEFAULT 1 IS NOT NULL)")
+    assert(cat.schema("u")("b").nullable)
+    assert(cat.schema("u")("b").metadata.getString("graft.default") == "1 IS NOT NULL")
+    // ...while an explicit constraint after such a default still binds
+    CatalogSql.exec(spark, cat,
+      "CREATE TABLE v (b BOOLEAN DEFAULT 1 IS NOT NULL NOT NULL)")
+    assert(!cat.schema("v")("b").nullable)
+    assert(cat.schema("v")("b").metadata.getString("graft.default") == "1 IS NOT NULL")
+    // the defaults evaluate on insert (narrower named select fills them)
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO t SELECT CAST(7 AS INT) AS g, map('k', 1) AS m")
+    val row = cat.table("t").collect()(0)
+    assert(row.getAs[Boolean]("f") && row.getAs[Int]("g") == 7)
+  }
+
   test("ALTER RENAME / ALTER TYPE (widen) / DROP TABLE route to catalog ops") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE t (id INT, v INT)")
@@ -347,6 +377,15 @@ class CatalogSqlSpec extends SparkSpec {
     val aw = fresh.map(r => r.getString(0) -> r.getAs[Double]("avg_width")).toMap
     assert(aw("id") == 8.0)
     assert(aw("v") > 8.0 && aw("v") < 16.0, s"avg_width(v) = ${aw("v")}")
+    // width is DECODED BYTES, not characters: '€' is 1 char / 3 UTF-8
+    // bytes, and UTF8String stores bytes — a char count would
+    // underestimate this column 3x, the broadcast-OOM direction
+    CatalogSql.exec(spark, cat, "CREATE TABLE w (s STRING)")
+    CatalogSql.exec(spark, cat, "INSERT INTO w VALUES ('€€€€')")
+    val aww = CatalogSql.exec(spark, cat, "ANALYZE TABLE w").collect()
+    val wi = aww(0).fieldIndex("avg_width")
+    assert(aww(0).getDouble(wi) == 20.0, // 12 bytes + 8 overhead
+      s"avg_width must count UTF-8 bytes, got ${aww(0).getDouble(wi)}")
     CatalogSql.exec(spark, cat, "DELETE FROM t WHERE id = 1")
     assert(CatalogSql.exec(spark, cat, "SHOW STATS t").collect()
       .forall(_.getAs[Boolean]("stale")), "stats must flag stale after DML")

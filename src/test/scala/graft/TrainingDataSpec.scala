@@ -431,6 +431,27 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("mixtureWithEpochs fails loudly on a source missing from the map; factor 0 excludes") {
+    val docs = Seq(("a0", "a", "t t t"), ("b0", "b", "t t"))
+      .toDF("doc_id", "source", "text")
+    // source 'b' present in the data but absent from the map: must NOT be
+    // silently dropped from the governance artifact — the job fails
+    // naming the source
+    val ex = intercept[Exception] {
+      TrainingData.mixtureWithEpochs(
+        docs, "source", "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+        Map("a" -> 1.0)).collect()
+    }
+    assert(ex.getMessage.contains("'b'") ||
+      Option(ex.getCause).exists(_.getMessage.contains("'b'")))
+    // explicit factor 0.0 is the sanctioned way to exclude a source
+    val out = TrainingData.mixtureWithEpochs(
+      docs, "source", "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+      Map("a" -> 1.0, "b" -> 0.0))
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(out.toSet == Set(("a0", 0L)))
+  }
+
   test("dsirImportance ranks target-vocabulary docs above off-target docs") {
     // target docs speak "alpha beta", off-target docs "gamma delta";
     // mixed doc sits in between — scores must order tgt > mixed > off
