@@ -332,6 +332,123 @@ object TextOps {
       .orderBy(group)
   }
 
+  /** PMI collocation mining (phrase detection, the word2vec-phrases /
+    * tokenizer-merge-candidate step): every adjacent token pair with
+    * corpus count ≥ `minCount`, scored by pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))) in integer micros (libm ln disagrees with
+    * other engines in the last ulp on some arguments, so the published
+    * score is quantized per the Q contract). Output:
+    * (bigram, n_pair, pmi_micros), ordered by (pmi_micros desc, bigram).
+    *
+    * Scale shape: ONE tokenize pass feeds the bigram and unigram
+    * aggregates; the rescore is bigram-model-sized equi joins under AQE;
+    * only the two 1-row totals broadcast. Linear in corpus size.
+    */
+  def pmiCollocations(
+      docs: DataFrame, text: Column, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bi = docs.select(
+      explode(TextFunctions.wordShinglesAll(text, 2)).as("bg"))
+    val bf = bi.groupBy("bg").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val tok = docs.select(explode(TextFunctions.tokens(text)).as("t"))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nu = tok.agg(count(lit(1)).as("nu"))
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    bf
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(tf.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(tf.select(col("t").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("bg").as("bigram"), col("n_pair"),
+        floor(log((col("n_pair") / col("nb"))
+          / ((col("ca") / col("nu")) * (col("cb") / col("nu"))))
+          * 1000000.0 + 0.5).cast("long").as("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("bigram"))
+  }
+
+  /** Positional phrase search: serve a batch of exact multi-word phrase
+    * queries from a positional posting list. Each (phrase, offset, term)
+    * matches postings at start = pos − offset; a start where ALL offsets
+    * matched is one occurrence — which handles repeated terms inside a
+    * phrase ('x x') and overlapping occurrences ('x x x' contains two),
+    * neither of which a contains()-style filter can count. Output:
+    * (phrase, `id`, n_hits), one row per (phrase, doc) with ≥ 1 hit.
+    *
+    * Scale shape: the phrase table is query-sized (broadcast twice);
+    * postings are ONE posexplode scan; match volume is proportional to
+    * the corpus frequency of the queried words — never a corpus
+    * self-join.
+    */
+  def phraseSearch(
+      docs: DataFrame, id: String, text: Column,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
+      "phrases must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrases.toDF("phrase")
+    val pterms = ph.select(col("phrase"),
+      posexplode(split(col("phrase"), " ")).as(Seq("off", "term")))
+    val plen = ph.select(col("phrase"),
+      size(split(col("phrase"), " ")).cast("long").as("n_terms"))
+    val postings = docs.select(col(id),
+      posexplode(TextFunctions.tokens(text)).as(Seq("pos", "term")))
+    postings.join(broadcast(pterms), "term")
+      .select(col("phrase"), col(id), (col("pos") - col("off")).as("strt"))
+      .groupBy(col("phrase"), col(id), col("strt")).agg(count(lit(1)).as("k"))
+      .join(broadcast(plen), "phrase")
+      .filter(col("k") === col("n_terms"))
+      .groupBy(col("phrase"), col(id)).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("phrase"), col(id))
+  }
+
+  /** URL canonical form for crawl dedup: lowercase host, strip :80/:443
+    * default ports, drop the #fragment, drop utm_* / fbclid / gclid
+    * tracking params, sort the surviving query params, strip a trailing path
+    * slash. Pure codegen'd string/array expressions — usable inside any
+    * linear scan. Assumes https?://host[/path][?query][#frag] shape.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val nf = substring_index(url, "#", 1)
+    val p0 = substring_index(nf, "?", 1)
+    // substring_index(s, '?', -1) returns the WHOLE string when '?' is
+    // absent — guard to '' so a query-less URL doesn't eat itself
+    val q0 = when(instr(nf, "?") > 0, substring_index(nf, "?", -1))
+      .otherwise(lit(""))
+    val scheme = lower(substring_index(p0, "://", 1))
+    val hostAndPath = p0.substr(length(scheme) + lit(4), length(p0))
+    val host = substring_index(hostAndPath, "/", 1)
+    val pth = when(instr(hostAndPath, "/") > 0,
+      hostAndPath.substr(length(host) + lit(1), length(hostAndPath)))
+      .otherwise(lit(""))
+    val chost = regexp_replace(lower(host), ":(443|80)$", "")
+    val cpath = regexp_replace(pth, "/$", "")
+    val cq = array_join(
+      array_sort(filter(split(q0, "&"),
+        p => p =!= "" && !p.rlike("^(utm_|fbclid|gclid)"))), "&")
+    concat(scheme, lit("://"), chost, cpath,
+      when(cq === "", "").otherwise(concat(lit("?"), cq)))
+  }
+
+  /** Crawl-level URL dedup: group documents by [[canonicalizeUrl]] and
+    * report, per canonical page, the doc count, the canonical
+    * representative (min id), and how many distinct raw spellings
+    * arrived. One linear scan + one groupBy on the canonical key (at
+    * 100 TB: group on the canonical string's hash).
+    */
+  def dedupByCanonicalUrl(
+      docs: DataFrame, id: String, url: Column): DataFrame =
+    docs
+      .select(col(id), url.as("__url"))
+      .select(col(id), col("__url"), canonicalizeUrl(col("__url")).as("curl"))
+      .groupBy(col("curl").as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(id)).as("canonical_doc"),
+        countDistinct(col("__url")).as("n_raw_variants"))
+      .orderBy("canonical_url")
+
   val queries: Seq[Q] = Seq(
     // ---- BPE merge learning, relationally (see [[bpeTrain]]): 6 merge
     // rounds over the top-150 word vocabulary; the oracle replays every
@@ -1393,6 +1510,146 @@ object TextOps {
               _.cast("string")),
             ",").as("ids_head"))
         .orderBy("doc_id")
+    },
+
+    // ---- PMI collocation mining (phrase detection, the word2vec-phrases
+    // / tokenizer-merge-candidate step): for every adjacent token pair
+    // with corpus count ≥ 5, PMI = ln(p(ab) / (p(a)·p(b))) from the
+    // bigram and unigram corpus aggregates. Cost shape: ONE tokenize pass
+    // feeds both aggregates; the rescore is bigram-model-sized equi joins
+    // under AQE; only the two 1-row totals broadcast. ln() on
+    // integer-count ratios is bit-identical cross-engine (the
+    // lm_unigram_score precedent), and the division tree is structured
+    // IDENTICALLY on both sides so the doubles hash-match ----
+    Q(
+      "collocations_pmi",
+      """WITH t0 AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        |         list_transform(generate_series(1, len(toks) - 1),
+        |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+        |         ELSE [] END) AS bg FROM t0),
+        |bf AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |       FROM bi GROUP BY 1 HAVING COUNT(*) >= 5),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM tok),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi)
+        |SELECT bg AS bigram, n_pair,
+        |  CAST(FLOOR(ln((n_pair / nb) / ((t1.c / nu) * (t2.c / nu)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_micros
+        |FROM bf JOIN tf t1 ON t1.t = split_part(bf.bg, ' ', 1)
+        |        JOIN tf t2 ON t2.t = split_part(bf.bg, ' ', 2)
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi_micros DESC, bigram LIMIT 50""".stripMargin,
+    ) { (s, d) =>
+      pmiCollocations(Tables.documents(s, d), col("text"), minCount = 5)
+        .limit(50)
+    },
+
+    // ---- positional phrase search: serve a batch of exact multi-word
+    // phrase queries from a positional posting list. The classic
+    // n-term algorithm: each (phrase, offset, term) matches postings at
+    // start = pos − offset; a start where ALL offsets matched is an
+    // occurrence. The phrase table is query-sized (broadcast); postings
+    // are ONE posexplode scan; match volume is proportional to the
+    // corpus frequency of the queried words — never a corpus self-join.
+    // Repeated terms inside a phrase ('table table') are handled by
+    // counting matched offsets per start, which a contains()-style filter
+    // can't do positionally ----
+    Q(
+      "phrase_search",
+      """WITH ph AS (SELECT * FROM (VALUES ('table table'), ('key agg row'),
+        |    ('slow hash batch'), ('sort table scan'), ('the line sort'),
+        |    ('filter merge data'), ('row value spark'), ('data a part'))
+        |  p(phrase)),
+        |pt AS (SELECT phrase, pws[i] AS term, i AS off FROM
+        |       (SELECT phrase, string_split(phrase, ' ') AS pws,
+        |          unnest(generate_series(1, len(string_split(phrase, ' ')))) AS i
+        |        FROM ph)),
+        |pl AS (SELECT phrase,
+        |         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_terms
+        |       FROM ph),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |post AS (SELECT doc_id, ws[i] AS term, i AS pos FROM
+        |         (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |          FROM d)),
+        |m AS (SELECT pt.phrase, post.doc_id, post.pos - pt.off AS strt
+        |      FROM post JOIN pt USING (term)),
+        |fm AS (SELECT phrase, doc_id, strt, CAST(COUNT(*) AS BIGINT) AS k
+        |       FROM m GROUP BY 1, 2, 3)
+        |SELECT fm.phrase, fm.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM fm JOIN pl USING (phrase) WHERE fm.k = pl.n_terms
+        |GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin,
+    ) { (s, d) =>
+      phraseSearch(Tables.documents(s, d), "doc_id", col("text"), Seq(
+        "table table", "key agg row", "slow hash batch", "sort table scan",
+        "the line sort", "filter merge data", "row value spark", "data a part"))
+    },
+
+    // ---- URL canonicalization + dedup (the crawl-dedup step that runs
+    // BEFORE any content hash: the same logical page arrives as
+    // case-shifted hosts, default ports, tracking params, trailing
+    // slashes and fragments). Canonical form: lowercase host, strip
+    // :80/:443, drop the fragment, drop utm_*/fbclid/gclid params, sort
+    // the surviving params, strip a trailing path slash. All pure
+    // codegen'd string/array expressions over one linear scan; the dedup
+    // itself is one groupBy on the canonical key (at 100 TB: group on
+    // the canonical string's hash). The planted variants guarantee every
+    // canonical page arrives in several spellings at every scale ----
+    Q(
+      "dedup_url_canonical",
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '?id=' || CAST(doc_id % 40 AS VARCHAR)
+        |      WHEN 1 THEN 'https://SRC' || CAST(doc_id % 20 AS VARCHAR) || '.COM:443/p/'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '?id=' || CAST(doc_id % 40 AS VARCHAR)
+        |        || '&utm_source=feed'
+        |      WHEN 2 THEN 'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '/?utm_campaign=x&id='
+        |        || CAST(doc_id % 40 AS VARCHAR)
+        |      ELSE 'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '?id=' || CAST(doc_id % 40 AS VARCHAR)
+        |        || '#frag'
+        |    END AS url
+        |  FROM documents),
+        |c0 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nf FROM u),
+        |c1 AS (SELECT doc_id, url, split_part(nf, '?', 1) AS p0,
+        |         split_part(nf, '?', 2) AS q FROM c0),
+        |c2 AS (SELECT doc_id, url, q,
+        |         regexp_extract(p0, '^https://([^/]+)', 1) AS host,
+        |         substr(p0, 8 + len(regexp_extract(p0, '^https://([^/]+)', 1)) + 1) AS pth
+        |       FROM c1),
+        |c3 AS (SELECT doc_id, url,
+        |         regexp_replace(lower(host), ':(443|80)$', '') AS chost,
+        |         regexp_replace(pth, '/$', '') AS cpath,
+        |         array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |           p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))),
+        |           '&') AS cq
+        |       FROM c2),
+        |canon AS (SELECT doc_id, url,
+        |            'https://' || chost || cpath
+        |              || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
+        |          FROM c3)
+        |SELECT curl AS canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+    ) { (s, d) =>
+      val page = pmod(col("doc_id"), lit(40L)).cast("string")
+      val sid = pmod(col("doc_id"), lit(20L)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("https://src"), sid, lit(".com/p/"), page, lit("?id="), page))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("https://SRC"), sid, lit(".COM:443/p/"), page,
+            lit("?id="), page, lit("&utm_source=feed")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          concat(lit("https://src"), sid, lit(".com/p/"), page,
+            lit("/?utm_campaign=x&id="), page))
+        .otherwise(
+          concat(lit("https://src"), sid, lit(".com/p/"), page,
+            lit("?id="), page, lit("#frag")))
+      dedupByCanonicalUrl(Tables.documents(s, d), "doc_id", url)
     },
   )
 }

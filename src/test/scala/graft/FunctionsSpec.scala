@@ -666,4 +666,49 @@ class FunctionsSpec extends SparkSpec {
       graft.operators.TextOps.oovRateReport(train, ho, "grp", col("text"), 0)
     }
   }
+
+  test("phraseSearch: positional hits, repeated-term phrases, overlapping occurrences") {
+    val docs = Seq((1L, "x x x y"), (2L, "a x b")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps
+      .phraseSearch(docs, "doc_id", col("text"), Seq("x x", "x y", "a x b", "y a"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      // 'x x x' contains TWO overlapping 'x x' occurrences (starts 0 and 1)
+      ("x x", 1L) -> 2L,
+      ("x y", 1L) -> 1L,
+      ("a x b", 2L) -> 1L,
+      // 'y a' spans documents — must NOT match across doc boundaries
+    ))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.phraseSearch(docs, "doc_id", col("text"), Nil)
+    }
+  }
+
+  test("canonicalizeUrl: ports, case, tracking params, param order, slash, fragment") {
+    val cases = Seq(
+      "https://SRC3.COM:443/p/5?id=5&utm_source=feed" -> "https://src3.com/p/5?id=5",
+      "https://src3.com/p/5/?utm_campaign=x&id=5" -> "https://src3.com/p/5?id=5",
+      "https://src3.com/p/5?id=5#frag" -> "https://src3.com/p/5?id=5",
+      "http://Host:80" -> "http://host",
+      "https://h/p?b=2&a=1" -> "https://h/p?a=1&b=2",
+      "https://h/p?fbclid=x&gclid=y&utm_a=z" -> "https://h/p",
+      "https://h:8080/p" -> "https://h:8080/p", // non-default port kept
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.operators.TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"canonicalizeUrl($raw) = ${got(raw)}, want $want")
+    }
+  }
+
+  test("pmiCollocations: hand-computed PMI micros, minCount gate") {
+    // bigrams: 'a b'×3, 'b a'×1, 'b c'×1 (nb=5); tokens a×3 b×3 c×1 (nu=7)
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val out = graft.operators.TextOps
+      .pmiCollocations(docs, col("text"), minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = math.floor(math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7))) * 1e6 + 0.5).toLong
+    assert(out.toSeq == Seq(("a b", 3L, want)))
+  }
 }
