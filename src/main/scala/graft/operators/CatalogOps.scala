@@ -1015,6 +1015,31 @@ object CatalogOps {
         .orderBy("event_id")
     },
 
+    // ---- Hilbert clustering + stats-based file pruning: the same layout
+    // discipline as catalog_zorder_prune with the curve swapped to the
+    // edge-connected Hilbert walk (graft.plans.HilbertIndex2D, a
+    // codegen'd kernel — no diagonal jumps, so range partitions stay
+    // spatially tight and a box query typically skips more files;
+    // CatalogSpec asserts the pruning and the curve's adjacency
+    // invariant). Layout must never change results — the oracle is the
+    // plain box filter ----
+    Q(
+      "catalog_hilbert_prune",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 10 AND 14 AND value BETWEEN 40.0 AND 80.0
+        |ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val dir = s"$wh/events_h"
+      graft.sources.ZOrder.writeHilbertClustered(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        "user_id", "value", dir, numFiles = 8)
+      graft.sources.ZOrder.readPruned(s, dir, (10.0, 14.0), (40.0, 80.0))
+        .filter(col("user_id").between(10, 14) && col("value").between(40.0, 80.0))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
     // ---- small-files compaction: ingest in 16 fragments (the streaming /
     // per-batch insert pattern), compact to 2 files, and prove the content
     // is untouched — the oracle reads the original fixture. The file-count

@@ -52,22 +52,39 @@ object ZOrder {
     * `bitsFor(d)`-bit integer buckets. `dims` is (column, lo, hi) per
     * dimension; dimension i takes bit positions i, i+d, i+2d, ….
     */
+  /** Min/max normalization of a column to `bits`-bit integer buckets —
+    * shared by the Z and Hilbert codes so the two layouts differ ONLY in
+    * the curve.
+    */
+  private def normBucket(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val buckets = (1L << bits) - 1
+    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+    least(
+      greatest(((c.cast("double") - lit(lo)) / lit(span)) * buckets.toDouble,
+        lit(0.0)),
+      lit(buckets.toDouble)).cast("long")
+  }
+
   def zValue(dims: Seq[(Column, Double, Double)]): Column = {
     require(dims.nonEmpty, "z-order needs at least one dimension")
     val d = dims.size
     val bits = bitsFor(d)
-    val buckets = (1L << bits) - 1
-    def norm(c: Column, lo: Double, hi: Double): Column = {
-      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(
-        greatest(((c.cast("double") - lit(lo)) / lit(span)) * buckets.toDouble,
-          lit(0.0)),
-        lit(buckets.toDouble)).cast("long")
-    }
     dims.zipWithIndex.map { case ((c, lo, hi), i) =>
-      shiftleft(spread(norm(c, lo, hi), d, bits), i)
+      shiftleft(spread(normBucket(c, lo, hi, bits), d, bits), i)
     }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Hilbert-curve code of two columns, same bucket normalization as the
+    * 2-D [[zValue]]. See [[graft.plans.HilbertIndex2D]] for why the
+    * Hilbert curve prunes strictly better than the Z-curve on range
+    * partitions (edge-connected walk — no diagonal jumps widening a
+    * file's min/max box).
+    */
+  def hilbertValue2(
+      x: Column, xLo: Double, xHi: Double,
+      y: Column, yLo: Double, yHi: Double): Column =
+    graft.plans.HilbertIndex2D.hilbertIndex2d(
+      normBucket(x, xLo, xHi, 16), normBucket(y, yLo, yHi, 16))
 
   /** 2-D form kept for the established call sites. */
   def zValue2(
@@ -94,8 +111,20 @@ object ZOrder {
     */
   def writeZOrdered(
       df: DataFrame, cols: Seq[String], dir: String,
-      numFiles: Int): Seq[FileStats] = {
-    require(cols.nonEmpty, "z-order needs at least one column")
+      numFiles: Int): Seq[FileStats] =
+    writeClustered(df, cols, dir, numFiles, zValue)
+
+  /** Write `df` to `dir` clustered on `code(dims)` — the curve is a
+    * parameter ([[zValue]] for Z-order, [[hilbertValue2]] via
+    * [[writeHilbertClustered]] for Hilbert) — in `numFiles` range
+    * partitions, plus the per-file stats sidecar. The stats/pruning side
+    * ([[readStats]], [[readPruned]]) is curve-agnostic: it sees only
+    * per-file min/max boxes.
+    */
+  def writeClustered(
+      df: DataFrame, cols: Seq[String], dir: String, numFiles: Int,
+      code: Seq[(Column, Double, Double)] => Column): Seq[FileStats] = {
+    require(cols.nonEmpty, "clustering needs at least one column")
     val spark = df.sparkSession
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
@@ -103,7 +132,7 @@ object ZOrder {
     val dims = cols.zipWithIndex.map { case (c, i) =>
       (col(c), g.getDouble(2 * i), g.getDouble(2 * i + 1))
     }
-    df.withColumn("_z", zValue(dims))
+    df.withColumn("_z", code(dims))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
@@ -133,6 +162,19 @@ object ZOrder {
       df: DataFrame, xCol: String, yCol: String, dir: String,
       numFiles: Int): Seq[FileStats] =
     writeZOrdered(df, Seq(xCol, yCol), dir, numFiles)
+
+  /** 2-D Hilbert clustering: same write/stats discipline as
+    * [[writeZOrdered]], curve swapped to [[hilbertValue2]].
+    */
+  def writeHilbertClustered(
+      df: DataFrame, xCol: String, yCol: String, dir: String,
+      numFiles: Int): Seq[FileStats] =
+    writeClustered(df, Seq(xCol, yCol), dir, numFiles, {
+      case Seq((x, xLo, xHi), (y, yLo, yHi)) =>
+        hilbertValue2(x, xLo, xHi, y, yLo, yHi)
+      case dims => throw new IllegalArgumentException(
+        s"hilbert clustering is 2-D, got ${dims.size} dims")
+    })
 
   /** The sidecar stats written by [[writeZOrdered]]: `path, min0, max0,
     * min1, max1, …` per line (dimension count inferred from the width).

@@ -356,6 +356,76 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("hilbert kernel: roundtrip vs independent inverse; consecutive indices are grid neighbors") {
+    import graft.plans.HilbertIndex2D
+    // independent d→(x,y) inverse (standard walk, written fresh here so
+    // the kernel is checked against a second implementation, not itself)
+    def d2xy(d0: Long): (Long, Long) = {
+      var rx = 0L; var ry = 0L; var t = d0
+      var x = 0L; var y = 0L
+      var s = 1L
+      while (s < (1L << HilbertIndex2D.Order)) {
+        rx = 1L & (t / 2)
+        ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val max = 1L << (2 * HilbertIndex2D.Order)
+    // roundtrip across the whole range (stride keeps it fast) + the edges
+    val samples = (0L until max by 104729L) ++ Seq(0L, 1L, max - 2, max - 1)
+    samples.foreach { d =>
+      val (x, y) = d2xy(d)
+      assert(HilbertIndex2D.xy2d(x, y) == d, s"roundtrip failed at d=$d ($x,$y)")
+    }
+    // THE Hilbert property (what Z-order lacks): consecutive indices are
+    // always grid neighbors — no diagonal jumps
+    samples.filter(_ < max - 1).foreach { d =>
+      val (x1, y1) = d2xy(d)
+      val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumped at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // bijective on a subgrid; out-of-range inputs clamp, never corrupt
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield HilbertIndex2D.xy2d(x, y)
+    assert(grid.distinct.size == 64 * 64)
+    assert(HilbertIndex2D.xy2d(-5L, 99999999L) == HilbertIndex2D.xy2d(0L, (1L << 16) - 1))
+  }
+
+  test("hilbert layout prunes files for a 2-D box; results identical to plain filter") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    val dir = Files.createTempDirectory("graft_h_").toString + "/h"
+    val stats = graft.sources.ZOrder.writeHilbertClustered(
+      ev, "user_id", "value", dir, numFiles = 8)
+    assert(stats.size == 8)
+    val sel = stats.count(s =>
+      s.xMax >= 10.0 && s.xMin <= 14.0 && s.yMax >= 40.0 && s.yMin <= 80.0)
+    assert(sel < stats.size, s"box overlapped all ${stats.size} files — no clustering")
+    val exact = col("user_id").between(10, 14) && col("value").between(40.0, 80.0)
+    val pruned = graft.sources.ZOrder.readPruned(spark, dir, (10.0, 14.0), (40.0, 80.0))
+      .filter(exact).select("event_id").collect().map(_.getLong(0)).toSet
+    val full = ev.filter(exact).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned == full)
+    assert(full.nonEmpty)
+    // >2 dims is rejected loudly — the kernel is 2-D
+    intercept[IllegalArgumentException] {
+      graft.sources.ZOrder.writeClustered(
+        ev.withColumn("z", lit(1.0)), Seq("user_id", "value", "z"), dir + "3", 2, {
+          case Seq((x, xLo, xHi), (y, yLo, yHi)) =>
+            graft.sources.ZOrder.hilbertValue2(x, xLo, xHi, y, yLo, yHi)
+          case dims => throw new IllegalArgumentException(
+            s"hilbert clustering is 2-D, got ${dims.size} dims")
+        })
+    }
+  }
+
   test("predicate-form delete drops exactly the named partition") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
