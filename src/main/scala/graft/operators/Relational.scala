@@ -377,6 +377,34 @@ object Relational {
         .orderBy("source")
     },
 
+    // ---- unpivot (melt): wide per-lang metrics back to long
+    // (lang, metric, value) — the inverse reshape of q_pivot, via the
+    // native Dataset.unpivot (Catalyst Expand: one pass, rows × metrics
+    // output, no shuffle beyond the source aggregate). Oracle is the
+    // portable UNION ALL formulation ----
+    Q(
+      "q_unpivot",
+      """WITH w AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, metric, value FROM (
+        |  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+        |  UNION ALL SELECT lang, 'n_sources', n_sources FROM w
+        |  UNION ALL SELECT lang, 'total_chars', total_chars FROM w)
+        |ORDER BY lang, metric""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .unpivot(Array(col("lang")),
+          Array(col("n_docs"), col("total_chars"), col("n_sources")),
+          "metric", "value")
+        .orderBy("lang", "metric")
+    },
+
     // ---- §2.6 extension: scalar functions (string) ----
     Q(
       "q_string_funcs",

@@ -717,6 +717,71 @@ object StreamingOps {
       })
     }.orderBy("view_id", "click_id")
 
+  /** Stream-stream LEFT OUTER interval join: views that saw NO click
+    * within 2 hours emit once with a null click_id — but only after the
+    * watermark passes the view's join window, because until then a match
+    * could still arrive. That makes the adjudicable subset the CLOSED
+    * windows (view_ts + 2h strictly before the final watermark): an open
+    * window's no-match verdict doesn't exist yet, in streaming or in
+    * truth — so the result (and the oracle) restricts to it explicitly
+    * rather than pretending the tail is decided. Watermark delay is 0
+    * seconds: the bounded replay arrives in order, so the watermark
+    * advances as far as it can. What "the final watermark" IS here is
+    * subtle: Catalyst pushes the per-type filter BELOW the
+    * EventTimeWatermark node, so each side's watermark tracks the max ts
+    * of ITS OWN event type, and the query's global watermark is the MIN
+    * of the two (multipleWatermarkPolicy = min) — i.e.
+    * least(max view ts, max click ts), NOT the global max event time.
+    * The closed-window cutoff must use exactly that value or the last
+    * few unmatched views are wrongly expected (measured: one view inside
+    * the gap at sf0.001).
+    *
+    * State/scale: both sides keyed by user in the state store; the time
+    * constraint bounds each view row's state TTL to 2 hours of event
+    * time, so state is (arrival rate × window), not history.
+    */
+  def viewClickLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = viewClickLeftOuterJoinRaw(spark, sfDir)
+    val wmMicros = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy("event_type").agg(max(expr("ts_ns div 1000")).as("m"))
+      .agg(min(col("m")).as("wm")).head().getLong(0)
+    out
+      .filter(col("view_ts") + expr("INTERVAL 2 HOURS")
+        < timestamp_micros(lit(wmMicros)))
+      .select("user_id", "view_id", "click_id")
+      .orderBy("view_id", "click_id")
+  }
+
+  /** The unfiltered stream result (incl. open-window views), exposed for
+    * the spec tier.
+    */
+  private[graft] def viewClickLeftOuterJoinRaw(
+      spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(spark, sfDir) { stageDir =>
+      runToFiles(spark, "stream_ljoin", { session =>
+        def side(tpe: String, idAs: String, tsAs: String, userAs: String) =
+          session.readStream
+            .schema(eventsSchema)
+            .parquet(stageDir)
+            .withColumn("tts", timestamp_micros(expr("ts_ns div 1000")))
+            .withWatermark("tts", "0 seconds")
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(userAs), col("event_id").as(idAs),
+              col("tts").as(tsAs))
+        val views = side("view", "view_id", "view_ts", "user_id")
+        val clicks = side("click", "click_id", "click_ts", "c_user_id")
+        val joined = views.join(
+          clicks,
+          col("user_id") === col("c_user_id") &&
+            col("click_ts") >= col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"),
+          "leftOuter")
+          .select(col("user_id"), col("view_id"), col("view_ts"), col("click_id"))
+        (joined, org.apache.spark.sql.streaming.OutputMode.Append())
+      })
+    }
+
   /** Streaming SESSION windows: the merging-window aggregation (gap-based
     * sessions grow/merge as events arrive — state the tumbling-window path
     * can't express). Same 30-minute gap as the batch `q_session_window`,
@@ -928,6 +993,27 @@ object StreamingOps {
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
         |ORDER BY view_id, click_id""".stripMargin,
     )(viewClickJoin),
+
+    // ---- stream-stream LEFT OUTER interval join: unmatched views emit a
+    // null click_id once the watermark closes their window; result and
+    // oracle restrict to the closed-window subset (see
+    // [[viewClickLeftOuterJoin]]) ----
+    Q(
+      "stream_view_click_left_join",
+      """WITH mx AS (SELECT LEAST(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click')) AS m),
+        |v AS (SELECT user_id, event_id AS view_id, ts FROM events
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id
+        |FROM v CROSS JOIN mx
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+        |WHERE v.ts + INTERVAL 2 HOUR < mx.m
+        |ORDER BY view_id, click_id""".stripMargin,
+    )(viewClickLeftOuterJoin),
 
     // ---- streaming exact dedup: dropDuplicates state over the stream —
     // the streaming face of §2.9 exact dedup (state = one key per distinct

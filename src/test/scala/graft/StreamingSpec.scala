@@ -213,6 +213,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: closed windows equal the batch left join, nulls live") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val streamed = key(StreamingOps.viewClickLeftOuterJoin(spark, sf0001))
+    val ev = Tables.events(spark, sf0001)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    // the adjudicable cutoff is the query's FINAL WATERMARK =
+    // least(max view ts, max click ts) — the per-type filter sits below
+    // each EventTimeWatermark node (see viewClickLeftOuterJoin scaladoc)
+    val wm = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy("event_type").agg(max(expr("ts_ns div 1000")).as("m"))
+      .agg(min(col("m"))).head().getLong(0)
+    val batch = key(v.join(c,
+      col("user_id") === col("cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"),
+      "left")
+      .filter(col("view_ts") + expr("INTERVAL 2 HOURS")
+        < timestamp_micros(lit(wm)).cast("timestamp_ntz")))
+    assert(streamed == batch)
+    // the OUTER path must be exercised: unmatched views with null click_id
+    assert(streamed.exists(_._3 == -1L))
+    assert(streamed.exists(_._3 != -1L))
+  }
+
   test("streaming CDC upsert equals the batch replay of the three ordered merges") {
     val df = SparkEntry.queries("stream_upsert_merge")(spark, sf0001)
 
