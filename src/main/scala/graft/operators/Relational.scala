@@ -181,6 +181,33 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // ---- J2 extension: FULL outer join — unmatched rows survive from
+    // BOTH sides (big-order customers outside the segment, segment
+    // customers without big orders), keys coalesced. Same shuffled
+    // sort-merge shape as any equi outer join; AQE free to pick the
+    // strategy ----
+    Q(
+      "q_full_outer_join",
+      """WITH o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+        |  FROM orders WHERE o_totalprice > 150000 GROUP BY 1),
+        |c AS (SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey, o.n_big, c.c_acctbal
+        |FROM o FULL JOIN c ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 150000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_acctbal")
+      o.join(c, col("o_custkey") === col("c_custkey"), "full")
+        .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          col("n_big"), col("c_acctbal"))
+        .orderBy("custkey")
+    },
+
     // ---- A7 distinct ----
     Q(
       "q_distinct",

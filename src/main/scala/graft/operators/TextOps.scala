@@ -332,6 +332,38 @@ object TextOps {
       .orderBy(group)
   }
 
+  /** Per-document keyword extraction: each document's top-`k` terms by
+    * TF-IDF (tf × ln(N/df), published as integer micros — the Q-contract
+    * quantization, since libm ln can differ cross-engine in the last
+    * ulp). The metadata-enrichment step of a curation pipeline: corpus-
+    * level `tfidf_top_terms` says what the corpus is about, THIS says
+    * what each document is about. Output: (id, rank, term, score_micros).
+    *
+    * Scale shape: one tokenize pass feeds per-doc tf and the vocab-sized
+    * df aggregate; the rescore is an equi join under AQE; the top-k
+    * window partitions per document, so its sort is bounded by a doc's
+    * distinct-term count, never corpus-wide.
+    */
+  def docKeywords(
+      docs: DataFrame, id: String, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(id), explode(TextFunctions.tokens(text)).as("t"))
+    val tf = tok.groupBy(col(id), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("t").agg(countDistinct(col(id)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val sc = tf.join(df, "t").crossJoin(broadcast(n))
+      .select(col(id), col("t").as("term"),
+        floor(col("tf") * log(col("n") / col("df")) * 1000000.0 + 0.5)
+          .cast("long").as("score_micros"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score_micros").desc, col("term"))
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("score_micros"))
+      .orderBy(col(id), col("rank"))
+  }
+
   /** PMI collocation mining (phrase detection, the word2vec-phrases /
     * tokenizer-merge-candidate step): every adjacent token pair with
     * corpus count ≥ `minCount`, scored by pointwise mutual information
@@ -1510,6 +1542,33 @@ object TextOps {
               _.cast("string")),
             ",").as("ids_head"))
         .orderBy("doc_id")
+    },
+
+    // ---- per-document keyword extraction: top-3 TF-IDF terms per doc
+    // (see [[docKeywords]]) — the per-doc counterpart of the corpus-level
+    // tfidf_top_terms row. Same ln quantization; rank window bounded per
+    // document ----
+    Q(
+      "doc_keywords_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, t AS term,
+        |    CAST(FLOOR(tf * ln(n / df) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS score_micros
+        |  FROM tf JOIN df USING (t) CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, score_micros,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micros DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_micros
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    ) { (s, d) =>
+      docKeywords(Tables.documents(s, d), "doc_id", col("text"), k = 3)
     },
 
     // ---- PMI collocation mining (phrase detection, the word2vec-phrases

@@ -702,6 +702,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("docKeywords: hand-computed TF-IDF micros, per-doc rank, lexical tie-break") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c a")).toDF("doc_id", "text")
+    def s(tf: Long) = math.floor(tf * math.log(3.0 / 2) * 1e6 + 0.5).toLong
+    val out = graft.operators.TextOps
+      .docKeywords(docs, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", s(2)), (1L, 2L, "b", s(1)),
+      (2L, 1L, "b", s(1)), (2L, 2L, "c", s(1)), // tie → lexical
+      (3L, 1L, "c", s(3)), (3L, 2L, "a", s(1))))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.docKeywords(docs, "doc_id", col("text"), 0)
+    }
+  }
+
   test("pmiCollocations: hand-computed PMI micros, minCount gate") {
     // bigrams: 'a b'×3, 'b a'×1, 'b c'×1 (nb=5); tokens a×3 b×3 c×1 (nu=7)
     val docs = Seq("a b a b", "a b c").toDF("text")
