@@ -8,7 +8,10 @@ import org.apache.spark.sql.types.StructType
 /** As-of (point-in-time) join: for each left row, attach the payload of the
   * LATEST right row with the same key and right.ts <= left.ts. The staple
   * of feature back-filling ("most recent profile/price/session as of this
-  * event") that plain equi-joins can't express.
+  * event") that plain equi-joins can't express. `direction` extends this
+  * to forward (earliest upcoming right) and nearest (closer of the two,
+  * ties backward), and `tolerance` bounds the allowed time gap — the full
+  * pandas merge_asof surface.
   *
   * Spark-first implementation — the union trick, not a join:
   * tag both inputs, union them, and run ONE window pass per key ordered by
@@ -54,12 +57,30 @@ object AsOfJoin {
     * @param payloads  right columns to carry (exposed as fields of `outCol`)
     * @param outCol    name of the output struct column: fields `ts` (the
     *                  matched right ts) + each payload column; NULL when no
-    *                  right row precedes the left row
+    *                  right row matches
+    * @param direction `backward` (default): latest right.ts <= left.ts;
+    *                  `forward`: earliest right.ts >= left.ts; `nearest`:
+    *                  whichever of the two is closer in time, ties to
+    *                  backward (pandas merge_asof semantics). Forward /
+    *                  nearest reuse the same union + window machinery —
+    *                  forward is the backward scan under the reversed
+    *                  ordering; nearest runs both scans over ONE exchange
+    *                  (same partitioning, two in-partition sorts) and
+    *                  picks per row
+    * @param tolerance max allowed |left ts − matched right ts|, as an
+    *                  expression comparable with the ts difference (a
+    *                  numeric literal for numeric ts, an INTERVAL for
+    *                  timestamps); a match beyond it becomes NULL. For
+    *                  `nearest` it gates each direction before the pick
     */
   def asOf(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      payloads: Seq[String], outCol: String = "asof"): DataFrame = {
+      payloads: Seq[String], outCol: String = "asof",
+      direction: String = "backward",
+      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asOf: direction must be backward | forward | nearest, got $direction")
     val clash = (left.columns ++ right.columns).toSet.intersect(internals.toSet)
     require(clash.isEmpty, s"asOf: column names ${clash.mkString(", ")} are reserved")
     // the window pass orders by the payload struct to break same-(key, ts)
@@ -86,10 +107,46 @@ object AsOfJoin {
         lit(null).cast(lStruct).as(LROW),
         pStruct.as(P))
 
-    val w = Window.partitionBy(K).orderBy(col(TS), col(TAG), col(P))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn(FILLED, last(col(P), ignoreNulls = true).over(w))
+    // backward: ascending scan, most recent right ≤ left carried forward.
+    // forward: the SAME scan under (ts desc) — rights still sort before
+    // lefts at equal ts (TAG asc) and in P asc order so the carried row
+    // at a tie is the greatest payload struct, identical tie rule in both
+    // directions.
+    def fill(forward: Boolean) = {
+      val ord =
+        if (forward) Seq(col(TS).desc, col(TAG).asc, col(P).asc)
+        else Seq(col(TS).asc, col(TAG).asc, col(P).asc)
+      last(col(P), ignoreNulls = true).over(
+        Window.partitionBy(K).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    }
+    // a match beyond the tolerance becomes NULL; delta is oriented so it
+    // is non-negative in each direction (numeric or interval, per ts type)
+    def gate(p: org.apache.spark.sql.Column, forward: Boolean) =
+      tolerance match {
+        case None => p
+        case Some(tol) =>
+          val delta =
+            if (forward) p.getField("ts") - col(TS) else col(TS) - p.getField("ts")
+          when(p.isNotNull && delta <= tol, p).otherwise(lit(null).cast(pType))
+      }
+    val u = l.unionByName(r)
+    val filled = direction match {
+      case "backward" => u.withColumn(FILLED, gate(fill(forward = false), forward = false))
+      case "forward" => u.withColumn(FILLED, gate(fill(forward = true), forward = true))
+      case "nearest" =>
+        // both scans share one hash exchange on the key (same partitioning;
+        // two in-partition sorts); ties between equidistant matches go
+        // backward — merge_asof's rule
+        val bk = gate(fill(forward = false), forward = false)
+        val fw = gate(fill(forward = true), forward = true)
+        u.withColumn(FILLED,
+          when(bk.isNull, fw)
+            .when(fw.isNull, bk)
+            .when(col(TS) - bk.getField("ts") <= fw.getField("ts") - col(TS), bk)
+            .otherwise(fw))
+    }
+    filled
       .filter(col(TAG) === 1)
       .select((left.columns.map(c => col(s"$LROW.$c").as(c)) :+
         col(FILLED).as(outCol)): _*)

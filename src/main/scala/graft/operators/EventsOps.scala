@@ -644,6 +644,76 @@ object EventsOps {
         .orderBy("user_id", "purchase_id")
     },
 
+    // ---- FORWARD as-of join: each purchase gets the EARLIEST view at or
+    // after it ("what did they look at next") — the reversed-scan form of
+    // the same union + window kernel, no DuckDB native support so the
+    // oracle is the explicit rank-1-candidate formulation ----
+    Q(
+      "q_asof_join_forward",
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vts, CAST(MAX(event_id) AS BIGINT) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.event_id, v.view_id, v.vts,
+        |        ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+        |          ORDER BY v.vts) AS rn
+        |      FROM p JOIN v ON v.user_id = p.user_id AND v.vts >= p.pts)
+        |SELECT p.user_id, p.event_id AS purchase_id, j.view_id,
+        |  j.vts - p.pts AS gap_us
+        |FROM p LEFT JOIN j ON j.user_id = p.user_id
+        |  AND j.event_id = p.event_id AND j.rn = 1
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, views, "user_id", "ts_us", "ts_us", Seq("view_id"), "v",
+          direction = "forward")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("v.view_id").as("view_id"),
+          (col("v.ts") - col("ts_us")).as("gap_us"))
+        .orderBy("user_id", "purchase_id")
+    },
+
+    // ---- NEAREST as-of join with a 6-hour tolerance: each purchase gets
+    // the closest view either side, equidistant ties to the earlier view
+    // (merge_asof's rule), matches beyond the tolerance null out. Oracle
+    // ranks the in-tolerance candidates by (|gap|, backward-first) ----
+    Q(
+      "q_asof_join_nearest",
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vts, CAST(MAX(event_id) AS BIGINT) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.event_id, v.view_id, v.vts,
+        |        ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+        |          ORDER BY abs(v.vts - p.pts),
+        |            CASE WHEN v.vts <= p.pts THEN 0 ELSE 1 END) AS rn
+        |      FROM p JOIN v ON v.user_id = p.user_id
+        |        AND abs(v.vts - p.pts) <= 21600000000)
+        |SELECT p.user_id, p.event_id AS purchase_id, j.view_id,
+        |  j.vts - p.pts AS gap_us
+        |FROM p LEFT JOIN j ON j.user_id = p.user_id
+        |  AND j.event_id = p.event_id AND j.rn = 1
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("view_id"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, views, "user_id", "ts_us", "ts_us", Seq("view_id"), "v",
+          direction = "nearest", tolerance = Some(lit(21600000000L)))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("v.view_id").as("view_id"),
+          (col("v.ts") - col("ts_us")).as("gap_us"))
+        .orderBy("user_id", "purchase_id")
+    },
+
     // ---- value-distribution stats per event type ----
     Q(
       "q_event_stats",
@@ -1148,6 +1218,51 @@ object EventsOps {
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(20)
+    },
+
+    // ---- SEASONAL baseline profile: per (event_type, hour-of-day), the
+    // mean hourly count across the span's days plus how many individual
+    // day-hours broke the 2-sigma band — the diurnal-profile complement
+    // of the trailing-window gate below (that one asks "is this hour
+    // unusual vs the last 24 observed", this one "vs the same hour on
+    // other days"). Same cleared-of-division z² algebra: with S=Σc, Q=Σc²
+    // over the n day-hours sharing the slot, (c·n−S)² > 4·(Q·n−S²) —
+    // pure BIGINT, hash-exact cross-engine; the published mean is integer
+    // micros. Aggregate-first: day-hour counts bound rows by time span ----
+    Q(
+      "events_seasonal_profile",
+      """WITH hc AS (
+        |  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |prof AS (
+        |  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c*c) AS BIGINT) AS q
+        |  FROM hc GROUP BY 1, 2)
+        |SELECT p.event_type, p.hod, p.n AS n_obs,
+        |  CAST(FLOOR(p.s * 1000000.0 / p.n + 0.5) AS BIGINT) AS mean_micros,
+        |  CAST(SUM(CASE WHEN (h.c*p.n - p.s)*(h.c*p.n - p.s)
+        |    > 4*(p.q*p.n - p.s*p.s) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM prof p JOIN hc h ON h.event_type = p.event_type AND h.hod = p.hod
+        |GROUP BY 1, 2, 3, 4 ORDER BY p.event_type, p.hod""".stripMargin,
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val prof = hc.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("q"))
+      prof.join(hc, Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"), col("n").as("n_obs"),
+          floor(col("s") * 1000000.0 / col("n") + 0.5).cast("long")
+            .as("mean_micros"))
+        .agg(sum(when(
+          (col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s"))
+            > lit(4) * (col("q") * col("n") - col("s") * col("s")),
+          lit(1L)).otherwise(lit(0L))).as("n_anomalies"))
+        .orderBy("event_type", "hod")
     },
 
     // ---- trailing-window anomaly gate on the hourly series: flag hours

@@ -62,6 +62,50 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOf forward: earliest right at-or-after; inclusive tie; tail unmatched") {
+    val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 14L, "c"),
+      (1L, 25L, "d")).toDF("k", "ts", "ltag")
+    val right = Seq((1L, 10L, "x"), (1L, 20L, "y")).toDF("k", "ts", "pay")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts", Seq("pay"),
+        direction = "forward")
+      .select(col("ltag"), col("asof.pay").as("pay"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map("a" -> Some("x"), "b" -> Some("x"), // ts 10 inclusive
+      "c" -> Some("y"), "d" -> None))
+  }
+
+  test("asOf nearest: closer side wins, equidistant ties backward, tolerance gates both") {
+    val left = Seq((1L, 5L, "a"), (1L, 14L, "b"), (1L, 15L, "c"),
+      (1L, 16L, "d"), (1L, 25L, "e")).toDF("k", "ts", "ltag")
+    val right = Seq((1L, 10L, "x"), (1L, 20L, "y")).toDF("k", "ts", "pay")
+    val near = AsOfJoin.asOf(left, right, "k", "ts", "ts", Seq("pay"),
+        direction = "nearest")
+      .select(col("ltag"), col("asof.pay").as("pay"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(near == Map("a" -> Some("x"), "b" -> Some("x"),
+      "c" -> Some("x"), // 15 is 5 from both: tie → backward
+      "d" -> Some("y"), "e" -> Some("y")))
+    val tol = AsOfJoin.asOf(left, right, "k", "ts", "ts", Seq("pay"),
+        direction = "nearest", tolerance = Some(lit(4L)))
+      .select(col("ltag"), col("asof.pay").as("pay"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(tol == Map("a" -> None, // gap 5 > 4 both ways
+      "b" -> Some("x"), // gap 4 — tolerance is inclusive
+      "c" -> None, "d" -> Some("y"), "e" -> None))
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "ts", "ts", Seq("pay"), direction = "sideways")
+    }
+  }
+
+  test("asOf backward tolerance nulls out stale matches only") {
+    val out = AsOfJoin.asOf(leftDf, rightDf, "k", "ts", "ts", Seq("pay"),
+        tolerance = Some(lit(3L)))
+      .select(col("ltag"), col("asof.pay").as("pay"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // l1 at 10 matched r5 at 5: gap 5 > 3 → nulled; l2 at 20 matched r20: gap 0
+    assert(out == Map("l1" -> None, "l2" -> Some("r20"), "l3" -> None))
+  }
+
   test("rangeJoin: inclusive start, exclusive end, multi-bucket spans, no dupes") {
     import graft.operators.RangeJoin
     val points = Seq(0L, 10L, 99L, 100L, 250L, 399L, 400L).toDF("p")
