@@ -71,6 +71,34 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("HilbertIndex2D codegen path ≡ static kernel; clamps and null-propagates") {
+    import graft.plans.HilbertIndex2D
+    // deterministic coordinate pairs spanning in-range, boundary,
+    // negative, and far-out-of-range values (kernel clamps to the grid)
+    def mix(i: Long): Long = { // splitmix64 — deterministic spread
+      var z = i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      math.abs(z ^ (z >>> 31))
+    }
+    val pts = (0 until 400).map { i =>
+      val h = mix(i.toLong)
+      (h % 70000L, (h / 70000L) % 70000L)
+    } ++ Seq((0L, 0L), (65535L, 65535L), (-1L, 5L), (1L << 40, 3L))
+    val df = pts.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        HilbertIndex2D.hilbertIndex2d(col("x"), col("y")).as("d"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == HilbertIndex2D.xy2d(r.getLong(0), r.getLong(1)),
+        s"codegen diverged at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // null inputs propagate (BinaryExpression null contract)
+    val n = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(HilbertIndex2D.hilbertIndex2d(col("x"), col("y"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("SimHash60 + MinHashSig kernels ≡ aggregate forms on generated corpus") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val toks = TextFunctions.distinctTokens(col("text"))

@@ -106,6 +106,15 @@ class PlanSpec extends SparkSpec {
       "query batch should broadcast against the linear corpus scan")
   }
 
+  test("phrase_search broadcasts the phrase tables; postings never shuffle-join") {
+    val df = SparkEntry.queries("phrase_search")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "phrase/term table must broadcast against the postings scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join here would re-partition the whole postings table per query batch")
+  }
+
   test("q_skew_join splits the join key across salts in the plan") {
     val df = SparkEntry.queries("q_skew_join")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
@@ -234,7 +243,9 @@ class PlanSpec extends SparkSpec {
       "stream_psi_drift", // 10-row bucket domain + 1-row totals broadcasts
       "distinct_hll_partitioned_check", // two 1-row merged-sketch scalars
       "audience_overlap_kmv", // segment-count-row (5) type-pair enumeration
-      "dq_completeness") // 1-row hour-span scalar broadcast for the grid
+      "dq_completeness", // 1-row hour-span scalar broadcast for the grid
+      "collocations_pmi", // two 1-row corpus-total scalars (nu, nb)
+      "doc_keywords_tfidf") // 1-row doc-count scalar broadcast (N for idf)
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
