@@ -465,6 +465,45 @@ object TrainingData {
       .drop("__h")
   }
 
+  /** Concatenate-and-cut sequence packing (the GPT-pretraining shape):
+    * within each shard, documents are laid out in deterministic hash
+    * order as one token stream and cut into fixed `seqLen` sequences —
+    * documents SPLIT at sequence boundaries, unlike [[packSequences]]
+    * which assigns whole documents by start offset. Output is one row per
+    * (document, sequence) span: `(id, shard, seq_id, tok_start, tok_end)`
+    * with `[tok_start, tok_end)` the within-document token slice that
+    * lands in that sequence — exactly what a data loader needs to
+    * materialize packed training rows. Empty documents drop out.
+    *
+    * Scale shape: the layout cumsum is a SHARD-LOCAL window (the same
+    * discipline as [[packSequences]]; a global cumsum would be one sort
+    * task at 100 TB); the boundary explode adds at most
+    * total_tokens / seqLen rows. Linear, shard-parallel.
+    */
+  def packConcatCut(
+      df: DataFrame, id: String, tokens: Column, seqLen: Int,
+      shards: Int): DataFrame = {
+    require(seqLen >= 1 && shards >= 1,
+      s"seqLen and shards must be >= 1, got $seqLen, $shards")
+    val h = TextFunctions.tokenHash60(col(id).cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(id))
+    df.select(col(id), tokens.as("__toks"), h.as("__h"))
+      .select(col(id), pmod(col("__h"), lit(shards)).as("shard"),
+        col("__h"), size(col("__toks")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("__end", sum(col("n_tok")).over(w))
+      .withColumn("__start", col("__end") - col("n_tok"))
+      .select(col(id), col("shard"), col("__start"), col("__end"),
+        explode(sequence(
+          floor(col("__start") / lit(seqLen)).cast("long"),
+          floor((col("__end") - 1) / lit(seqLen)).cast("long"))).as("seq_id"))
+      .select(col(id), col("shard"), col("seq_id"),
+        (greatest(col("seq_id") * seqLen, col("__start")) - col("__start"))
+          .as("tok_start"),
+        (least((col("seq_id") + 1) * seqLen, col("__end")) - col("__start"))
+          .as("tok_end"))
+  }
+
   /** Deterministic corpus-mixture sampling: keep, per source, documents
     * in stable hash order until the source's share of the total token
     * budget is filled (a document is admitted if its START offset is
@@ -1071,6 +1110,36 @@ object TrainingData {
         Tables.documents(s, d), "doc_id", TextFunctions.tokens(col("text")),
         budget = 256, shards = 8)
         .orderBy("doc_id")
+    },
+
+    // ---- concatenate-and-cut packing: the GPT-pretraining layout —
+    // shard-local token stream cut into fixed 256-token sequences,
+    // documents SPLIT at boundaries into (doc, seq, [tok_start, tok_end))
+    // spans (seq_pack above keeps docs whole). Same shard-local window
+    // discipline; the boundary explode is ≤ total_tokens/256 extra rows ----
+    Q(
+      "seq_pack_concat",
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, h % 8 AS shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |      AS BIGINT) AS e
+        |  FROM b WHERE n_tok > 0),
+        |x AS (SELECT doc_id, shard, e - n_tok AS strt, e,
+        |    unnest(generate_series((e - n_tok) // 256, (e - 1) // 256)) AS seq_id
+        |  FROM o)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(seq_id * 256, strt) - strt AS BIGINT) AS tok_start,
+        |  CAST(LEAST((seq_id + 1) * 256, e) - strt AS BIGINT) AS tok_end
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin,
+    ) { (s, d) =>
+      packConcatCut(
+        Tables.documents(s, d), "doc_id", TextFunctions.tokens(col("text")),
+        seqLen = 256, shards = 8)
+        .orderBy("doc_id", "seq_id")
     },
 
     // ---- corpus-mixture sampling: per-source token quotas from declared
