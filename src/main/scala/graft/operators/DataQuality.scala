@@ -269,6 +269,48 @@ object DataQuality {
         .orderBy("lang", "len_bucket")
     },
 
+    // ---- Benford first-digit audit: the classic fabricated-numbers
+    // screen over financial amounts — observed first-significant-digit
+    // shares vs Benford's log10(1 + 1/d) expectation, both in integer
+    // micros. Digit extraction goes through the integer-micros
+    // quantization FIRST (substr of a BIGINT's decimal rendering is
+    // engine-identical; double→string is not), and the nine expected
+    // constants quantize with ≥0.49-micro boundary margin, so the row is
+    // hash-exact. One scan + a 9-row aggregate; only the 1-row total
+    // broadcasts ----
+    Q(
+      "dq_benford",
+      """WITH v AS (SELECT CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM d)
+        |SELECT digit, n_obs,
+        |  CAST(FLOOR(n_obs * 1000000.0 / n_tot + 0.5) AS BIGINT) AS obs_micros,
+        |  CAST(FLOOR(log10(1 + 1.0 / digit) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS expected_micros,
+        |  CAST(FLOOR(n_obs * 1000000.0 / n_tot + 0.5) AS BIGINT)
+        |    - CAST(FLOOR(log10(1 + 1.0 / digit) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS dev_micros
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+    ) { (s, d) =>
+      val v = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(floor(col("o_totalprice") * 1000000.0 + 0.5).cast("long").as("v"))
+      val dg = v.select(substring(col("v").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = dg.agg(sum(col("n_obs")).as("n_tot"))
+      val obs = floor(col("n_obs") * 1000000.0 / col("n_tot") + 0.5).cast("long")
+      val exp_ = floor(log10(lit(1) + lit(1.0) / col("digit")) * 1000000.0 + 0.5)
+        .cast("long")
+      dg.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"), obs.as("obs_micros"),
+          exp_.as("expected_micros"), (obs - exp_).as("dev_micros"))
+        .orderBy("digit")
+    },
+
     // ---- completeness / gap report: per event_type, expected hourly
     // slots over the corpus's observed [min, max] hour span vs the hours
     // actually present — the freshness/continuity audit a feed SLA runs.

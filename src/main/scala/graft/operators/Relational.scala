@@ -404,6 +404,35 @@ object Relational {
         .orderBy("source")
     },
 
+    // ---- ntile quartiles: equal-frequency bucketing of customers by
+    // account balance within each market segment — the W1 window-rank
+    // family's distribution face. Unique (acctbal, custkey) tie-break
+    // makes the bucket assignment engine-identical ----
+    Q(
+      "q_ntile",
+      """WITH q AS (SELECT c_mktsegment,
+        |    NTILE(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS quartile,
+        |    c_acctbal
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"),
+          ntile(4).over(Window.partitionBy("c_mktsegment")
+            .orderBy(col("c_acctbal"), col("c_custkey"))).cast("long")
+            .as("quartile"),
+          col("c_acctbal"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        .orderBy("c_mktsegment", "quartile")
+    },
+
     // ---- unpivot (melt): wide per-lang metrics back to long
     // (lang, metric, value) — the inverse reshape of q_pivot, via the
     // native Dataset.unpivot (Catalyst Expand: one pass, rows × metrics

@@ -245,7 +245,8 @@ class PlanSpec extends SparkSpec {
       "audience_overlap_kmv", // segment-count-row (5) type-pair enumeration
       "dq_completeness", // 1-row hour-span scalar broadcast for the grid
       "collocations_pmi", // two 1-row corpus-total scalars (nu, nb)
-      "doc_keywords_tfidf") // 1-row doc-count scalar broadcast (N for idf)
+      "doc_keywords_tfidf", // 1-row doc-count scalar broadcast (N for idf)
+      "dq_benford") // 1-row digit-total scalar broadcast
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
