@@ -74,6 +74,21 @@ object StressScale {
       rotated.as("embedding"), col("label"))
   }
 
+  /** Perturbed replica k of the events table: SAME time span, DISJOINT
+    * user/event id ranges — the realistic 10× growth shape (more users in
+    * the same month, not a longer month). Within-replica temporal
+    * structure (sessions, funnels, as-of chains, hourly profiles) is
+    * byte-identical to the fixture's, so per-user operators must scale
+    * linearly in users, and time-bucketed aggregates keep their group
+    * count while the per-group counts grow 10×.
+    */
+  private[graft] def eventsReplica(ev: DataFrame, k: Int, idStride: Long): DataFrame =
+    ev.select(
+      (col("event_id") + lit(k * idStride)).as("event_id"),
+      col("ts"),
+      (col("user_id") + lit(k * 1000000L)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
   private def gen(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
     val out = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(out)
@@ -89,6 +104,12 @@ object StressScale {
       .reduce(_.unionAll(_))
       .repartition(8).write.mode("overwrite")
       .parquet(out.resolve("embeddings.parquet").toString)
+    val ev = Tables.events(spark, srcDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    (0 until replicas).map(eventsReplica(ev, _, stride))
+      .reduce(_.unionAll(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(out.resolve("events.parquet").toString)
     println(s"""{"gen":"$outDir","replicas":$replicas}""")
   }
 
