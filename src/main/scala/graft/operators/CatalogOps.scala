@@ -435,6 +435,42 @@ object CatalogOps {
           |ORDER BY a1.lang""".stripMargin)
     },
 
+    // ---- TIMESTAMP-form time travel: the same v1-vs-head comparison
+    // resolved by COMMIT TIME (manifest mtime — the atomic rename that IS
+    // the commit stamps it) instead of version number. The boundary
+    // instant is captured between the two DML commits inside the run, so
+    // the rewrite must map it to v1 ----
+    Q(
+      "catalog_sql_time_travel_ts",
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |head AS (SELECT * FROM v1 WHERE NOT (doc_id % 4 = 1)),
+        |a1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1 FROM v1 GROUP BY lang),
+        |a2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2 FROM head GROUP BY lang)
+        |SELECT a1.lang, a1.n1 AS n_v1, a2.n2 AS n_head,
+        |  CAST(a1.n1 - a2.n2 AS BIGINT) AS n_deleted
+        |FROM a1 JOIN a2 ON a1.lang = a2.lang ORDER BY a1.lang""".stripMargin,
+    ) { (s, d) =>
+      graft.sources.GraftSql.registerFixtures(s, d)
+      val cat = new Catalog(s, tempWarehouse())
+      def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
+      x("""CREATE TABLE docs_tts AS
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+      Thread.sleep(20)
+      val boundary = java.time.Instant.now() // after v1, before v2
+      Thread.sleep(20)
+      x("DELETE FROM docs_tts WHERE doc_id % 4 = 1") // v2
+      x(s"""SELECT a1.lang, a1.n1 AS n_v1, a2.n2 AS n_head,
+          |  CAST(a1.n1 - a2.n2 AS BIGINT) AS n_deleted
+          |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1
+          |      FROM docs_tts TIMESTAMP AS OF '$boundary' GROUP BY lang) a1
+          |JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2
+          |      FROM docs_tts GROUP BY lang) a2 ON a1.lang = a2.lang
+          |ORDER BY a1.lang""".stripMargin)
+    },
+
     // ---- constraints: NOT NULL + CHECK declared in DDL, enforced INSIDE
     // the write pass (a when/raise_error guard in the projection — no
     // separate validation job). Violating inserts throw and commit

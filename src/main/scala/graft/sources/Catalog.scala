@@ -1008,6 +1008,36 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     else toLogical(name, rawDataAt(name, v))
   }
 
+  /** The latest retained version committed at or before `ts`. Commit
+    * times are the manifests' own mtimes — the atomic rename that IS the
+    * commit point stamps them, so no extra bookkeeping can drift from
+    * the truth. Loud when `ts` predates the oldest retained commit
+    * (either the table didn't exist yet or the version was vacuumed —
+    * both mean the requested snapshot is not reconstructible).
+    */
+  def versionAt(name: String, ts: java.time.Instant): Int = {
+    val at = versions(name).filter { v =>
+      !Files.getLastModifiedTime(manifestPath(name, v)).toInstant.isAfter(ts)
+    }
+    require(at.nonEmpty,
+      s"$name has no retained version at or before $ts " +
+        s"(oldest retained commit is ${versions(name).headOption.map(v =>
+          Files.getLastModifiedTime(manifestPath(name, v)).toInstant)})")
+    at.last
+  }
+
+  /** Time travel by TIMESTAMP: the table as of the latest commit ≤ `ts`
+    * (Delta/Iceberg `TIMESTAMP AS OF` semantics).
+    */
+  def tableAsOf(name: String, ts: java.time.Instant): DataFrame =
+    tableAt(name, versionAt(name, ts))
+
+  /** [[history]] plus each snapshot's commit time (manifest mtime). */
+  def historyWithTime(name: String): Seq[(Int, String, Int, java.time.Instant)] =
+    history(name).map { case (v, op, n) =>
+      (v, op, n, Files.getLastModifiedTime(manifestPath(name, v)).toInstant)
+    }
+
   /** Physical → logical mapping: storage names back to declared names,
     * nulls in defaulted columns coalesced to their defaults. `extra`
     * columns (e.g. a source-file tag) pass through untouched.

@@ -293,6 +293,39 @@ object CatalogSql {
   }
 
   private val VersionAsOf = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+  private val TimestampAsOf = """(?is)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+
+  /** Parse a time-travel timestamp literal: ISO-8601 instant
+    * (`2026-08-15T00:00:00Z`) or the SQL `yyyy-MM-dd HH:mm:ss[.fff]`
+    * form, interpreted as UTC (the engine's session timezone).
+    */
+  private def parseTravelTs(s: String): java.time.Instant =
+    try java.time.Instant.parse(s.trim)
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(
+          s.trim.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC)
+    }
+
+  /** Rewrite `<table> TIMESTAMP AS OF '<ts>'` to a view over the latest
+    * commit ≤ ts ([[Catalog.tableAsOf]]). The literal itself is quoted,
+    * so the VERSION-path split-on-quote trick can't apply; instead a
+    * match is honored only when it starts OUTSIDE a string literal (even
+    * count of quotes before it).
+    */
+  private def rewriteTsTravel(cat: Catalog, sql: String): String =
+    TimestampAsOf.replaceAllIn(sql, m => {
+      val inLiteral = sql.substring(0, m.start).count(_ == '\'') % 2 == 1
+      scala.util.matching.Regex.quoteReplacement(
+        if (inLiteral || !cat.exists(m.group(1))) m.matched
+        else {
+          val t = m.group(1)
+          val v = cat.versionAt(t, parseTravelTs(m.group(2)))
+          val alias = s"${t}__v$v"
+          cat.tableAt(t, v).createOrReplaceTempView(alias)
+          alias
+        })
+    })
 
   /** Rewrite `<table> VERSION AS OF <v>` references to temp views over
     * the requested manifest snapshot ([[Catalog.tableAt]]) — SQL-text time
@@ -320,7 +353,7 @@ object CatalogSql {
     */
   private def subQuery(spark: SparkSession, cat: Catalog, sql: String): DataFrame = {
     registerAll(spark, cat)
-    spark.sql(rewriteTimeTravel(cat, sql))
+    spark.sql(rewriteTsTravel(cat, rewriteTimeTravel(cat, sql)))
   }
 
   private def status(spark: SparkSession, op: String, tbl: String, n: Long): DataFrame = {

@@ -91,6 +91,41 @@ class CatalogSqlSpec extends SparkSpec {
     assert(row.getAs[Boolean]("f") && row.getAs[Int]("g") == 7)
   }
 
+  test("TIMESTAMP AS OF resolves the latest commit <= ts; pre-history ts fails loud") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT)")
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO t SELECT explode(sequence(CAST(1 AS BIGINT), 10))") // v1
+    Thread.sleep(30)
+    val boundary = java.time.Instant.now()
+    Thread.sleep(30)
+    CatalogSql.exec(spark, cat, "DELETE FROM t WHERE id > 5") // v2
+    // API form
+    assert(cat.tableAsOf("t", boundary).count() == 10L)
+    assert(cat.tableAsOf("t", java.time.Instant.now()).count() == 5L)
+    // SQL form, ISO instant and SQL timestamp renderings
+    val iso = boundary.toString
+    val n1 = CatalogSql.exec(spark, cat,
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t TIMESTAMP AS OF '$iso'")
+      .collect()(0).getLong(0)
+    assert(n1 == 10L)
+    val sqlTs = java.time.LocalDateTime
+      .ofInstant(boundary, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val n2 = CatalogSql.exec(spark, cat,
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t TIMESTAMP AS OF '$sqlTs'")
+      .collect()(0).getLong(0)
+    assert(n2 == 10L)
+    // before the first commit: not reconstructible, loud
+    intercept[IllegalArgumentException] {
+      cat.tableAsOf("t", java.time.Instant.parse("2000-01-01T00:00:00Z"))
+    }
+    // commit times are exposed and non-decreasing
+    val times = cat.historyWithTime("t").map(_._4)
+    assert(times.size >= 2 && times == times.sorted)
+  }
+
   test("ALTER RENAME / ALTER TYPE (widen) / DROP TABLE route to catalog ops") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE t (id INT, v INT)")
