@@ -141,9 +141,11 @@ object EventsOps {
         .orderBy("day")
     },
 
-    // ---- audience-overlap via KMV (bottom-k) sketches: distinct-user
-    // INTERSECTION estimates between segment pairs — the set operation
-    // HLL cannot deliver without inclusion-exclusion error blowup.
+    // ---- audience set algebra via KMV (bottom-k) sketches: distinct-user
+    // INTERSECTION, UNION and both DIFFERENCES (A\B, B\A) between segment
+    // pairs — the set operations HLL cannot deliver without
+    // inclusion-exclusion error blowup. Difference numerators are
+    // (side-below-τ − both-below-τ) over the shared τ.
     // Segment = users with a value≥100 event of each type; sketch = the
     // k=64 smallest md5-derived user hashes per segment (a window top-k
     // here; the skew-safe 100 TB form is a partial bottom-k aggregate);
@@ -180,7 +182,15 @@ object EventsOps {
         |            JOIN sk sb ON sb.event_type = p.tb AND sb.h = sa.h),
         |ia AS (SELECT ir.ta, ir.tb, CAST(COUNT(*) AS BIGINT) AS n_is,
         |    CAST(SUM(CASE WHEN ir.h <= st.tau THEN 1 ELSE 0 END) AS BIGINT) AS ik
-        |  FROM ir JOIN st USING (ta, tb) GROUP BY 1, 2)
+        |  FROM ir JOIN st USING (ta, tb) GROUP BY 1, 2),
+        |am AS (SELECT p.ta, p.tb,
+        |    CAST(SUM(CASE WHEN s.h <= st.tau THEN 1 ELSE 0 END) AS BIGINT) AS ak
+        |  FROM prs p JOIN sk s ON s.event_type = p.ta
+        |  JOIN st ON st.ta = p.ta AND st.tb = p.tb GROUP BY 1, 2),
+        |bm AS (SELECT p.ta, p.tb,
+        |    CAST(SUM(CASE WHEN s.h <= st.tau THEN 1 ELSE 0 END) AS BIGINT) AS bk
+        |  FROM prs p JOIN sk s ON s.event_type = p.tb
+        |  JOIN st ON st.ta = p.ta AND st.tb = p.tb GROUP BY 1, 2)
         |SELECT st.ta, st.tb, sa.n AS n_a, sb.n AS n_b, st.n_comb,
         |  CASE WHEN st.n_comb < 64 THEN COALESCE(ia.n_is, 0)
         |    ELSE CAST(FLOOR((COALESCE(ia.ik, 0) / 64.0)
@@ -188,8 +198,17 @@ object EventsOps {
         |  END AS inter_est,
         |  CASE WHEN st.n_comb < 64 THEN st.n_comb
         |    ELSE CAST(FLOOR(63.0 * 1152921504606846976.0 / CAST(st.tau AS DOUBLE) + 0.5) AS BIGINT)
-        |  END AS union_est
+        |  END AS union_est,
+        |  CASE WHEN st.n_comb < 64 THEN sa.n - COALESCE(ia.n_is, 0)
+        |    ELSE CAST(FLOOR(((am.ak - COALESCE(ia.ik, 0)) / 64.0)
+        |      * (63.0 * 1152921504606846976.0 / CAST(st.tau AS DOUBLE)) + 0.5) AS BIGINT)
+        |  END AS a_not_b_est,
+        |  CASE WHEN st.n_comb < 64 THEN sb.n - COALESCE(ia.n_is, 0)
+        |    ELSE CAST(FLOOR(((bm.bk - COALESCE(ia.ik, 0)) / 64.0)
+        |      * (63.0 * 1152921504606846976.0 / CAST(st.tau AS DOUBLE)) + 0.5) AS BIGINT)
+        |  END AS b_not_a_est
         |FROM st LEFT JOIN ia USING (ta, tb)
+        |JOIN am USING (ta, tb) JOIN bm USING (ta, tb)
         |JOIN sz sa ON sa.event_type = st.ta JOIN sz sb ON sb.event_type = st.tb
         |ORDER BY st.ta, st.tb""".stripMargin,
     ) { (s, d) =>
@@ -222,16 +241,34 @@ object EventsOps {
         .groupBy("ta", "tb").agg(
           count(lit(1)).as("n_is"),
           sum(when(col("h") <= col("tau"), lit(1L)).otherwise(lit(0L))).as("ik"))
+      // per-side below-τ sketch counts: the set-DIFFERENCE estimators'
+      // numerators are (side-below-τ − both-below-τ)
+      def sideK(side: String, as: String) = prs
+        .join(sk.select(col("event_type").as(side), col("h")), Seq(side))
+        .join(st.select("ta", "tb", "tau"), Seq("ta", "tb"))
+        .groupBy("ta", "tb").agg(
+          sum(when(col("h") <= col("tau"), lit(1L)).otherwise(lit(0L))).as(as))
+      val am = sideK("ta", "ak")
+      val bm = sideK("tb", "bk")
       val dUnion = lit(kNum) / col("tau").cast("double")
+      val ikC = coalesce(col("ik"), lit(0L))
+      val isC = coalesce(col("n_is"), lit(0L))
       st.join(ia, Seq("ta", "tb"), "left")
+        .join(am, Seq("ta", "tb")).join(bm, Seq("ta", "tb"))
         .join(sz.select(col("event_type").as("ta"), col("n").as("n_a")), "ta")
         .join(sz.select(col("event_type").as("tb"), col("n").as("n_b")), "tb")
         .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_comb"),
-          when(col("n_comb") < k, coalesce(col("n_is"), lit(0L)))
-            .otherwise(floor((coalesce(col("ik"), lit(0L)) / lit(64.0))
+          when(col("n_comb") < k, isC)
+            .otherwise(floor((ikC / lit(64.0))
               * dUnion + lit(0.5)).cast("long")).as("inter_est"),
           when(col("n_comb") < k, col("n_comb"))
-            .otherwise(floor(dUnion + lit(0.5)).cast("long")).as("union_est"))
+            .otherwise(floor(dUnion + lit(0.5)).cast("long")).as("union_est"),
+          when(col("n_comb") < k, col("n_a") - isC)
+            .otherwise(floor(((col("ak") - ikC) / lit(64.0))
+              * dUnion + lit(0.5)).cast("long")).as("a_not_b_est"),
+          when(col("n_comb") < k, col("n_b") - isC)
+            .otherwise(floor(((col("bk") - ikC) / lit(64.0))
+              * dUnion + lit(0.5)).cast("long")).as("b_not_a_est"))
         .orderBy("ta", "tb")
     },
 

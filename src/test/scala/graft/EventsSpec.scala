@@ -242,11 +242,14 @@ class EventsSpec extends SparkSpec {
       .collect().groupBy(_.getString(0)).view
       .mapValues(_.map(_.getLong(1)).toSet).toMap
     val rows = SparkEntry.queries("audience_overlap_kmv")(spark, sf0001)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5), r.getLong(6)))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
     assert(rows.nonEmpty)
-    rows.foreach { case (ta, tb, interEst, unionEst) =>
+    rows.foreach { case (ta, tb, interEst, unionEst, aNotB, bNotA) =>
       assert(interEst == (seg(ta) & seg(tb)).size.toLong, s"exact-branch inter $ta/$tb")
       assert(unionEst == (seg(ta) | seg(tb)).size.toLong, s"exact-branch union $ta/$tb")
+      assert(aNotB == (seg(ta) -- seg(tb)).size.toLong, s"exact-branch A\\B $ta/$tb")
+      assert(bNotA == (seg(tb) -- seg(ta)).size.toLong, s"exact-branch B\\A $ta/$tb")
     }
     // estimator branch at sf0.01 (segments > k=64): inter_est within 50%
     // of truth — a gross-breakage gate, not a tightness claim (k=64 KMV
