@@ -1257,6 +1257,39 @@ object EventsOps {
         .limit(20)
     },
 
+    // ---- first-order Markov transition matrix over per-user event
+    // sequences: P(next type | current type) in integer micros — the
+    // behavioral fingerprint behind events_top_paths' path mining (paths
+    // enumerate, this summarizes). One lag window per user (key-
+    // partitioned, linear) + a type²-sized aggregate ----
+    Q(
+      "events_markov_transitions",
+      """WITH seq AS (SELECT user_id, event_type AS cur,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+        |SELECT p.cur, p.nxt, p.n,
+        |  CAST(FLOOR(p.n * 1000000.0 / t.t + 0.5) AS BIGINT) AS p_micros
+        |FROM pairs p JOIN tot t ON t.cur = p.cur
+        |ORDER BY p.cur, p.nxt""".stripMargin,
+    ) { (s, d) =>
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+            .as("nxt"))
+      val pairs = seq.filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("cur").agg(sum(col("n")).as("t"))
+      pairs.join(tot, "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          floor(col("n") * 1000000.0 / col("t") + 0.5).cast("long").as("p_micros"))
+        .orderBy("cur", "nxt")
+    },
+
     // ---- SEASONAL baseline profile: per (event_type, hour-of-day), the
     // mean hourly count across the span's days plus how many individual
     // day-hours broke the 2-sigma band — the diurnal-profile complement

@@ -404,6 +404,46 @@ object Relational {
         .orderBy("source")
     },
 
+    // ---- TPC-H Q5 shape: six-table join (region→nation gating BOTH the
+    // supplier and customer sides, date-bounded orders, lineitem fact) —
+    // the deep join tree that exercises join ordering + dim broadcasts.
+    // The two tiny dims are explicit broadcasts; the three fact-side
+    // joins stay AQE-planned equi joins. Revenue through Det.dsum so the
+    // double sum is order-independent and engine-exact ----
+    Q(
+      "q_local_supplier_volume",
+      s"""SELECT n_name,
+         |  ${graft.Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= DATE '1996-01-01'
+         |  AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(expr("o_orderdate >= DATE'1996-01-01'") &&
+            expr("o_orderdate < DATE'1997-01-01'")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(graft.Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ---- ntile quartiles: equal-frequency bucketing of customers by
     // account balance within each market segment — the W1 window-rank
     // family's distribution face. Unique (acctbal, custkey) tie-break
