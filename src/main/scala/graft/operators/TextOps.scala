@@ -1571,6 +1571,58 @@ object TextOps {
       docKeywords(Tables.documents(s, d), "doc_id", col("text"), k = 3)
     },
 
+    // ---- Zipf-law fit: least-squares slope of ln(freq) vs ln(rank) over
+    // the top-300 token ranks — the language-health diagnostic (natural
+    // text fits slope ≈ −1; templated/synthetic corpora flatten toward
+    // 0). ln values are quantized to integer MILLIS before the moment
+    // sums, so every Σx, Σy, Σxy, Σx² is exact BIGINT arithmetic and the
+    // closed-form slope/intercept divisions see identical operands on
+    // both engines; published in micros. Top-k is a TakeOrdered; the
+    // rank window runs over the 300-row model-sized result ----
+    Q(
+      "token_zipf_fit",
+      """WITH tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+        |  FROM tf ORDER BY c DESC, t LIMIT 300),
+        |m AS (SELECT CAST(FLOOR(ln(r) * 1000.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(FLOOR(ln(c) * 1000.0 + 0.5) AS BIGINT) AS y
+        |  FROM rk),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM m)
+        |SELECT n AS n_ranks,
+        |  CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS slope_micros,
+        |  CAST(FLOOR((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS intercept_millis
+        |FROM s""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(300)
+      val m = tf
+        .withColumn("r", row_number().over(Window.orderBy(col("c").desc, col("t")))
+          .cast("long"))
+        .select(floor(log(col("r")) * 1000.0 + 0.5).cast("long").as("x"),
+          floor(log(col("c")) * 1000.0 + 0.5).cast("long").as("y"))
+      val st = m.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      st.select(col("n").as("n_ranks"),
+        floor(num / den * 1000000.0 + 0.5).cast("long").as("slope_micros"),
+        floor((col("sy").cast("double") - num / den * col("sx").cast("double"))
+          / col("n").cast("double") * 1000.0 + 0.5).cast("long")
+          .as("intercept_millis"))
+    },
+
     // ---- PMI collocation mining (phrase detection, the word2vec-phrases
     // / tokenizer-merge-candidate step): for every adjacent token pair
     // with corpus count ≥ 5, PMI = ln(p(ab) / (p(a)·p(b))) from the
