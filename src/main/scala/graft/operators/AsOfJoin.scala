@@ -113,8 +113,12 @@ object AsOfJoin {
     // at a tie is the greatest payload struct, identical tie rule in both
     // directions.
     def fill(forward: Boolean) = {
+      // desc_nulls_FIRST on the reversed scan: a NULL-ts left row must
+      // sort before every right row in scan order (as it does under the
+      // ascending scan, where nulls-first is the default) so it can never
+      // inherit a payload — the NULL contract holds in both directions
       val ord =
-        if (forward) Seq(col(TS).desc, col(TAG).asc, col(P).asc)
+        if (forward) Seq(col(TS).desc_nulls_first, col(TAG).asc, col(P).asc)
         else Seq(col(TS).asc, col(TAG).asc, col(P).asc)
       last(col(P), ignoreNulls = true).over(
         Window.partitionBy(K).orderBy(ord: _*)

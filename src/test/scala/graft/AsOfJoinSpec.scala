@@ -97,6 +97,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOf forward/nearest preserve NULL-ts and NULL-key left rows with NULL payload") {
+    val left = Seq(
+      (Some(1L), Some(10L), "ok"),
+      (Some(1L), None: Option[Long], "nullts"),
+      (None: Option[Long], Some(10L), "nullkey"),
+    ).toDF("k", "ts", "ltag")
+    for (dir <- Seq("forward", "nearest")) {
+      val out = AsOfJoin.asOf(left, rightDf, "k", "ts", "ts", Seq("pay"),
+          direction = dir)
+        .select(col("ltag"), col("asof.pay").as("pay"))
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      // forward from ts 10 → r20; nearest from 10 → r5 (gap 5 < 10)
+      val okPay = if (dir == "forward") "r20" else "r5"
+      assert(out == Map("ok" -> Some(okPay), "nullts" -> None, "nullkey" -> None),
+        s"direction=$dir: $out")
+    }
+  }
+
   test("asOf backward tolerance nulls out stale matches only") {
     val out = AsOfJoin.asOf(leftDf, rightDf, "k", "ts", "ts", Seq("pay"),
         tolerance = Some(lit(3L)))
