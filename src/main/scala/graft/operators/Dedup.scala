@@ -614,6 +614,58 @@ object Dedup {
       .orderBy(col(id))
   }
 
+  /** Substring-granular dedup REMOVAL — the operator behind
+    * [[repeatedNgramCoverage]]'s report: every token position covered by
+    * a non-first occurrence of a corpus-repeated `n`-gram is stripped,
+    * and the surviving tokens are re-joined into cleaned text. "First
+    * occurrence" is the gram's global (min doc, then min position)
+    * owner — the keep-one rule of Lee et al.'s suffix-array dedup,
+    * restated over fixed windows; a position in ANY doc still drops if a
+    * different gram's owner lives elsewhere and covers it. Output per
+    * doc: `(id, n_tokens, n_removed, clean_text)` — every doc appears,
+    * fully-deduplicated docs with empty text.
+    *
+    * Scale shape: identical linear skeleton to the coverage op (gram
+    * hash aggregate → equi join back; no pair table) plus one
+    * `min(struct(doc, pos))` owner per dup gram (same aggregate) and a
+    * per-doc ordered re-assembly whose sort is bounded by the document's
+    * own length.
+    */
+  def stripRepeatedNgrams(
+      docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+    val grams = docs
+      .select(col(id), posexplode(TextFunctions.wordShinglesAll(text, n))
+        .as(Seq("pos", "gram")))
+      .select(col(id), (col("pos") + 1).as("s"),
+        TextFunctions.tokenHash60(col("gram")).as("h"))
+    val owners = grams.groupBy("h")
+      .agg(count_distinct(col(id)).as("df"),
+        min(struct(col(id), col("s"))).as("own"))
+      .filter(col("df") >= 2)
+      .select(col("h"), col("own"))
+    val removed = grams.join(owners, "h")
+      .filter(!(col(id) === col("own").getField(id) &&
+        col("s") === col("own").getField("s")))
+      .select(col(id), explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
+      .distinct()
+    val toks = docs
+      .select(col(id), posexplode(TextFunctions.tokens(text)).as(Seq("p0", "tk")))
+      .select(col(id), (col("p0") + 1).as("p"), col("tk"))
+    val kept = toks.join(removed, Seq(id, "p"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tk")))),
+          e => e.getField("tk")), " ").as("clean_text"))
+    docs
+      .select(col(id), size(TextFunctions.tokens(text)).cast("long").as("n_tokens"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col(id))
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def shingles3(c: Column) = TextFunctions.wordShingles(c, 3)
@@ -799,6 +851,46 @@ object Dedup {
         |ORDER BY cov.doc_id""".stripMargin,
     ) { (s, d) =>
       repeatedNgramCoverage(Tables.documents(s, d), "doc_id", col("text"), 8)
+    },
+
+    // ---- substring-granular dedup REMOVAL (see [[stripRepeatedNgrams]]):
+    // the coverage report above turned into cleaned text — non-first
+    // occurrences of corpus-repeated 8-grams stripped, keep-one owner =
+    // global (min doc, min pos). Oracle replays owners + removal + the
+    // position-ordered re-assembly verbatim ----
+    Q(
+      "dedup_substring_strip",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS s
+        |      FROM t WHERE len(toks) >= 8),
+        |gh AS (SELECT doc_id, s,
+        |         ('0x' || substr(md5(array_to_string(list_slice(toks, s, s + 7), ' ')), 1, 15))::BIGINT AS h
+        |       FROM g),
+        |own AS (SELECT h, doc_id AS od, s AS os FROM (
+        |    SELECT h, doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+        |      COUNT(DISTINCT doc_id) OVER (PARTITION BY h) AS df
+        |    FROM gh) WHERE rn = 1 AND df >= 2),
+        |rem AS (SELECT DISTINCT doc_id, p FROM (
+        |    SELECT gh.doc_id, unnest(generate_series(gh.s, gh.s + 7)) AS p
+        |    FROM gh JOIN own ON own.h = gh.h
+        |    WHERE NOT (gh.doc_id = own.od AND gh.s = own.os))),
+        |tok AS (SELECT doc_id, i AS p, toks[i] AS tk FROM
+        |        (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+        |         FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tk
+        |         FROM tok LEFT JOIN rem ON rem.doc_id = tok.doc_id AND rem.p = tok.p
+        |         WHERE rem.p IS NULL),
+        |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(tk, ' ' ORDER BY p) AS clean_text
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(ka.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN ka ON ka.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    ) { (s, d) =>
+      stripRepeatedNgrams(Tables.documents(s, d), "doc_id", col("text"), 8)
     },
 
     // ---- incremental-ingest dedup via Bloom membership (the Dolma BFF

@@ -1261,7 +1261,9 @@ object EventsOps {
     // sequences: P(next type | current type) in integer micros — the
     // behavioral fingerprint behind events_top_paths' path mining (paths
     // enumerate, this summarizes). One lag window per user (key-
-    // partitioned, linear) + a type²-sized aggregate ----
+    // partitioned, linear) + a type²-sized aggregate; the pair counts
+    // feed both the totals and the rescore through ONE runtime exchange
+    // (AQE ReusedExchange, verified) ----
     Q(
       "events_markov_transitions",
       """WITH seq AS (SELECT user_id, event_type AS cur,
@@ -1298,7 +1300,11 @@ object EventsOps {
     // other days"). Same cleared-of-division z² algebra: with S=Σc, Q=Σc²
     // over the n day-hours sharing the slot, (c·n−S)² > 4·(Q·n−S²) —
     // pure BIGINT, hash-exact cross-engine; the published mean is integer
-    // micros. Aggregate-first: day-hour counts bound rows by time span ----
+    // micros. Aggregate-first: day-hour counts bound rows by time span;
+    // the profile side and the join's detail side canonicalize to the
+    // same subtree, so AQE reuses ONE exchange at runtime (executed-plan
+    // ReusedExchange verified — the pagerank discipline, faster than an
+    // eager checkpoint) ----
     Q(
       "events_seasonal_profile",
       """WITH hc AS (

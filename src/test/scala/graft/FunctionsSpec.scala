@@ -717,6 +717,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("stripRepeatedNgrams: owner keeps, later occurrences stripped, within-doc repeats survive") {
+    val docs = Seq(
+      (1L, "a b c x y z"), // owner of 'a b c' (min doc, min pos)
+      (2L, "a b c q r s"), // loses the shared 3-gram
+      (3L, "a b c"),       // fully deduplicated → empty
+      (4L, "u v w"),       // unique → untouched
+      (5L, "m n o m n o"), // repeated WITHIN one doc only: df(docs)=1 → kept
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .stripRepeatedNgrams(docs, "doc_id", col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 0L, "a b c x y z"),
+      (2L, 6L, 3L, "q r s"),
+      (3L, 3L, 3L, ""),
+      (4L, 3L, 0L, "u v w"),
+      (5L, 6L, 0L, "m n o m n o")))
+  }
+
   test("pmiCollocations: hand-computed PMI micros, minCount gate") {
     // bigrams: 'a b'×3, 'b a'×1, 'b c'×1 (nb=5); tokens a×3 b×3 c×1 (nu=7)
     val docs = Seq("a b a b", "a b c").toDF("text")

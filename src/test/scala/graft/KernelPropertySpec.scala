@@ -71,6 +71,34 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl is idempotent on generated messy URLs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val host: Gen[String] = for {
+      h <- Gen.oneOf("ex.com", "EX.com", "A.B.ORG", "h")
+      p <- Gen.oneOf("", ":80", ":443", ":8080")
+    } yield h + p
+    val param: Gen[String] = Gen.oneOf(
+      "id=1", "b=2", "a=3", "utm_source=x", "utm_campaign=y", "fbclid=z", "gclid=q")
+    val url: Gen[String] = for {
+      h <- host
+      path <- Gen.oneOf("", "/p", "/p/5", "/p/5/")
+      ps <- Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, param))
+      frag <- Gen.oneOf("", "#f", "#a/b?c")
+    } yield s"https://$h$path" +
+      (if (ps.isEmpty) "" else ps.mkString("?", "&", "")) + frag
+    val urls = (0 until 300).flatMap(i => url(Gen.Parameters.default, Seed(i.toLong)))
+    val df = urls.toDF("u")
+    val rows = df.select(
+      graft.operators.TextOps.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("c1"),
+        graft.operators.TextOps.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+    assert(rows.nonEmpty)
+  }
+
   test("HilbertIndex2D codegen path ≡ static kernel; clamps and null-propagates") {
     import graft.plans.HilbertIndex2D
     // deterministic coordinate pairs spanning in-range, boundary,
