@@ -1600,7 +1600,7 @@ object TextOps {
         |  CAST(FLOOR((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
         |      / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS intercept_millis
-        |FROM s""".stripMargin,
+        |FROM s WHERE n >= 2""".stripMargin,
     ) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, d)
@@ -1616,7 +1616,9 @@ object TextOps {
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
       val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-      st.select(col("n").as("n_ranks"),
+      // a degenerate corpus (< 2 distinct ranks) has no fit — empty
+      // result, never a 0/0 NaN that casts engine-differently
+      st.filter(col("n") >= 2).select(col("n").as("n_ranks"),
         floor(num / den * 1000000.0 + 0.5).cast("long").as("slope_micros"),
         floor((col("sy").cast("double") - num / den * col("sx").cast("double"))
           / col("n").cast("double") * 1000.0 + 0.5).cast("long")

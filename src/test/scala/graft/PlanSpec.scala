@@ -106,6 +106,16 @@ class PlanSpec extends SparkSpec {
       "query batch should broadcast against the linear corpus scan")
   }
 
+  test("q_local_supplier_volume pushes the date band to the orders scan; dims broadcast") {
+    val df = SparkEntry.queries("q_local_supplier_volume")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      "the o_orderdate band must reach the parquet scan as a pushed filter")
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation/region dims must broadcast against the fact side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("phrase_search broadcasts the phrase tables; postings never shuffle-join") {
     val df = SparkEntry.queries("phrase_search")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

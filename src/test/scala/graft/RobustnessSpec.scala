@@ -128,4 +128,24 @@ class RobustnessSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(oov.sameElements(Array((2L, 2L, 1000000L))))
   }
+
+  test("round-13 operators degrade cleanly on empty inputs") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextOps, TrainingData}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty corpus: every per-doc/per-term operator returns zero rows,
+    // never a thrown aggregate or a NaN row
+    assert(TextOps.phraseSearch(empty, "doc_id", col("text"), Seq("a b")).count() == 0)
+    assert(TextOps.pmiCollocations(empty, col("text"), 2).count() == 0)
+    assert(TextOps.docKeywords(empty, "doc_id", col("text"), 3).count() == 0)
+    assert(Dedup.stripRepeatedNgrams(empty, "doc_id", col("text"), 3).count() == 0)
+    assert(TrainingData.packConcatCut(
+      empty, "doc_id", graft.functions.TextFunctions.tokens(col("text")), 16, 2)
+      .count() == 0)
+    // single-doc corpus: nothing is corpus-repeated → text unchanged
+    val one = Seq((7L, "a b c a b c")).toDF("doc_id", "text")
+    val strip = Dedup.stripRepeatedNgrams(one, "doc_id", col("text"), 3)
+      .collect()(0)
+    assert(strip.getLong(2) == 0L && strip.getString(3) == "a b c a b c")
+  }
 }
