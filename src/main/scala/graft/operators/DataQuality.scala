@@ -380,7 +380,179 @@ object DataQuality {
         expr("CAST(n_chars AS BIGINT) DIV 100"),
         pmod(col("doc_id"), lit(2)) === 0, buckets = 10)
     },
+
+    // ---- Pearson correlation matrix over the fact table's numeric
+    // columns in ONE scan: every first/second moment (4 sums, 4 squares,
+    // 6 cross products) is an agg state of the same pass — adding a
+    // column pair adds a state, not a job. Inputs quantize to PER-COLUMN
+    // integer lattices sized so every moment sum stays in BIGINT through
+    // ~sf10 (price at whole units: Σx² ≤ 1.2e10·6e8 ≈ 7e18 < 2^63; ANSI
+    // mode makes an overflow loud, and the fix is documented: widen the
+    // moment sums to decimal via Det.dsumWide). The correlation itself is
+    // IEEE double arithmetic over EXACT integer operands with a fixed
+    // expression shape — int64→double is correctly rounded and both
+    // engines evaluate the identical op tree, so the micros-quantized
+    // result is bit-identical cross-engine ----
+    Q(
+      "profile_correlations",
+      """WITH v AS (SELECT
+        |    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x0,
+        |    CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS x1,
+        |    CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT) AS x2,
+        |    CAST(FLOOR(l_tax * 1000000.0 + 0.5) AS BIGINT) AS x3
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x0) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1,
+        |    CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x3) AS BIGINT) AS s3,
+        |    CAST(SUM(x0*x0) AS BIGINT) AS p0_0, CAST(SUM(x0*x1) AS BIGINT) AS p0_1,
+        |    CAST(SUM(x0*x2) AS BIGINT) AS p0_2, CAST(SUM(x0*x3) AS BIGINT) AS p0_3,
+        |    CAST(SUM(x1*x1) AS BIGINT) AS p1_1, CAST(SUM(x1*x2) AS BIGINT) AS p1_2,
+        |    CAST(SUM(x1*x3) AS BIGINT) AS p1_3, CAST(SUM(x2*x2) AS BIGINT) AS p2_2,
+        |    CAST(SUM(x2*x3) AS BIGINT) AS p2_3, CAST(SUM(x3*x3) AS BIGINT) AS p3_3
+        |  FROM v),
+        |pairs AS (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+        |    CAST(n AS DOUBLE)*CAST(p0_1 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s1 AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE)*CAST(p0_0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE)*CAST(p1_1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE) AS dy
+        |  FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+        |    CAST(n AS DOUBLE)*CAST(p0_2 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s2 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p0_0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p2_2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)
+        |  FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |    CAST(n AS DOUBLE)*CAST(p0_3 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s3 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p0_0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p3_3 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)
+        |  FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+        |    CAST(n AS DOUBLE)*CAST(p1_2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p1_1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p2_2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)
+        |  FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |    CAST(n AS DOUBLE)*CAST(p1_3 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s3 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p1_1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p3_3 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)
+        |  FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |    CAST(n AS DOUBLE)*CAST(p2_3 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s3 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p2_2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE),
+        |    CAST(n AS DOUBLE)*CAST(p3_3 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)
+        |  FROM m)
+        |SELECT col_x, col_y, n,
+        |  CASE WHEN dx > 0 AND dy > 0
+        |    THEN CAST(FLOOR(num / sqrt(dx * dy) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS corr_micros
+        |FROM pairs ORDER BY col_x, col_y""".stripMargin,
+    ) { (s, d) =>
+      correlationMatrix(Tables.lineitem(s, d), Seq(
+        "l_quantity" -> 1.0, "l_extendedprice" -> 1.0,
+        "l_discount" -> 1000000.0, "l_tax" -> 1000000.0))
+    },
+
+    // ---- chi-squared test of independence over a categorical
+    // contingency table (order priority × order status): per-cell
+    // observed vs expected counts and the cell's chi² contribution in
+    // integer micros. The deviation is CLEARED OF DIVISION first
+    // (dev = O·N − r·c, exact BIGINT through ~sf100), then one
+    // fixed-shape double expression dev²/(r·c·N) — identical op tree on
+    // both engines, so micros quantization is hash-exact. Cost: ONE
+    // fact-table aggregate (the cell counts); margins and the total
+    // derive from the cell table (alphabet-sized), reusing its exchange ----
+    Q(
+      "dq_chi2_independence",
+      """WITH c AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs FROM orders GROUP BY 1, 2),
+        |r AS (SELECT pri, CAST(SUM(n_obs) AS BIGINT) AS r_tot FROM c GROUP BY 1),
+        |cc AS (SELECT st, CAST(SUM(n_obs) AS BIGINT) AS c_tot FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM c)
+        |SELECT c.pri, c.st, c.n_obs,
+        |  CAST(FLOOR(CAST(r_tot * c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS expected_mic,
+        |  CAST(FLOOR(
+        |    CAST(c.n_obs * n_tot - r_tot * c_tot AS DOUBLE)
+        |    * CAST(c.n_obs * n_tot - r_tot * c_tot AS DOUBLE)
+        |    / CAST(r_tot * c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_mic
+        |FROM c JOIN r ON r.pri = c.pri JOIN cc ON cc.st = c.st CROSS JOIN t
+        |ORDER BY c.pri, c.st""".stripMargin,
+    ) { (s, d) =>
+      chi2Independence(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderstatus"))
+    },
   )
+
+  /** Chi-squared test of independence between two categorical columns
+    * (see the `dq_chi2_independence` registration for the determinism
+    * contract): per-cell `(pri, st, n_obs, expected_mic, chi2_mic)`. The
+    * deviation O·N − r·c is exact BIGINT; the contribution divides in a
+    * fixed-shape double expression, so the micros result is
+    * engine-portable. One fact-table aggregate; margins derive from the
+    * alphabet-sized cell table.
+    */
+  def chi2Independence(df: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val cells = df.groupBy(rowC.as("pri"), colC.as("st"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rTot = cells.groupBy("pri").agg(sum("n_obs").as("r_tot"))
+    val cTot = cells.groupBy("st").agg(sum("n_obs").as("c_tot"))
+    val tot = cells.agg(sum("n_obs").as("n_tot"))
+    val dev = (col("n_obs") * col("n_tot") - col("r_tot") * col("c_tot"))
+      .cast("double")
+    cells.join(rTot, "pri").join(cTot, "st").crossJoin(broadcast(tot))
+      .select(col("pri"), col("st"), col("n_obs"),
+        floor((col("r_tot") * col("c_tot")).cast("double")
+          / col("n_tot").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("expected_mic"),
+        floor(dev * dev
+          / (col("r_tot") * col("c_tot")).cast("double")
+          / col("n_tot").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("chi2_mic"))
+      .orderBy("pri", "st")
+  }
+
+  /** Pearson correlation matrix over `cols` (name → quantization
+    * lattice), computed in ONE aggregate pass: all first moments, second
+    * moments, and cross moments are agg states of a single scan, then the
+    * pairwise correlations derive from the 1-row moment vector (no
+    * second pass, no per-pair jobs — the textbook covariance-matrix
+    * shape at 100 TB). Each input quantizes to its own integer lattice
+    * (chosen so Σx² fits BIGINT at target scale); the correlation is a
+    * fixed-shape IEEE double expression over the exact integer moments,
+    * engine-portable bit-for-bit. Zero-variance columns yield NULL.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Double)]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val n = cols.size
+    val q = cols.map { case (c, lat) =>
+      floor(col(c) * lit(lat) + lit(0.5)).cast("long")
+    }
+    val firsts = cols.indices.map(i => sum(q(i)).as(s"s$i"))
+    val seconds = for {
+      i <- cols.indices; j <- i until n
+    } yield sum(q(i) * q(j)).as(s"p${i}_$j")
+    val one = df.agg(count(lit(1)).as("n"), (firsts ++ seconds): _*)
+    def D(c: Column): Column = c.cast("double")
+    val rows = for { i <- cols.indices; j <- (i + 1) until n } yield
+      struct(
+        lit(cols(i)._1).as("col_x"), lit(cols(j)._1).as("col_y"),
+        (D(col("n")) * D(col(s"p${i}_$j")) - D(col(s"s$i")) * D(col(s"s$j")))
+          .as("num"),
+        (D(col("n")) * D(col(s"p${i}_$i")) - D(col(s"s$i")) * D(col(s"s$i")))
+          .as("dx"),
+        (D(col("n")) * D(col(s"p${j}_$j")) - D(col(s"s$j")) * D(col(s"s$j")))
+          .as("dy"),
+        col("n"))
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_x").as("col_x"), col("r.col_y").as("col_y"),
+        col("r.n").as("n"),
+        when(col("r.dx") > 0 && col("r.dy") > 0,
+          floor(col("r.num") / sqrt(col("r.dx") * col("r.dy"))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("corr_micros"))
+      .orderBy("col_x", "col_y")
+  }
 
   /** Suppress rows whose quasi-identifier combination appears fewer than
     * `k` times — the k-anonymity release gate. ONE window count over the

@@ -1381,5 +1381,68 @@ object EventsOps {
           col("n").as("trailing_n"))
         .orderBy("event_type", "hour_start")
     },
+
+    // ---- CUSUM mean-shift changepoint over the per-type DAILY count
+    // series: the classic offline change detector (peak of the cumulative
+    // deviation from the series mean marks where the level shifts).
+    // CLEARED OF DIVISION: against mean T/n the running sum of
+    // (c_d − T/n) scaled by n is S_k = Σ(c_d·n − T) — pure BIGINT,
+    // hash-exact; the reported peak day is the EARLIEST day attaining
+    // max |S_k| (row_number tie-break). Aggregate-first discipline:
+    // daily counts bound rows by the time span × type alphabet, the
+    // window runs over that tiny series, never over raw events ----
+    Q(
+      "events_cusum_changepoint",
+      """WITH dc AS (
+        |  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS t FROM dc GROUP BY 1),
+        |cum AS (
+        |  SELECT dc.event_type, dc.day,
+        |    CAST(SUM(dc.c * tot.n - tot.t) OVER (PARTITION BY dc.event_type
+        |      ORDER BY dc.day) AS BIGINT) AS s_k,
+        |    tot.n
+        |  FROM dc JOIN tot ON tot.event_type = dc.event_type),
+        |pk AS (
+        |  SELECT event_type, day, s_k, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(s_k) DESC, day) AS rk
+        |  FROM cum)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS cp_day,
+        |  CAST(ABS(s_k) AS BIGINT) AS cusum_peak
+        |FROM pk WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      cusumChangepoint(Tables.events(s, d))
+    },
   )
+
+  /** CUSUM mean-shift changepoint over each type's DAILY count series
+    * (see the `events_cusum_changepoint` registration for the full
+    * contract): one row per event_type with the earliest day attaining
+    * the peak |cumulative deviation| from the series mean, on the
+    * division-cleared BIGINT lattice (S_k = Σ(c_d·n − T), exact). Input
+    * needs `event_type` and `ts` columns. Cost: one event-level
+    * aggregate, then windows over the day×type-bounded series only.
+    */
+  def cusumChangepoint(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dc = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = dc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
+    val cum = dc.join(tot, "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        sum(col("c") * col("n") - col("t"))
+          .over(Window.partitionBy("event_type").orderBy("day"))
+          .as("s_k"))
+    cum
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("s_k")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("cp_day"), abs(col("s_k")).as("cusum_peak"))
+      .orderBy("event_type")
+  }
 }

@@ -223,5 +223,63 @@ object GraphOps {
           min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
         .orderBy("deg_bucket")
     },
+
+    // ---- link prediction on the customer–part bipartite graph via the
+    // RESOURCE-ALLOCATION index (Zhou/Lü/Zhang 2009): customers who
+    // bought the same part, each shared part contributing 1/deg(part) —
+    // RA instead of Adamic-Adar's 1/ln(deg) because 1000000 DIV deg is
+    // EXACT integer arithmetic (no cross-engine libm ln ulp risk). Parts,
+    // not suppliers, are the shared resource: TPC-H part degree is ~30
+    // customers at EVERY sf (lineitem/part ratio is scale-invariant)
+    // while every supplier is a degenerate hub. Scale discipline: the
+    // pair generator is a per-part self-join BOUNDED by the hub cap
+    // (deg ≤ 64 — hubs carry ~zero RA signal anyway and are where the
+    // quadratic blowup lives; the cap is the PPJoin df-cap / LSH
+    // hot-bucket discipline applied to graphs). Top-50 is TakeOrdered,
+    // no global sort ----
+    Q(
+      "graph_link_predict_ra",
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM cp GROUP BY p HAVING COUNT(*) BETWEEN 2 AND 64),
+        |w AS (SELECT cp.c, cp.p, 1000000 // deg.d AS w_mic
+        |      FROM cp JOIN deg ON deg.p = cp.p),
+        |pairs AS (SELECT a.c AS cust_a, b.c AS cust_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    CAST(SUM(a.w_mic) AS BIGINT) AS ra_mic
+        |  FROM w a JOIN w b ON a.p = b.p AND a.c < b.c GROUP BY 1, 2)
+        |SELECT cust_a, cust_b, n_common, ra_mic FROM pairs
+        |ORDER BY ra_mic DESC, cust_a, cust_b LIMIT 50""".stripMargin,
+    ) { (s, d) =>
+      val cp = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      resourceAllocationTopPairs(cp, minDeg = 2, capDeg = 64, k = 50)
+    },
   )
+
+  /** Resource-allocation link prediction over a deduplicated bipartite
+    * membership table with columns `c` (entity) and `p` (shared
+    * resource): top-k entity pairs by Σ 1000000 DIV deg(p) over shared
+    * resources — exact integer weights, no libm. Resources with
+    * deg < minDeg contribute nothing; deg > capDeg are EXCLUDED (hub
+    * cap: the quadratic pair blowup lives in the hubs and their RA
+    * weight is ~0 anyway — the df-cap discipline of the PPJoin tier).
+    */
+  def resourceAllocationTopPairs(
+      bip: org.apache.spark.sql.DataFrame,
+      minDeg: Int, capDeg: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val deg = bip.groupBy("p").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minDeg && col("d") <= capDeg)
+    val w = bip.join(deg, "p")
+      .select(col("c"), col("p"), expr("1000000L DIV d").as("w_mic"))
+    w.as("a")
+      .join(w.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("cust_a"), col("b.c").as("cust_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("a.w_mic")).as("ra_mic"))
+      .orderBy(col("ra_mic").desc, col("cust_a"), col("cust_b"))
+      .limit(k)
+  }
 }

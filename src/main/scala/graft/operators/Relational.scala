@@ -671,5 +671,41 @@ object Relational {
         .agg(count(lit(1)).as("n_customers"), sum("m_mic").as("m_mic_total"))
         .orderBy("segment")
     },
+
+    // ---- RANGE window frame (value-based, not row-based): 7-day trailing
+    // spend per customer at every order — the W1 family's time-window
+    // face. A RANGE frame is keyed on the ORDER BY VALUE (epoch days), so
+    // same-day ties enter the frame together and the result is
+    // deterministic without a unique tie-break; the rows-based
+    // formulation would be order-dependent on ties. One key-partitioned
+    // window (hash exchange on custkey, linear); sums are integer micros ----
+    Q(
+      "q_window_range_frame",
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS p_mic
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(SUM(p_mic) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trail7d_mic,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trail7d_n
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        floor(col("o_totalprice") * 1000000.0 + 0.5).cast("long").as("p_mic"))
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(col("p_mic")).over(w).as("trail7d_mic"),
+          count(lit(1)).over(w).as("trail7d_n"))
+        .orderBy("o_orderkey")
+    },
   )
 }

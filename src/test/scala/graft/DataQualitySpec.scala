@@ -121,4 +121,41 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(clamped == Set(0L, 3L))
   }
+
+  test("correlationMatrix: exact linear data hits ±1, zero variance is NULL") {
+    val df = (1 to 20).map(i => (i.toDouble, 2.0 * i, 100.0 - 3.0 * i, 7.0))
+      .toDF("x", "y", "z", "k")
+    val m = DataQuality.correlationMatrix(df, Seq(
+      "x" -> 1000000.0, "y" -> 1000000.0, "z" -> 1000000.0, "k" -> 1000000.0))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(m.size === 6)
+    assert(math.abs(m(("x", "y")).get - 1000000L) <= 1L)
+    assert(math.abs(m(("x", "z")).get + 1000000L) <= 1L)
+    assert(math.abs(m(("y", "z")).get + 1000000L) <= 1L)
+    // constant column: zero variance on one side -> NULL, never a crash
+    assert(m(("x", "k")) === None)
+    assert(m(("y", "k")) === None)
+    assert(m(("z", "k")) === None)
+  }
+
+  test("chi2Independence: exact independence scores zero, diagonal dependence is loud") {
+    // 2x2 with margins 10/20 x 24/6 over N=30: every expected count is
+    // integral and equals the observed count -> chi2 contributions all 0.
+    val indep = (Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(16)(("b", "x")) ++ Seq.fill(4)(("b", "y"))).toDF("r", "c")
+    val zero = DataQuality.chi2Independence(indep, col("r"), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(zero.length === 4)
+    zero.foreach { case (_, _, nObs, expMic, chi2) =>
+      assert(expMic === nObs * 1000000L)
+      assert(chi2 === 0L)
+    }
+    // perfectly dependent diagonal: both observed cells deviate hard
+    val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
+    val loud = DataQuality.chi2Independence(dep, col("r"), col("c"))
+      .collect().map(r => r.getLong(4))
+    assert(loud.forall(_ > 0L), loud.mkString(","))
+  }
 }

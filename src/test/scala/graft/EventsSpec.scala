@@ -269,4 +269,23 @@ class EventsSpec extends SparkSpec {
           s"$ta/$tb est $interEst vs exact $exact")
       }
   }
+
+  test("cusumChangepoint: planted level shift peaks at the shift day, exact BIGINT lattice") {
+    // type A: days 1-4 at 2 events/day, days 5-8 at 8/day. Daily counts
+    // c = [2,2,2,2,8,8,8,8], n = 8, T = 40; dev = c*8 - 40 = [-24 x4, +24 x4];
+    // cumsum = -24,-48,-72,-96,-72,-48,-24,0 -> peak |S| = 96 at day 4.
+    import spark.implicits._
+    val rows = for {
+      day <- 1 to 8
+      i <- 1 to (if (day <= 4) 2 else 8)
+    } yield ("A", java.sql.Timestamp.valueOf(f"2024-01-0$day 10:0$i:00"))
+    val ev = rows.toDF("event_type", "ts")
+    val out = graft.operators.EventsOps.cusumChangepoint(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "A")
+    assert(r.getLong(1) === 8L)
+    assert(r.getTimestamp(2).toString.startsWith("2024-01-04"))
+    assert(r.getLong(3) === 96L)
+  }
 }

@@ -67,4 +67,20 @@ class GraphSpec extends SparkSpec {
     assert(full.filter(col("tri_cnt") <= 0).count() === 0L)
     assert(full.count() > 0L)
   }
+
+  test("resourceAllocationTopPairs: exact integer RA weights; singleton and hub resources excluded") {
+    import spark.implicits._
+    // parts: 10 shared by {1,2} (deg 2 -> w 500000), 11 by {1,2,3}
+    // (deg 3 -> w 333333), 12 singleton (below minDeg), 99 a 65-customer
+    // hub (above capDeg -> excluded entirely).
+    val bip = (Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L),
+      (9L, 12L)) ++ (1L to 65L).map(c => (100L + c, 99L))).toDF("c", "p")
+    val out = graft.operators.GraphOps
+      .resourceAllocationTopPairs(bip, minDeg = 2, capDeg = 64, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 833333L),   // 500000 + 333333, ranked first
+      (1L, 3L, 1L, 333333L),
+      (2L, 3L, 1L, 333333L)))
+  }
 }

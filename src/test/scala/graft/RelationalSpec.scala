@@ -29,4 +29,29 @@ class RelationalSpec extends SparkSpec {
       }
     } finally df.unpersist()
   }
+
+  test("q_window_range_frame: RANGE frame includes same-day ties together and honors the 7-day cutoff") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Same window spec as the registered query, on a hand-computable
+    // series: days 0,3,6 then TWO orders on day 10. The value-based frame
+    // means both day-10 rows see the identical {day>=4} frame -- the
+    // rows-based formulation would give them different sums on the tie.
+    val o = Seq((1L, 10L, 0L, 100L), (2L, 10L, 3L, 200L), (3L, 10L, 6L, 400L),
+      (4L, 10L, 10L, 800L), (5L, 10L, 10L, 1600L))
+      .toDF("o_orderkey", "o_custkey", "day", "p_mic")
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    val got = o.select(col("o_orderkey"),
+        sum(col("p_mic")).over(w).as("s"), count(lit(1)).over(w).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((100L, 1L)))
+    assert(got(2L) === ((300L, 2L)))        // days 0 and 3
+    assert(got(3L) === ((700L, 3L)))        // days 0,3,6 all within 6
+    assert(got(4L) === ((2800L, 3L)))       // days 6,10,10 -- tie included
+    assert(got(5L) === ((2800L, 3L)))       // identical frame on the tie
+    // registered query: one output row per order, frames never empty
+    val df = SparkEntry.queries("q_window_range_frame")(spark, sf0001)
+    assert(df.count() === 1500L)
+    assert(df.filter(col("trail7d_n") < 1L || col("trail7d_mic") <= 0L).count() === 0L)
+  }
 }
