@@ -750,6 +750,50 @@ object CatalogOps {
         .orderBy("snap", "lang")
     },
 
+    // ---- shallow CLONE: zero-copy fork of the table's current snapshot
+    // (hardlinked data files, fresh version log — see
+    // [[Catalog.cloneTable]]), then INDEPENDENT evolution: an insert into
+    // the clone must never leak into the source. The profile compares
+    // source (== the original corpus, untouched) against clone
+    // (== corpus + the planted extra rows) per language ----
+    Q(
+      "catalog_clone",
+      """WITH extra AS (SELECT doc_id, text, lang, 'extra' AS source,
+        |    n_chars + 7 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |merged AS (SELECT lang, n_chars FROM documents
+        |          UNION ALL SELECT lang, n_chars FROM extra),
+        |prof AS (
+        |  SELECT 'src' AS snap, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'clone', lang, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+        |  FROM merged GROUP BY lang)
+        |SELECT snap, lang, n_docs, total_chars FROM prof
+        |ORDER BY snap, lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_src", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_src", docs)
+      cat.cloneTable("docs_src", "docs_clone")
+      cat.insert("docs_clone", docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("extra"))
+        .withColumn("n_chars", col("n_chars") + 7))
+      def prof(df: org.apache.spark.sql.DataFrame, snap: String) =
+        df.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"))
+          .select(lit(snap).as("snap"), col("lang"),
+            col("n_docs"), col("total_chars"))
+      prof(cat.table("docs_src"), "src")
+        .unionByName(prof(cat.table("docs_clone"), "clone"))
+        .orderBy("snap", "lang")
+    },
+
     // ---- bucketed co-located join: both sides written bucketed by the
     // join key (8 buckets), so the join plans with zero shuffle exchanges
     // (PlanSpec asserts the no-Exchange plan with broadcast disabled —

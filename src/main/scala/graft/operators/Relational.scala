@@ -707,5 +707,59 @@ object Relational {
           count(lit(1)).over(w).as("trail7d_n"))
         .orderBy("o_orderkey")
     },
+
+    // ---- market-basket association rules (Agrawal/Srikant shape) over
+    // order baskets: part pairs co-purchased in the same order, with
+    // support, both confidences, and lift in integer micros. The pair
+    // generator is a SELF-JOIN ON THE ORDER KEY — baskets are O(lines
+    // per order) wide, so pairs are ≤ C(7,2) per order: linear in the
+    // fact table, never in the item vocabulary (the a-priori trick is
+    // unnecessary when the basket width is bounded; at unbounded widths
+    // the per-basket pair explode gets the same cap-and-salt treatment
+    // as the LSH hot buckets). Ratios divide exact BIGINTs in
+    // fixed-shape double expressions — engine-portable ----
+    Q(
+      "basket_association_rules",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+        |s AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS supp FROM b GROUP BY pk),
+        |p AS (SELECT a.pk AS part_a, b2.pk AS part_b,
+        |        CAST(COUNT(*) AS BIGINT) AS supp_ab
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, supp_ab,
+        |  CAST(FLOOR(supp_ab * 1000000.0 / sa.supp + 0.5) AS BIGINT) AS conf_ab_mic,
+        |  CAST(FLOOR(supp_ab * 1000000.0 / sb.supp + 0.5) AS BIGINT) AS conf_ba_mic,
+        |  CAST(FLOOR(CAST(supp_ab * n.n_orders AS DOUBLE) * 1000000.0
+        |    / CAST(sa.supp * sb.supp AS DOUBLE) + 0.5) AS BIGINT) AS lift_mic
+        |FROM p JOIN s sa ON sa.pk = part_a JOIN s sb ON sb.pk = part_b
+        |CROSS JOIN n
+        |ORDER BY lift_mic DESC, part_a, part_b LIMIT 50""".stripMargin,
+    ) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+      val supp = b.groupBy("pk").agg(count(lit(1)).as("supp"))
+      val pairs = b.as("a")
+        .join(b.as("b2"), col("a.ok") === col("b2.ok") && col("a.pk") < col("b2.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b2.pk").as("part_b"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 2)
+      pairs
+        .join(supp.select(col("pk").as("part_a"), col("supp").as("sa")), "part_a")
+        .join(supp.select(col("pk").as("part_b"), col("supp").as("sb")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("supp_ab"),
+          floor(col("supp_ab") * 1000000.0 / col("sa") + 0.5).cast("long")
+            .as("conf_ab_mic"),
+          floor(col("supp_ab") * 1000000.0 / col("sb") + 0.5).cast("long")
+            .as("conf_ba_mic"),
+          floor((col("supp_ab") * col("n_orders")).cast("double") * 1000000.0
+            / (col("sa") * col("sb")).cast("double") + 0.5).cast("long")
+            .as("lift_mic"))
+        .orderBy(col("lift_mic").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    },
   )
 }

@@ -504,6 +504,48 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     commitVersion(name, s"restore v$v", files)
   }
 
+  /** Shallow CLONE (Delta/Iceberg `CREATE TABLE ... CLONE` semantics):
+    * `dst` becomes an independent table over `src`'s CURRENT snapshot
+    * with ZERO data-byte copying — each live data file is HARDLINKED
+    * into the clone's data dir (same inode; falls back to a copy on
+    * filesystems without link support). O(live files) metadata work
+    * regardless of table size — the only clone discipline that works at
+    * 100 TB; on an object-store warehouse the same operation is a
+    * manifest-pointer copy.
+    *
+    * Safe because data files are IMMUTABLE once committed: every
+    * mutation (insert/delete/merge/compact) writes NEW part files and
+    * re-points the manifest, and [[vacuum]] merely unlinks — so either
+    * table vacuuming or rewriting never disturbs the other side's bytes
+    * (the inode survives until its last link drops). The clone starts
+    * its OWN version log at v1 (`clone <src>@v<N>`); schema, partition
+    * column, indexes, retired physical names and CHECK constraints all
+    * carry over.
+    */
+  def cloneTable(src: String, dst: String): Int = {
+    require(exists(src), s"table $src does not exist")
+    require(!exists(dst), s"table $dst already exists")
+    require(!viewExists(dst), s"$dst is a view; views and tables share a namespace")
+    val v = currentVersion(src)
+    val files = manifest(src, v)
+    Files.createDirectories(metaDir(dst))
+    Seq("schema.json", "partition.txt", "indexed.txt", "retired.txt", "checks.txt")
+      .foreach { f =>
+        val p = metaDir(src).resolve(f)
+        if (Files.exists(p)) Files.copy(p, metaDir(dst).resolve(f))
+      }
+    val sDir = dataDir(src)
+    val dDir = dataDir(dst)
+    files.foreach { rel =>
+      val from = sDir.resolve(rel)
+      val to = dDir.resolve(rel)
+      Files.createDirectories(to.getParent)
+      try Files.createLink(to, from)
+      catch { case _: UnsupportedOperationException => Files.copy(from, to) }
+    }
+    commitVersion(dst, s"clone $src@v$v", files)
+  }
+
   /** CDC change feed between two retained snapshots: the row-level
     * multiset diff `tableAt(toV) ∖ tableAt(fromV)` tagged 'insert' plus
     * the reverse tagged 'delete', in a `_change` column appended to the

@@ -933,4 +933,49 @@ class CatalogSpec extends SparkSpec {
       cat.insertCsvQuarantine("t", "t_bad_dead", s"$wh/in")
     }
   }
+
+  test("cloneTable: zero-copy fork (shared inodes), independent evolution, survives source vacuum") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("c_src", docs.schema, partitionBy = Some("lang"))
+    cat.insert("c_src", docs)
+    val srcRows = cat.table("c_src").count()
+    cat.cloneTable("c_src", "c_dst")
+
+    // zero-copy: every cloned data file shares its source file's inode
+    val whP = java.nio.file.Paths.get(cat.warehouse)
+    def dataFiles(t: String) = {
+      val s = Files.walk(whP.resolve(t).resolve("data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => whP.resolve(t).resolve("data").relativize(p).toString -> p).toMap
+      } finally s.close()
+    }
+    val srcF = dataFiles("c_src")
+    val dstF = dataFiles("c_dst")
+    assert(dstF.keySet === srcF.keySet)
+    dstF.foreach { case (rel, p) =>
+      assert(Files.getAttribute(p, "unix:ino") ===
+        Files.getAttribute(srcF(rel), "unix:ino"), s"$rel must be a hardlink")
+    }
+
+    // independent evolution: insert into the clone leaves the source alone
+    cat.insert("c_dst", docs.limit(10).withColumn("source", lit("extra")))
+    assert(cat.table("c_dst").count() === srcRows + 10)
+    assert(cat.table("c_src").count() === srcRows)
+    assert(cat.currentVersion("c_src") === 1)
+
+    // source rewrite + vacuum must not disturb the clone (inode survives
+    // until its last link drops)
+    cat.deleteRows("c_src", lit(true))
+    cat.vacuum("c_src", retainLast = 1)
+    assert(cat.table("c_src").count() === 0L)
+    assert(cat.table("c_dst").count() === srcRows + 10)
+
+    // clone of a missing table / onto an existing name is loud
+    intercept[IllegalArgumentException](cat.cloneTable("nope", "x"))
+    intercept[IllegalArgumentException](cat.cloneTable("c_src", "c_dst"))
+  }
 }

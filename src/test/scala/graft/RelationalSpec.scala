@@ -54,4 +54,21 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() === 1500L)
     assert(df.filter(col("trail7d_n") < 1L || col("trail7d_mic") <= 0L).count() === 0L)
   }
+
+  test("basket_association_rules: bounded ratios, canonical pair order, min support") {
+    val df = SparkEntry.queries("basket_association_rules")(spark, sf0001).cache()
+    try {
+      assert(df.count() === 50L)
+      // support floor honored; pairs canonical (a < b)
+      assert(df.filter(col("supp_ab") < 2L || col("part_a") >= col("part_b")).count() === 0L)
+      // confidence = supp_ab/supp(x) is a probability; lift positive.
+      // supp(a) >= supp_ab always, so conf <= 1e6 exactly.
+      assert(df.filter(col("conf_ab_mic") <= 0L || col("conf_ab_mic") > 1000000L ||
+        col("conf_ba_mic") <= 0L || col("conf_ba_mic") > 1000000L ||
+        col("lift_mic") <= 0L).count() === 0L)
+      // ranked by lift: top row carries the max
+      val lifts = df.select("lift_mic").collect().map(_.getLong(0))
+      assert(lifts.toSeq === lifts.sortBy(-_).toSeq)
+    } finally df.unpersist()
+  }
 }
