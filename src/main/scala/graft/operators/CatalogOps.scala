@@ -750,6 +750,38 @@ object CatalogOps {
         .orderBy("snap", "lang")
     },
 
+    // ---- right-to-be-forgotten erasure: COW-delete of the target rows
+    // PLUS history purge + vacuum in one call ([[Catalog.eraseWhere]]) —
+    // afterwards no retained snapshot, manifest, or data file can
+    // resurrect them (CatalogSpec proves time travel to the pre-erasure
+    // version dies and the bytes are gone; the n_versions column pins
+    // the purged log depth through the oracle). Per-lang profile of the
+    // survivors plus a must-be-zero residue count ----
+    Q(
+      "catalog_erase",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_residue,
+        |  CAST(1 AS BIGINT) AS n_versions
+        |FROM documents WHERE source <> 'src3'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_erase", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_erase", docs) // v1
+      cat.eraseWhere("docs_erase", col("source") === "src3") // v2, log purged
+      cat.table("docs_erase")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          sum(when(col("source") === "src3", 1L).otherwise(0L)).as("n_residue"))
+        .withColumn("n_versions", lit(cat.versions("docs_erase").size.toLong))
+        .orderBy("lang")
+    },
+
     // ---- shallow CLONE: zero-copy fork of the table's current snapshot
     // (hardlinked data files, fresh version log — see
     // [[Catalog.cloneTable]]), then INDEPENDENT evolution: an insert into

@@ -771,6 +771,88 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- MinHash CALIBRATION: estimated-vs-exact Jaccard agreement,
+    // bucketed by the estimate — the "measure, don't guess" QA row for
+    // the sketch tier (is 32 hashes enough at our thresholds?). Pairs
+    // come from the SAME df-capped exact join as dedup_jaccard_capped
+    // (wider J ≥ 0.3 net for range); the 32 signature components are
+    // min((a_i·h + b_i) mod p) over md5-top-60 shingle hashes reduced
+    // mod p = 2^31−1 — every operand exact BIGINT, so DuckDB replays the
+    // sketch itself bit-for-bit (the production path keeps the faster
+    // xxhash64 codegen kernel; this row pins the MATH). Per-bucket means
+    // are integer-division of exact micros sums ----
+    Q(
+      "dedup_minhash_calibration",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                                             FOR i IN range(1, len(ws)-1)])) AS s
+        |        FROM w WHERE len(ws) >= 3),
+        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 5),
+        |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db,
+        |    CAST(FLOOR(i*1000000.0/(sa.n + sb.n - i) + 0.5) AS BIGINT) AS jac_mic
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i*1.0/(sa.n + sb.n - i) >= 0.3),
+        |perms AS (SELECT CAST(i AS BIGINT) AS pi, CAST(2*i+1 AS BIGINT) AS pa,
+        |    CAST(i*i+7 AS BIGINT) AS pb FROM range(0,32) t(i)),
+        |hm AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 2147483647 AS hm
+        |       FROM sh),
+        |sig AS (SELECT doc_id, pi, MIN((pa*hm+pb) % 2147483647) AS m
+        |        FROM hm CROSS JOIN perms GROUP BY 1, 2),
+        |mt AS (SELECT p.da, p.db, p.jac_mic,
+        |    CAST(SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
+        |  FROM pairs p JOIN sig x ON x.doc_id = p.da
+        |  JOIN sig y ON y.doc_id = p.db AND y.pi = x.pi
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(LEAST(matches*10 // 32, 9) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(matches*31250) // COUNT(*) AS BIGINT) AS mean_est_mic,
+        |  CAST(SUM(jac_mic) // COUNT(*) AS BIGINT) AS mean_exact_mic
+        |FROM mt GROUP BY 1 ORDER BY bucket""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh0 = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 5).select("s")
+      // read 4x (sizes, both join sides, signatures) — pin it once
+      val sh = sh0.join(hot, Seq("s"), "left_anti").localCheckpoint(true)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      val pairs = inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(col("i") * 1.0 / (col("na") + col("nb") - col("i")) >= 0.3)
+        .select(col("da"), col("db"),
+          floor(col("i") * 1000000.0 / (col("na") + col("nb") - col("i")) + 0.5)
+            .cast("long").as("jac_mic"))
+      val perms = s.range(0, 32).select(col("id").as("pi"),
+        (col("id") * 2 + 1).as("pa"), (col("id") * col("id") + 7).as("pb"))
+      val hm = sh.select(col("doc_id"),
+        expr("cast(conv(substring(md5(s),1,15),16,10) as bigint) % 2147483647")
+          .as("hm"))
+      val sig = hm.crossJoin(broadcast(perms))
+        .groupBy(col("doc_id"), col("pi"))
+        .agg(min((col("pa") * col("hm") + col("pb")) % 2147483647L).as("m"))
+      val mt = pairs
+        .join(sig.withColumnRenamed("doc_id", "da").withColumnRenamed("m", "ma"),
+          Seq("da"))
+        .join(sig.withColumnRenamed("doc_id", "db").withColumnRenamed("m", "mb"),
+          Seq("db", "pi"))
+        .groupBy("da", "db", "jac_mic")
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("matches"))
+      mt.groupBy(least(expr("matches*10 DIV 32"), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("SUM(matches*31250) DIV COUNT(*)").as("mean_est_mic"),
+          expr("SUM(jac_mic) DIV COUNT(*)").as("mean_exact_mic"))
+        .orderBy("bucket")
+    },
+
     // ---- containment pairs (quote/subset detection): |A∩B|/min(|A|,|B|)
     // ≥ 0.9 over the capped 3-shingle sets. Catches the near-total
     // inclusion a Jaccard threshold structurally misses; same sparse

@@ -1262,6 +1262,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     perFile.map(_.getLong(1)).sum
   }
 
+  /** Right-to-be-forgotten erasure (GDPR art.17 shape): COW-delete the
+    * matching rows, then PURGE history to the erased snapshot ONLY —
+    * time travel / RESTORE to any pre-erasure version fails loudly, and
+    * [[vacuum]] reclaims the bytes in the same call. The purge runs even
+    * when the CURRENT version matches nothing: older snapshots may still
+    * hold matching rows, and the call's contract is "no retained state
+    * contains them", not "the head doesn't". Erasure is PER TABLE — a
+    * hardlinked [[cloneTable]] fork keeps its own links to shared inodes,
+    * so a compliance sweep must erase every clone (enumerate via
+    * [[tables]]); the shared bytes are reclaimed when the last link
+    * drops. Returns rows erased from the head snapshot.
+    */
+  def eraseWhere(name: String, condition: org.apache.spark.sql.Column): Long = {
+    val n = deleteRows(name, condition)
+    vacuum(name, retainLast = 1)
+    n
+  }
+
   /** Row-level copy-on-write UPDATE — SQL `UPDATE t SET c = e, ... WHERE
     * cond`. FILE-granular like [[deleteRows]]: one manifest pass (bounded
     * by `graft.dml.maxAffectedFiles`) finds the files containing matching

@@ -978,4 +978,40 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.cloneTable("nope", "x"))
     intercept[IllegalArgumentException](cat.cloneTable("c_src", "c_dst"))
   }
+
+  test("eraseWhere: rows gone, history purged, pre-erasure snapshots unreadable, bytes reclaimed") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("e_t", docs.schema, partitionBy = Some("lang"))
+    cat.insert("e_t", docs)                                    // v1
+    cat.insert("e_t", docs.limit(5).withColumn("source", lit("src3"))) // v2
+    val before = cat.table("e_t").count()
+    val target = cat.table("e_t").filter(col("source") === "src3").count()
+    assert(target > 0L)
+
+    val erased = cat.eraseWhere("e_t", col("source") === "src3")
+    assert(erased === target)
+    assert(cat.table("e_t").filter(col("source") === "src3").count() === 0L)
+    assert(cat.table("e_t").count() === before - target)
+
+    // history is purged to the erased snapshot only: time travel to any
+    // pre-erasure version must fail loudly, not resurrect the rows
+    assert(cat.versions("e_t").size === 1)
+    intercept[IllegalArgumentException](cat.tableAt("e_t", 1))
+    intercept[IllegalArgumentException](cat.restoreVersion("e_t", 2))
+
+    // the erased bytes are physically gone: no surviving parquet file
+    // contains a src3 row (read the raw files, bypassing the manifest)
+    val dataDir = java.nio.file.Paths.get(cat.warehouse, "e_t", "data")
+    val raw = spark.read.schema(docs.schema).parquet(dataDir.toString)
+    assert(raw.filter(col("source") === "src3").count() === 0L)
+
+    // erasure on a table whose HEAD has no matches still purges history
+    cat.create("e_u", docs.schema, partitionBy = None)
+    cat.insert("e_u", docs.limit(3).withColumn("source", lit("pii")))  // v1
+    cat.deleteRows("e_u", col("source") === "pii")                     // v2: head clean
+    assert(cat.versions("e_u").size === 2)
+    assert(cat.eraseWhere("e_u", col("source") === "pii") === 0L)
+    assert(cat.versions("e_u").size === 1, "history with matching rows must not survive")
+  }
 }

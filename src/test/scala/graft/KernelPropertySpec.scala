@@ -147,4 +147,22 @@ class KernelPropertySpec extends SparkSpec {
     assert(kernel == agg)
     assert(kernel.nonEmpty)
   }
+
+  test("dedup_minhash_calibration: bucket bounds hold by construction, estimate tracks exact within sketch error") {
+    val cal = SparkEntry.queries("dedup_minhash_calibration")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cal.nonEmpty)
+    cal.foreach { case (bucket, nPairs, meanEst, meanExact) =>
+      assert(bucket >= 0L && bucket <= 9L)
+      assert(nPairs >= 1L)
+      // mean estimate lies inside its own bucket's range by construction
+      val hi = if (bucket == 9L) 1000000L else (bucket + 1) * 100000L
+      assert(meanEst >= bucket * 100000L && meanEst <= hi,
+        s"bucket $bucket meanEst $meanEst")
+      // 32-hash MinHash std error ~ sqrt(J(1-J)/32) <= 0.09; bucket means
+      // of est vs exact should agree well inside 0.25
+      assert(math.abs(meanEst - meanExact) <= 250000L,
+        s"bucket $bucket: est $meanEst vs exact $meanExact")
+    }
+  }
 }
