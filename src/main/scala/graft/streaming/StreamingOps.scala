@@ -435,6 +435,46 @@ object StreamingOps {
         .orderBy("hour_start")
     }
 
+  /** Streaming CUSUM mean-shift monitor: daily per-type counts stream
+    * through a watermarked tumbling window (event-volume work); the
+    * changepoint scan (division-cleared S_k = Σ(c·n − T), earliest peak
+    * wins) runs over the resulting day×type-bounded series in batch —
+    * streaming where volume lives, relational where it doesn't. In a
+    * continuous deployment the same day-count stream feeds an
+    * incremental CUSUM against a frozen baseline mean; the replay here
+    * uses the full-series mean so it stays batch-equivalent for the
+    * oracle (same contract as the batch `events_cusum_changepoint`).
+    */
+  def streamCusumAlert(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(spark, sfDir) { stageDir =>
+      val dc = runToFiles(spark, "stream_cusum", { session =>
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("window.start").cast(TimestampNTZType).as("day"),
+            col("event_type"), col("c"))
+        (stream, org.apache.spark.sql.streaming.OutputMode.Complete())
+      })
+      val w = org.apache.spark.sql.expressions.Window
+      val tot = dc.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
+      val cum = dc.join(tot, "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          sum(col("c") * col("n") - col("t"))
+            .over(w.partitionBy("event_type").orderBy("day")).as("s_k"))
+      cum
+        .withColumn("rk", row_number().over(
+          w.partitionBy("event_type").orderBy(abs(col("s_k")).desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("day").as("cp_day"), abs(col("s_k")).as("cusum_peak"))
+        .orderBy("event_type")
+    }
+
   /** Streaming SLIDING-window aggregation (2 h windows every 30 min):
     * each event lands in size/slide = 4 overlapping windows — the window
     * type [[hourlyCountsStreaming]]'s tumbling case can't express
@@ -885,6 +925,37 @@ object StreamingOps {
         |FROM pm p JOIN hn USING (hour_start)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     )(streamPsiDrift),
+
+    // ---- streaming CUSUM changepoint monitor: the daily per-type counts
+    // stream through a watermarked 1-day tumbling window (the only part
+    // that touches event volume); the mean-shift scan then runs over the
+    // bounded day×type series — same division-cleared BIGINT lattice and
+    // earliest-peak tie-break as the batch events_cusum_changepoint row,
+    // and the SAME oracle shape, so stream and batch detectors must agree
+    // on one relational answer ----
+    Q(
+      "stream_cusum_alert",
+      """WITH dc AS (
+        |  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS t FROM dc GROUP BY 1),
+        |cum AS (
+        |  SELECT dc.event_type, dc.day,
+        |    CAST(SUM(dc.c * tot.n - tot.t) OVER (PARTITION BY dc.event_type
+        |      ORDER BY dc.day) AS BIGINT) AS s_k,
+        |    tot.n
+        |  FROM dc JOIN tot ON tot.event_type = dc.event_type),
+        |pk AS (
+        |  SELECT event_type, day, s_k, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(s_k) DESC, day) AS rk
+        |  FROM cum)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS cp_day,
+        |  CAST(ABS(s_k) AS BIGINT) AS cusum_peak
+        |FROM pk WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    )(streamCusumAlert),
 
     // ---- sliding windows (every event in 4 overlapping 2h/30m windows):
     // the oracle enumerates each event's window starts explicitly —

@@ -358,4 +358,13 @@ class StreamingSpec extends SparkSpec {
     val total = Tables.events(spark, sf0001).count()
     assert(out.map(_._1).sum == total)
   }
+
+  test("stream_cusum_alert agrees with the batch changepoint detector row-for-row") {
+    val stream = SparkEntry.queries("stream_cusum_alert")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString.take(10), r.getLong(3))).toSeq
+    val batch = SparkEntry.queries("events_cusum_changepoint")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString.take(10), r.getLong(3))).toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
 }
