@@ -273,10 +273,18 @@ object GraphOps {
       minDeg: Int, capDeg: Int, k: Int): org.apache.spark.sql.DataFrame = {
     val deg = bip.groupBy("p").agg(count(lit(1)).as("d"))
       .filter(col("d") >= minDeg && col("d") <= capDeg)
+    // pin the weighted membership once (feeds both self-join sides; the
+    // lineage repeats the source join + distinct + degree join) and hash-
+    // join the bounded-key self-join instead of sort-merge: measured
+    // 13.0 s bare / 12.2 s pinned / 11.3 s pinned+hash at sf0.1 — the
+    // residual cost IS the Σ deg²/2 pair aggregate (~9M pairs), which the
+    // deg cap keeps linear in corpus size (deg is scale-invariant here)
     val w = bip.join(deg, "p")
       .select(col("c"), col("p"), expr("1000000L DIV d").as("w_mic"))
+      .localCheckpoint(true)
     w.as("a")
-      .join(w.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .join(w.as("b").hint("SHUFFLE_HASH"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
       .groupBy(col("a.c").as("cust_a"), col("b.c").as("cust_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("a.w_mic")).as("ra_mic"))
       .orderBy(col("ra_mic").desc, col("cust_a"), col("cust_b"))

@@ -736,9 +736,12 @@ object Relational {
         |CROSS JOIN n
         |ORDER BY lift_mic DESC, part_a, part_b LIMIT 50""".stripMargin,
     ) { (s, d) =>
+      // the deduplicated basket table feeds four consumers (order count,
+      // item supports, both self-join sides) — pin it once
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint(true)
       val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
       val supp = b.groupBy("pk").agg(count(lit(1)).as("supp"))
       val pairs = b.as("a")
