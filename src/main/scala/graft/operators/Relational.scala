@@ -764,5 +764,45 @@ object Relational {
         .orderBy(col("lift_mic").desc, col("part_a"), col("part_b"))
         .limit(50)
     },
+
+    // ---- MULTISET set ops (EXCEPT ALL / INTERSECT ALL): bag semantics
+    // the distinct-based U1 trio can't express — multiplicities survive
+    // (a part shipped 3× in 1996 and 1× in 1997 keeps 2 copies). Spark
+    // plans both as one Expand + keyed count aggregate + Generate — a
+    // single shuffle on the compared columns, no join, linear at any
+    // scale. Output is the raw multiset; sorting by all columns gives a
+    // canonical duplicate-preserving order for the hash compare ----
+    Q(
+      "q_except_all",
+      """SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate < DATE '1998-01-01'
+        |ORDER BY l_partkey""".stripMargin,
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(expr("l_shipdate >= DATE'1996-01-01'") &&
+        expr("l_shipdate < DATE'1997-01-01'")).select("l_partkey")
+      val b = li.filter(expr("l_shipdate >= DATE'1997-01-01'") &&
+        expr("l_shipdate < DATE'1998-01-01'")).select("l_partkey")
+      a.exceptAll(b).orderBy("l_partkey")
+    },
+    Q(
+      "q_intersect_all",
+      """SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate < DATE '1998-01-01'
+        |ORDER BY l_partkey""".stripMargin,
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(expr("l_shipdate >= DATE'1996-01-01'") &&
+        expr("l_shipdate < DATE'1997-01-01'")).select("l_partkey")
+      val b = li.filter(expr("l_shipdate >= DATE'1997-01-01'") &&
+        expr("l_shipdate < DATE'1998-01-01'")).select("l_partkey")
+      a.intersectAll(b).orderBy("l_partkey")
+    },
   )
 }

@@ -83,6 +83,10 @@ object CatalogSql {
     """(?is)^UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
   private val Truncate =
     """(?is)^TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+  private val CloneStmt =
+    """(?is)^CREATE\s+TABLE\s+(\w+)\s+(?:SHALLOW\s+)?CLONE\s+(\w+)\s*$""".r
+  private val Erase =
+    """(?is)^ERASE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$""".r
   private val Vacuum =
     """(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$""".r
   private val Optimize =
@@ -236,7 +240,8 @@ object CatalogSql {
   def isCommand(statement: String): Boolean = {
     val stmt = statement.trim.stripSuffix(";").trim
     stmt match {
-      case CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
+      case CloneStmt(_, _) | Erase(_, _) |
+          CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
           Merge(_, _, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
           AddCheck(_, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
@@ -367,6 +372,12 @@ object CatalogSql {
   def exec(spark: SparkSession, cat: Catalog, statement: String): DataFrame = {
     val stmt = statement.trim.stripSuffix(";").trim
     stmt match {
+      // before CreateAs/Create: `CREATE TABLE x CLONE y` must not fall
+      // through to the column-list parser
+      case CloneStmt(dst, src) =>
+        status(spark, "clone", dst, cat.cloneTable(src, dst).toLong)
+      case Erase(t, cond) =>
+        status(spark, "erase", t, cat.eraseWhere(t, expr(cond)))
       case CreateAs(t, sel) =>
         val df = subQuery(spark, cat, sel)
         cat.create(t, df.schema)

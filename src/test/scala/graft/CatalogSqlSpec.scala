@@ -727,4 +727,33 @@ class CatalogSqlSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(plan.contains("PushedFilters") && plan.contains("v"))
   }
+
+  test("CREATE TABLE ... CLONE and ERASE FROM route to cloneTable/eraseWhere") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE t (id BIGINT, src STRING)")
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO t VALUES (1, 'a'), (2, 'pii'), (3, 'a')")
+    val st = CatalogSql.exec(spark, cat, "CREATE TABLE t2 SHALLOW CLONE t")
+      .collect().head
+    assert((st.getString(0), st.getString(1), st.getLong(2)) === (("clone", "t2", 1L)))
+    CatalogSql.exec(spark, cat, "INSERT INTO t2 VALUES (9, 'extra')")
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) FROM t")
+      .collect().head.getLong(0) === 3L)
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) FROM t2")
+      .collect().head.getLong(0) === 4L)
+
+    val er = CatalogSql.exec(spark, cat, "ERASE FROM t WHERE src = 'pii'")
+      .collect().head
+    assert((er.getString(0), er.getString(1), er.getLong(2)) === (("erase", "t", 1L)))
+    assert(cat.versions("t").size === 1, "erase must purge history")
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) FROM t WHERE src = 'pii'")
+      .collect().head.getLong(0) === 0L)
+
+    // both are commands for the router
+    assert(CatalogSql.isCommand("CREATE TABLE x CLONE y"))
+    assert(CatalogSql.isCommand("ERASE FROM x WHERE a = 1"))
+    // plain CREATE TABLE with a column list still parses as CREATE
+    CatalogSql.exec(spark, cat, "CREATE TABLE t3 (c BIGINT)")
+    assert(cat.schema("t3").fieldNames.toSeq === Seq("c"))
+  }
 }

@@ -71,4 +71,20 @@ class RelationalSpec extends SparkSpec {
       assert(lifts.toSeq === lifts.sortBy(-_).toSeq)
     } finally df.unpersist()
   }
+
+  test("q_except_all / q_intersect_all: bag algebra identities hold") {
+    import spark.implicits._
+    // counts: a = {1,1,2,3}, b = {1,2,2} -> except_all = {1,3}, intersect_all = {1,2}
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L).toDF("k")
+    assert(a.exceptAll(b).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    assert(a.intersectAll(b).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // |A except all B| + |A intersect all B| = |A| on the fixture
+    val ex = SparkEntry.queries("q_except_all")(spark, sf0001).count()
+    val in = SparkEntry.queries("q_intersect_all")(spark, sf0001).count()
+    val aCnt = Tables.lineitem(spark, sf0001)
+      .filter(expr("l_shipdate >= DATE'1996-01-01' AND l_shipdate < DATE'1997-01-01'"))
+      .count()
+    assert(ex + in === aCnt)
+  }
 }
