@@ -113,6 +113,36 @@ object StressScale {
     println(s"""{"gen":"$outDir","replicas":$replicas}""")
   }
 
+  /** TPC-H-tier replicas: union `replicas` copies of sf `orders` +
+    * `lineitem` with every entity key offset into a replica-disjoint
+    * range. Within a replica every join relationship, date, price and
+    * basket is byte-identical to the source — the realistic 10× growth
+    * shape for the relational tier (more customers/orders/parts, same
+    * per-entity structure). Cross-replica keys never join, so linear
+    * operators must grow ~`replicas`× while anything accidentally
+    * quadratic in a key's neighborhood shows `replicas`²×.
+    */
+  private def genTpch(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    val out = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(out)
+    val stride = 10000000L
+    def shift(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * stride)))
+    val orders = Tables.orders(spark, srcDir)
+    val lineitem = Tables.lineitem(spark, srcDir)
+    (0 until replicas).map(shift(orders, Seq("o_orderkey", "o_custkey"), _))
+      .reduce(_.unionAll(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(out.resolve("orders.parquet").toString)
+    (0 until replicas)
+      .map(shift(lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey"), _))
+      .reduce(_.unionAll(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(out.resolve("lineitem.parquet").toString)
+    println(s"""{"gentpch":"$outDir","replicas":$replicas}""")
+  }
+
   private def cand(spark: SparkSession, dir: String): Unit = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
@@ -397,6 +427,7 @@ object StressScale {
     val spark = session()
     args.toList match {
       case "gen" :: src :: out :: n :: Nil => gen(spark, src, out, n.toInt)
+      case "gentpch" :: src :: out :: n :: Nil => genTpch(spark, src, out, n.toInt)
       case "cand" :: dir :: Nil => cand(spark, dir)
       case "sem" :: dir :: k :: Nil => sem(spark, dir, k.toInt)
       case "sketch" :: dir :: Nil => sketch(spark, dir)
