@@ -256,7 +256,10 @@ class PlanSpec extends SparkSpec {
       "dq_completeness", // 1-row hour-span scalar broadcast for the grid
       "collocations_pmi", // two 1-row corpus-total scalars (nu, nb)
       "doc_keywords_tfidf", // 1-row doc-count scalar broadcast (N for idf)
-      "dq_benford") // 1-row digit-total scalar broadcast
+      "dq_benford", // 1-row digit-total scalar broadcast
+      "dq_chi2_independence", // 1-row grand-total scalar broadcast
+      "basket_association_rules", // 1-row order-count scalar broadcast
+      "dedup_minhash_calibration") // 32-row permutation-constant broadcast
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
@@ -295,5 +298,24 @@ class PlanSpec extends SparkSpec {
       .collect().head.getLong(0).toDouble
     // rsd=0.05 → allow 4 sigma
     assert(math.abs(approx - exact) / exact < 0.20)
+  }
+
+  test("new-round plans: RA top-k is TakeOrdered, EXCEPT ALL pushes the date band, RANGE window is one exchange") {
+    val ra = SparkEntry.queries("graph_link_predict_ra")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ra.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!ra.contains("CartesianProduct"))
+
+    val ex = SparkEntry.queries("q_except_all")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ex.contains("PushedFilters") && ex.contains("l_shipdate"),
+      "the shipdate band must reach the parquet scan")
+
+    // value-based RANGE frame: one hash exchange on the partition key,
+    // no extra shuffle beyond it + the final order
+    val wf = SparkEntry.queries("q_window_range_frame")(spark, sf0001)
+      .queryExecution.executedPlan
+    val exchanges = wf.toString.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected window exchange + output sort only, got $exchanges")
   }
 }
