@@ -1416,6 +1416,38 @@ object EventsOps {
     ) { (s, d) =>
       cusumChangepoint(Tables.events(s, d))
     },
+
+    // ---- running DISTINCT count over a window (feature-discovery curve:
+    // how many distinct event types has each user touched so far, at
+    // every event). Windows can't do COUNT(DISTINCT) directly — the
+    // standard decomposition is a FIRST-OCCURRENCE flag (row_number over
+    // (user, type) = 1) followed by a running sum, two key-partitioned
+    // linear windows on the same (user → user,type) exchange family ----
+    Q(
+      "events_cum_distinct_types",
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, ts, event_id,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_seen
+        |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
+    ) { (s, d) =>
+      val firstSeen = when(row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id")))
+        === 1, 1L).otherwise(0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          firstSeen.as("first_seen"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          sum(col("first_seen")).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("n_types_seen"))
+        .orderBy("user_id", "ts", "event_id")
+    },
   )
 
   /** CUSUM mean-shift changepoint over each type's DAILY count series

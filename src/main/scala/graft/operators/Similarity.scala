@@ -1209,6 +1209,47 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // ---- FILTERED vector search (metadata pre-filter): top-5 among
+    // vectors whose label passes the predicate — the filter restricts
+    // the CANDIDATE SET before ranking, so every query still gets k
+    // matches from the allowed subset (post-filtering the unfiltered
+    // top-k would return < k and miss valid neighbors — the classic
+    // filtered-ANN correctness trap). On the brute-force path the
+    // predicate simply pushes into the corpus scan (visible as a parquet
+    // PushedFilter); on the IVF path the same pre-filter applies to the
+    // bucket lists. Same determinism contract as ann_topk_bruteforce ----
+    Q(
+      "ann_topk_filtered",
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) v
+        |      FROM embeddings WHERE label % 2 = 0),
+        |px AS (SELECT query_id, neighbor_id, unnest(q.v) x, unnest(c.v) y
+        |       FROM q, c WHERE query_id <> neighbor_id),
+        |dots AS (SELECT query_id, neighbor_id, SUM(x*y) AS dot
+        |         FROM px GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, SUM(x*x) AS n2
+        |          FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) x FROM embeddings)
+        |          GROUP BY 1),
+        |sims AS (SELECT query_id, neighbor_id,
+        |           dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS sim
+        |         FROM dots JOIN norms nq ON nq.vec_id = query_id
+        |                   JOIN norms nc ON nc.vec_id = neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+        |             ROUND(sim, 6) AS sim_r
+        |           FROM sims)
+        |SELECT query_id, neighbor_id, rank, sim_r FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb.filter(col("vec_id") < 20),
+          emb.filter(col("label") % 2 === 0), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- IVF approximate path. Approximate w.r.t. exact KNN, but fully
     // DETERMINISTIC given the data (centroids = per-label means, probing =
     // top-3 centroids by cosine), so the oracle replays the whole probe →

@@ -288,4 +288,18 @@ class EventsSpec extends SparkSpec {
     assert(r.getTimestamp(2).toString.startsWith("2024-01-04"))
     assert(r.getLong(3) === 96L)
   }
+
+  test("events_cum_distinct_types: monotone per user, ends at the exact distinct count") {
+    val df = SparkEntry.queries("events_cum_distinct_types")(spark, sf0001).cache()
+    try {
+      // final value per user == exact COUNT(DISTINCT event_type)
+      val last = df.groupBy("user_id").agg(max("n_types_seen").as("got"))
+      val exact = Tables.events(spark, sf0001)
+        .groupBy("user_id").agg(countDistinct("event_type").as("want"))
+      assert(last.join(exact, "user_id")
+        .filter(col("got") =!= col("want")).count() === 0L)
+      // starts at 1 (the first event always introduces a new type)
+      assert(df.filter(col("n_types_seen") < 1L).count() === 0L)
+    } finally df.unpersist()
+  }
 }

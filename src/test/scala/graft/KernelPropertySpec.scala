@@ -165,4 +165,25 @@ class KernelPropertySpec extends SparkSpec {
         s"bucket $bucket: est $meanEst vs exact $meanExact")
     }
   }
+
+  test("ann_topk_filtered: pre-filter semantics — k matches from the allowed subset only") {
+    val got = SparkEntry.queries("ann_topk_filtered")(spark, sf0001).cache()
+    try {
+      // every neighbor passes the predicate
+      val labels = Tables.embeddings(spark, sf0001)
+        .select(col("vec_id").as("neighbor_id"), col("label"))
+      assert(got.join(labels, "neighbor_id")
+        .filter(col("label") % 2 =!= 0).count() === 0L)
+      // exactly k=5 per query (pre-filter, so the rank is over the subset)
+      val per = got.groupBy("query_id").count().select("count")
+        .collect().map(_.getLong(0)).toSet
+      assert(per === Set(5L))
+      // pre-filter != post-filter: at least one query's filtered top-5
+      // contains a neighbor NOT in its unfiltered top-5
+      val unf = SparkEntry.queries("ann_topk_bruteforce")(spark, sf0001)
+        .select(col("query_id"), col("neighbor_id")).withColumn("inUnf", lit(1))
+      val extra = got.join(unf, Seq("query_id", "neighbor_id"), "left_anti").count()
+      assert(extra > 0L, "filtered top-5 must differ from post-filtering the global top-5")
+    } finally got.unpersist()
+  }
 }
