@@ -938,6 +938,71 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- greedy bigram-LM GENERATION: the serving face of the LM tier —
+    // seed with the corpus's modal token, then repeatedly take the
+    // argmax continuation (ties → lexicographic min, so the walk is
+    // fully deterministic and the oracle replays it with a RECURSIVE
+    // CTE). The argmax-successor table is MODEL-sized (≤ vocab rows —
+    // the same driver-side cost class as k-means centroids and the BPE
+    // merge argmax); training is one corpus scan + vocab²-bounded
+    // aggregate. The walk stops early if a token has no continuation;
+    // greedy decoding entering a cycle is expected LM behavior, not a
+    // defect ----
+    Q(
+      "lm_generate_greedy",
+      """WITH RECURSIVE ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(ws) AS t FROM ws) GROUP BY 1),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT ws[i] AS w1, ws[i+1] AS w2
+        |    FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i
+        |          FROM ws WHERE len(ws) >= 2)) GROUP BY 1, 2),
+        |best AS (SELECT w1, w2 FROM (
+        |    SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1
+        |      ORDER BY c DESC, w2) AS rk FROM bi) WHERE rk = 1),
+        |seed AS (SELECT t FROM (
+        |    SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM uni)
+        |  WHERE rk = 1),
+        |g(step, tok) AS (
+        |  SELECT 0, (SELECT t FROM seed)
+        |  UNION ALL
+        |  SELECT g.step + 1, b.w2 FROM g JOIN best b ON b.w1 = g.tok
+        |  WHERE g.step < 12)
+        |SELECT CAST(step AS BIGINT) AS step, tok FROM g ORDER BY step""".stripMargin,
+    ) { (s, d) =>
+      val ws = Tables.documents(s, d).select(TextFunctions.tokens(col("text")).as("ws"))
+      val uni = ws.select(explode(col("ws")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws)-1), " +
+            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      import org.apache.spark.sql.expressions.Window
+      // vocab-sized model retrieval (the LM itself), then a 12-step
+      // driver-side greedy walk — serving, not a distributed job
+      val succ = bi
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))))
+        .filter(col("rk") === 1)
+        .select("w1", "w2").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val seed = uni.orderBy(col("c").desc, col("t")).limit(1)
+        .collect().head.getString(0)
+      val out = scala.collection.mutable.Buffer((0L, seed))
+      var tok = seed
+      var i = 0
+      var cont = true
+      while (i < 12 && cont) succ.get(tok) match {
+        case Some(n) => i += 1; tok = n; out += ((i.toLong, tok))
+        case None => cont = false
+      }
+      import s.implicits._
+      out.toSeq.toDF("step", "tok").orderBy("step")
+    },
+
     // ---- CCNet-style perplexity bucketing: per-language head/middle/tail
     // by the terciles of the unigram-LM score (Wenzek et al. 2020 bucket
     // CommonCrawl by KenLM perplexity exactly this way). Cut points are

@@ -969,6 +969,32 @@ object TrainingData {
         .orderBy("fold")
     },
 
+    // ---- GROUP-aware k-fold (sklearn GroupKFold shape): the fold is a
+    // hash of the SOURCE, not the document, so every document of a
+    // source lands in one fold — the leakage guard for near-duplicate
+    // content within a source (a doc-hashed fold lets train and eval
+    // see siblings of the same crawl). Same stable-under-growth hash
+    // lattice as kfold_assign; one scan + alphabet-sized aggregate ----
+    Q(
+      "kfold_group_assign",
+      """WITH f AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5('fold:' || source), 1, 15))::BIGINT % 5 AS fold
+        |  FROM documents)
+        |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), kFold(col("source"), 5).as("fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("fold")
+    },
+
     // ---- the end-to-end corpus assembly a training pipeline actually
     // ships: exact dedup (keep lowest id per text) → quality gate →
     // deterministic split, one declarative query. Composes the §2.9

@@ -186,4 +186,26 @@ class KernelPropertySpec extends SparkSpec {
       assert(extra > 0L, "filtered top-5 must differ from post-filtering the global top-5")
     } finally got.unpersist()
   }
+
+  test("lm_generate_greedy: deterministic walk, each step follows the argmax successor") {
+    val gen = SparkEntry.queries("lm_generate_greedy")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(gen.head._1 === 0L)
+    assert(gen.map(_._1) === (0L until gen.length).toSeq, "steps must be contiguous")
+    assert(gen.length >= 2 && gen.length <= 13)
+    // replay determinism: a second run is identical
+    val again = SparkEntry.queries("lm_generate_greedy")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(gen === again)
+    // each transition is a bigram actually present in the corpus
+    import spark.implicits._
+    val pairs = gen.sliding(2).collect { case Seq((_, a), (_, b)) => (a, b) }.toSeq
+    val bi = Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("ws")).filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")).as("b"))
+      .select("b.w1", "b.w2").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.forall(bi.contains), "every generated transition must be a corpus bigram")
+  }
 }

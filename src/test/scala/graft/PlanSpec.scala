@@ -236,7 +236,7 @@ class PlanSpec extends SparkSpec {
     //    of a 1-row fixed-size sketch (32 KiB CMS / 128 KiB bloom) onto
     //    the probe side (sketch size independent of corpus size).
     val nestedLoopOk = Set(
-      "ann_topk_bruteforce", "ann_topk_int8", "ann_topk_ivf",
+      "ann_topk_bruteforce", "ann_topk_filtered", "ann_topk_int8", "ann_topk_ivf",
       "ann_topk_ivf_kmeans", "knn_centroid_assign", "kmeans_assign",
       "ann_topk_ivfpq", // nlist-row coarse-centroid model broadcast (probe)
       "ann_topk_ivfpq_served", // the same probe over the PERSISTED centroids

@@ -526,4 +526,20 @@ class TrainingDataSpec extends SparkSpec {
       3L -> ((1L, 1L, 1000000L)), // full overlap
     ))
   }
+
+  test("kfold_group_assign: zero leakage — every source lives in exactly one fold") {
+    import graft.operators.TrainingData
+    val assigned = Tables.documents(spark, sf0001)
+      .select(col("source"), TrainingData.kFold(col("source"), 5).as("fold"))
+    // per source, exactly one distinct fold
+    val leaky = assigned.groupBy("source")
+      .agg(countDistinct("fold").as("nf")).filter(col("nf") > 1).count()
+    assert(leaky === 0L)
+    // folds cover all docs and all sources are assigned
+    val rows = SparkEntry.queries("kfold_group_assign")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf0001).count())
+    val nSources = Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nSources)
+  }
 }
