@@ -481,6 +481,50 @@ object TextOps {
         countDistinct(col("__url")).as("n_raw_variants"))
       .orderBy("canonical_url")
 
+  /** Greedy bigram-LM generation (see the `lm_generate_greedy`
+    * registration for the full contract): train bigram counts in one
+    * corpus scan, retrieve the vocab-sized argmax-successor table to the
+    * driver (the LM *is* the model — same driver-side cost class as
+    * k-means centroids / the BPE merge argmax), seed with the modal
+    * token and walk `steps` greedy transitions (ties → lexicographic
+    * min). Empty corpus → empty result, never a crash.
+    */
+  def greedyGenerate(docs: DataFrame, text: Column, steps: Int): DataFrame = {
+    val s = docs.sparkSession
+    val ws = docs.select(TextFunctions.tokens(text).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val succ = bi
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))))
+      .filter(col("rk") === 1)
+      .select("w1", "w2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val seedRow = uni.orderBy(col("c").desc, col("t")).limit(1).collect()
+    import s.implicits._
+    if (seedRow.isEmpty) Seq.empty[(Long, String)].toDF("step", "tok")
+    else {
+      val seed = seedRow.head.getString(0)
+      val out = scala.collection.mutable.Buffer((0L, seed))
+      var tok = seed
+      var i = 0
+      var cont = true
+      while (i < steps && cont) succ.get(tok) match {
+        case Some(n) => i += 1; tok = n; out += ((i.toLong, tok))
+        case None => cont = false
+      }
+      out.toSeq.toDF("step", "tok").orderBy("step")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- BPE merge learning, relationally (see [[bpeTrain]]): 6 merge
     // rounds over the top-150 word vocabulary; the oracle replays every
@@ -970,37 +1014,7 @@ object TextOps {
         |  WHERE g.step < 12)
         |SELECT CAST(step AS BIGINT) AS step, tok FROM g ORDER BY step""".stripMargin,
     ) { (s, d) =>
-      val ws = Tables.documents(s, d).select(TextFunctions.tokens(col("text")).as("ws"))
-      val uni = ws.select(explode(col("ws")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("c"))
-      val bi = ws.filter(size(col("ws")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(ws)-1), " +
-            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))"))
-          .as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      import org.apache.spark.sql.expressions.Window
-      // vocab-sized model retrieval (the LM itself), then a 12-step
-      // driver-side greedy walk — serving, not a distributed job
-      val succ = bi
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))))
-        .filter(col("rk") === 1)
-        .select("w1", "w2").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      val seed = uni.orderBy(col("c").desc, col("t")).limit(1)
-        .collect().head.getString(0)
-      val out = scala.collection.mutable.Buffer((0L, seed))
-      var tok = seed
-      var i = 0
-      var cont = true
-      while (i < 12 && cont) succ.get(tok) match {
-        case Some(n) => i += 1; tok = n; out += ((i.toLong, tok))
-        case None => cont = false
-      }
-      import s.implicits._
-      out.toSeq.toDF("step", "tok").orderBy("step")
+      greedyGenerate(Tables.documents(s, d), col("text"), steps = 12)
     },
 
     // ---- CCNet-style perplexity bucketing: per-language head/middle/tail

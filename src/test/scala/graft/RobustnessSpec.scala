@@ -148,4 +148,36 @@ class RobustnessSpec extends SparkSpec {
       .collect()(0)
     assert(strip.getLong(2) == 0L && strip.getString(3) == "a b c a b c")
   }
+
+  test("round-13 helpers survive empty and degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.{DataQuality, EventsOps, GraphOps, TextOps}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // greedy generation on an empty corpus: empty result, no crash
+    assert(TextOps.greedyGenerate(emptyDocs, col("text"), 12).count() === 0L)
+    // single-document corpus: seed emitted, walk follows its own bigrams
+    val one = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val g = TextOps.greedyGenerate(one, col("text"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(g.head === ((0L, "a")) || g.head === ((0L, "b")))
+    assert(g.length === 6)
+    // CUSUM on empty events / single-day series
+    val emptyEv = Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts")
+    assert(EventsOps.cusumChangepoint(emptyEv).count() === 0L)
+    val oneDay = Seq(("A", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_type", "ts")
+    val cp = EventsOps.cusumChangepoint(oneDay).collect()
+    assert(cp.length === 1 && cp.head.getLong(3) === 0L) // c*1 - T = 0
+    // correlation on empty and constant inputs: NULLs, never a crash
+    val emptyNum = Seq.empty[(Double, Double)].toDF("x", "y")
+    val cm = DataQuality.correlationMatrix(emptyNum,
+      Seq("x" -> 1e6, "y" -> 1e6)).collect()
+    assert(cm.length === 1 && cm.head.isNullAt(3))
+    // chi2 on empty input: empty output
+    assert(DataQuality.chi2Independence(
+      Seq.empty[(String, String)].toDF("r", "c"), col("r"), col("c")).count() === 0L)
+    // RA pairs on an empty bipartite table
+    assert(GraphOps.resourceAllocationTopPairs(
+      Seq.empty[(Long, Long)].toDF("c", "p"), 2, 64, 50).count() === 0L)
+  }
 }
