@@ -969,6 +969,87 @@ object TrainingData {
         .orderBy("fold")
     },
 
+    // ---- token-BUDGET data selection: keep the highest-quality subset
+    // whose total tokens fit a fixed budget (20% of the corpus) — the
+    // "data selection under a compute budget" step of every curriculum /
+    // ablation pipeline. Quality = type-token ratio on the integer-micros
+    // lattice. Scale shape: NO global sort — docs bucket by quality
+    // (101 buckets), the cumulative-token cutoff comes from a window
+    // over the BUCKET table (alphabet-sized), buckets above the cutoff
+    // are taken whole, and only the single boundary bucket pays a
+    // window (hash-ordered fill to the remaining budget; at 100 TB a
+    // fat boundary bucket re-buckets on a finer lattice — the same
+    // two-phase discipline as the percentile/quality-bucket rows) ----
+    Q(
+      "corpus_budget_select",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CAST(FLOOR(len(list_distinct(ws)) * 1000000.0 / len(ws) + 0.5)
+        |      AS BIGINT) AS ttr_mic
+        |  FROM t WHERE len(ws) >= 1),
+        |b AS (SELECT doc_id, n_tok, ttr_mic // 10000 AS bucket,
+        |    ('0x' || substr(md5('sel:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM m),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM m),
+        |bt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS toks FROM b GROUP BY 1),
+        |cum AS (SELECT bucket, n_docs, toks,
+        |    COALESCE(CAST(SUM(toks) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS above
+        |  FROM bt),
+        |bud AS (SELECT tt // 5 AS bud FROM tot),
+        |full_sel AS (SELECT bucket, n_docs AS n_selected, toks AS tok_selected
+        |  FROM cum CROSS JOIN bud WHERE above + toks <= bud),
+        |bnd AS (SELECT bucket, above FROM cum CROSS JOIN bud
+        |  WHERE above < bud AND above + toks > bud),
+        |bdocs AS (SELECT b.bucket, bnd.above, b.n_tok,
+        |    SUM(b.n_tok) OVER (PARTITION BY b.bucket ORDER BY b.h, b.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM b JOIN bnd ON bnd.bucket = b.bucket),
+        |bsel AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_selected,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tok_selected
+        |  FROM bdocs CROSS JOIN bud WHERE above + cum_tok <= bud GROUP BY 1)
+        |SELECT bucket, n_selected, tok_selected FROM full_sel
+        |UNION ALL SELECT bucket, n_selected, tok_selected FROM bsel
+        |ORDER BY bucket DESC""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
+          floor(size(array_distinct(col("ws"))) * 1000000.0 / size(col("ws"))
+            + 0.5).cast("long").as("ttr_mic"))
+      val b = m.select(col("doc_id"), col("n_tok"),
+        expr("ttr_mic DIV 10000").as("bucket"),
+        TextFunctions.tokenHash60(
+          concat(lit("sel:"), col("doc_id").cast("string"))).as("h"))
+        .localCheckpoint(true) // feeds bucket totals AND the boundary fill
+      val bud = m.agg(expr("SUM(n_tok) DIV 5").as("bud"))
+      val cum = b.groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))
+        .withColumn("above", coalesce(
+          sum("toks").over(Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val fullSel = cum.crossJoin(broadcast(bud))
+        .filter(col("above") + col("toks") <= col("bud"))
+        .select(col("bucket"), col("n_docs").as("n_selected"),
+          col("toks").as("tok_selected"))
+      val bnd = cum.crossJoin(broadcast(bud))
+        .filter(col("above") < col("bud") && col("above") + col("toks") > col("bud"))
+        .select(col("bucket"), col("above"))
+      val bsel = b.join(broadcast(bnd), "bucket")
+        .withColumn("cum_tok", sum("n_tok").over(
+          Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(bud))
+        .filter(col("above") + col("cum_tok") <= col("bud"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_selected"), sum("n_tok").as("tok_selected"))
+      fullSel.unionByName(bsel).orderBy(col("bucket").desc)
+    },
+
     // ---- GROUP-aware k-fold (sklearn GroupKFold shape): the fold is a
     // hash of the SOURCE, not the document, so every document of a
     // source lands in one fold — the leakage guard for near-duplicate

@@ -542,4 +542,36 @@ class TrainingDataSpec extends SparkSpec {
       .select("source").distinct().count()
     assert(rows.map(_.getLong(2)).sum === nSources)
   }
+
+  test("corpus_budget_select: budget respected tightly, greedy-by-quality, boundary fill deterministic") {
+    val sel = SparkEntry.queries("corpus_budget_select")(spark, sf0001).cache()
+    try {
+      val m = Tables.documents(spark, sf0001)
+        .select(split(col("text"), " ").as("ws"))
+        .select(size(col("ws")).cast("long").as("n_tok"))
+      val total = m.agg(sum("n_tok")).first().getLong(0)
+      val budget = total / 5
+      val picked = sel.agg(sum("tok_selected")).first().getLong(0)
+      // never exceeds the budget, and fills it to within one boundary doc
+      assert(picked <= budget)
+      val maxDoc = m.agg(max("n_tok")).first().getLong(0)
+      assert(budget - picked <= maxDoc,
+        s"budget $budget, picked $picked — fill must stop only when the next doc overflows")
+      // greedy by quality: selected buckets form a top-down prefix
+      // (every bucket above the lowest selected one is selected)
+      val buckets = sel.select("bucket").collect().map(_.getLong(0)).sorted
+      val allBuckets = Tables.documents(spark, sf0001)
+        .select(split(col("text"), " ").as("ws")).filter(size(col("ws")) >= 1)
+        .select((floor(size(array_distinct(col("ws"))) * 1000000.0
+          / size(col("ws")) + 0.5).cast("long") / 10000).cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0))
+      val lowestSel = buckets.min
+      assert(allBuckets.filter(_ > lowestSel).toSet.subsetOf(buckets.toSet))
+      // deterministic: a second run selects the identical per-bucket counts
+      val a = sel.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val b2 = SparkEntry.queries("corpus_budget_select")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(a === b2)
+    } finally sel.unpersist()
+  }
 }
