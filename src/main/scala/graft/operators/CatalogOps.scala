@@ -1179,6 +1179,35 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- partition-scoped OPTIMIZE: fragment-ingest a partitioned
+    // table, then compact ONLY the 'en' partition (`OPTIMIZE ... WHERE`,
+    // [[Catalog.compactWhere]]) — the 100-TB lifecycle reality: you
+    // compact the hot ingest partition, never the table. Content is
+    // untouched (this oracle); CatalogSpec asserts the other partitions'
+    // FILES are byte-identical survivors in the new manifest ----
+    Q(
+      "catalog_compact_where",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS text_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_pw", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_pw", docs.repartition(16))
+      cat.compactWhere("docs_pw", col("lang") === "en", targetFiles = 1)
+      cat.table("docs_pw")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L)
+            .as("text_fp"))
+        .orderBy("lang")
+    },
+
     // ---- schema evolution: ALTER TABLE ADD COLUMN with default — batch A
     // is written under the old schema, the column is added (metadata-only,
     // no file rewrite), batch B supplies it. Reads must see the default

@@ -875,6 +875,32 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     commitVersion(name, "compact", added)
   }
 
+  /** Partition-scoped OPTIMIZE (`OPTIMIZE t WHERE <pred>`): compact ONLY
+    * the data files that contain rows matching `condition`, leaving every
+    * other file as untouched bytes in the new manifest. At 100 TB you
+    * compact the hot ingest partition, not the table — a whole-table
+    * rewrite is a migration. File-granular like [[deleteRows]] (one
+    * bounded manifest pass finds the affected files); rewriting whole
+    * affected files is content-preserving for ANY predicate, but a
+    * predicate on the partition column gives the intended exact scope
+    * (affected files hold only matching rows). Raw physical bytes are
+    * rewritten as-is — read-time defaults are never baked in.
+    */
+  def compactWhere(name: String, condition: org.apache.spark.sql.Column,
+      targetFiles: Int = 1): Unit = {
+    if (manifest(name, currentVersion(name)).isEmpty) return
+    val perFile = collectBounded("compactWhere", name,
+      logicalWithFile(name).filter(condition)
+        .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
+    if (perFile.isEmpty) return
+    val affected = perFile.map(_.getString(0)).toSeq.sorted
+    val added = stageIn(name, rawOverFiles(name, affected)
+      .repartition(targetFiles))
+    commitVersion(name, "compact_where",
+      manifest(name, currentVersion(name))
+        .diff(relativize(name, affected)) ++ added)
+  }
+
   /** [[compact]] with Z-ORDER clustering: rewrite the table's files
     * range-partitioned and sorted by the Morton z-value of `zcols`, so
     * each output file covers a compact hyper-rectangle of the clustered
@@ -1101,6 +1127,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def logicalWithFile(name: String): DataFrame =
     toLogical(name, rawData(name).withColumn(Catalog.FileCol, input_file_name()),
       extra = Seq(Catalog.FileCol))
+
+  /** RAW (physical-name, no default coalescing) read over the given
+    * `file:` URIs — the [[rawData]] counterpart of [[logicalOverFiles]],
+    * for rewrites that must preserve stored bytes semantically
+    * (compaction).
+    */
+  private def rawOverFiles(name: String, files: Seq[String]): DataFrame = {
+    val s = schema(name)
+    spark.read
+      .option("basePath", dataDir(name).toString)
+      .schema(StructType(s.fields.map(f => f.copy(name = physicalName(f)))))
+      .parquet(files: _*)
+  }
 
   /** Read ONLY the given data files (as `file:` URIs from
     * [[logicalWithFile]]), logical view. `basePath` keeps Hive partition

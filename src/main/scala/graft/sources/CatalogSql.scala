@@ -91,6 +91,8 @@ object CatalogSql {
     """(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$""".r
   private val Optimize =
     """(?is)^OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s*$""".r
+  private val OptimizeWhere =
+    """(?is)^OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s+WHERE\s+(.+?)\s*$""".r
   private val OptimizeZOrder =
     """(?is)^OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s*$""".r
   private val History =
@@ -246,7 +248,7 @@ object CatalogSql {
           AddCheck(_, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
           Update(_, _, _) | Truncate(_) | Vacuum(_, _) | Optimize(_, _) |
-          OptimizeZOrder(_, _, _) |
+          OptimizeWhere(_, _, _) | OptimizeZOrder(_, _, _) |
           History(_) | ShowTables() | ShowCreate(_) | Describe(_) |
           Analyze(_) | ShowStats(_) | CreateView(_, _, _) | DropView(_) |
           CreateMView(_, _) | RefreshMView(_) | DropMView(_) |
@@ -423,6 +425,9 @@ object CatalogSql {
         cat.compactZOrder(t, zcols.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           Option(files).map(_.toInt).getOrElse(8))
         status(spark, "optimize_zorder", t, 0L)
+      case OptimizeWhere(t, files, cond) =>
+        cat.compactWhere(t, expr(cond), Option(files).map(_.toInt).getOrElse(1))
+        status(spark, "optimize_where", t, 0L)
       case Optimize(t, files) =>
         cat.compact(t, Option(files).map(_.toInt).getOrElse(1))
         status(spark, "optimize", t, 0L)

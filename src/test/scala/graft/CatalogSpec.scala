@@ -1014,4 +1014,47 @@ class CatalogSpec extends SparkSpec {
     assert(cat.eraseWhere("e_u", col("source") === "pii") === 0L)
     assert(cat.versions("e_u").size === 1, "history with matching rows must not survive")
   }
+
+  test("compactWhere: only the targeted partition is rewritten; other files survive untouched") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("cw", docs.schema, partitionBy = Some("lang"))
+    cat.insert("cw", docs.repartition(8))
+    def manifestFiles() = {
+      val vdir = java.nio.file.Paths.get(cat.warehouse, "cw", "_meta", "versions")
+      val s = java.nio.file.Files.list(vdir)
+      val last = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.sortBy(_.getFileName.toString).last
+      } finally s.close()
+      java.nio.file.Files.readString(last).split("\n").toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
+    val before = manifestFiles()
+    val beforeEn = before.filter(_.contains("lang=en")).toSet
+    val beforeOther = before.filterNot(_.contains("lang=en")).toSet
+    assert(beforeEn.size > 1, "fragmented ingest must leave multiple en files")
+
+    val fp = cat.table("cw").agg(
+      sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L))
+      .first().getLong(0)
+    cat.compactWhere("cw", col("lang") === "en", targetFiles = 1)
+    val after = manifestFiles()
+    val afterEn = after.filter(_.contains("lang=en")).toSet
+    val afterOther = after.filterNot(_.contains("lang=en")).toSet
+    // en collapsed to one NEW file; every other partition's files are the
+    // SAME manifest entries (untouched bytes)
+    assert(afterEn.size === 1)
+    assert(afterEn.intersect(beforeEn).isEmpty)
+    assert(afterOther === beforeOther)
+    // content untouched
+    assert(cat.table("cw").agg(
+      sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L))
+      .first().getLong(0) === fp)
+    // SQL surface routes OPTIMIZE ... WHERE
+    val st = graft.sources.CatalogSql.exec(spark, cat,
+      "OPTIMIZE cw FILES 2 WHERE lang = 'de'").collect().head
+    assert(st.getString(0) === "optimize_where")
+    assert(graft.sources.CatalogSql.isCommand("OPTIMIZE cw WHERE lang = 'de'"))
+  }
 }
