@@ -667,6 +667,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     vs.dropRight(keep).foreach(v => Files.deleteIfExists(manifestPath(name, v)))
   }
 
+  /** Age-based retention (`VACUUM t RETAIN <n> HOURS`, the Delta-style
+    * time form of [[vacuum]]): keep every version whose COMMIT TIME is
+    * inside the window — commit time = manifest mtime, the same clock
+    * `TIMESTAMP AS OF` resolves against, so "what time travel can still
+    * reach" and "what vacuum keeps" agree by construction. The head
+    * version is always retained. Physical reclaim delegates to the
+    * count-based [[vacuum]].
+    */
+  def vacuumRetainHours(name: String, hours: Long): Unit = {
+    require(hours >= 0, s"retention hours must be >= 0, got $hours")
+    val vs = versions(name)
+    if (vs.isEmpty) return
+    val cutoff = System.currentTimeMillis() - hours * 3600000L
+    val recent = vs.count(v =>
+      Files.getLastModifiedTime(manifestPath(name, v)).toMillis >= cutoff)
+    vacuum(name, retainLast = math.max(1, recent))
+  }
+
   /** Logical columns (with write-time defaults for omitted defaulted
     * columns) cast and renamed to their PHYSICAL storage names — the
     * projection every data write goes through.

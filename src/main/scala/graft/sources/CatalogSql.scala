@@ -89,6 +89,10 @@ object CatalogSql {
     """(?is)^ERASE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$""".r
   private val Vacuum =
     """(?is)^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$""".r
+  private val VacuumHours =
+    """(?is)^VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+HOURS\s*$""".r
+  private val ShowPartitions =
+    """(?is)^SHOW\s+PARTITIONS\s+(\w+)\s*$""".r
   private val Optimize =
     """(?is)^OPTIMIZE\s+(\w+)(?:\s+FILES\s+(\d+))?\s*$""".r
   private val OptimizeWhere =
@@ -247,7 +251,8 @@ object CatalogSql {
           Merge(_, _, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
           AddCheck(_, _) |
           RenameCol(_, _, _) | AlterType(_, _, _) | Drop(_) |
-          Update(_, _, _) | Truncate(_) | Vacuum(_, _) | Optimize(_, _) |
+          Update(_, _, _) | Truncate(_) | Vacuum(_, _) | VacuumHours(_, _) |
+          ShowPartitions(_) | Optimize(_, _) |
           OptimizeWhere(_, _, _) | OptimizeZOrder(_, _, _) |
           History(_) | ShowTables() | ShowCreate(_) | Describe(_) |
           Analyze(_) | ShowStats(_) | CreateView(_, _, _) | DropView(_) |
@@ -418,9 +423,15 @@ object CatalogSql {
       case Truncate(t) =>
         cat.truncate(t)
         status(spark, "truncate", t, 0L)
+      case VacuumHours(t, hours) =>
+        cat.vacuumRetainHours(t, hours.toLong)
+        status(spark, "vacuum_hours", t, cat.versions(t).size.toLong)
       case Vacuum(t, retain) =>
         cat.vacuum(t, Option(retain).map(_.toInt).getOrElse(1))
         status(spark, "vacuum", t, cat.versions(t).size.toLong)
+      case ShowPartitions(t) =>
+        import spark.implicits._
+        cat.partitions(t).sorted.toDF("partition")
       case OptimizeZOrder(t, files, zcols) =>
         cat.compactZOrder(t, zcols.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           Option(files).map(_.toInt).getOrElse(8))

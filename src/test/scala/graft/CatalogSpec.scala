@@ -1057,4 +1057,39 @@ class CatalogSpec extends SparkSpec {
     assert(st.getString(0) === "optimize_where")
     assert(graft.sources.CatalogSql.isCommand("OPTIMIZE cw WHERE lang = 'de'"))
   }
+
+  test("vacuumRetainHours: age-based retention keyed to commit time; SHOW PARTITIONS lists live values") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("vh", docs.schema, partitionBy = Some("lang"))
+    cat.insert("vh", docs.limit(10))      // v1
+    cat.insert("vh", docs.limit(20))      // v2
+    cat.insert("vh", docs.limit(5))       // v3
+    assert(cat.versions("vh").size === 3)
+    // backdate v1/v2 commits 10 days; v3 stays fresh
+    val vdir = java.nio.file.Paths.get(cat.warehouse, "vh", "_meta", "versions")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    Seq(1, 2).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        vdir.resolve(f"v$v%08d.txt"), old)
+    }
+    cat.vacuumRetainHours("vh", 24)
+    assert(cat.versions("vh") === Seq(3))
+    intercept[IllegalArgumentException](cat.tableAt("vh", 2))
+    // head always survives even when everything is out of window
+    cat.vacuumRetainHours("vh", 0)
+    assert(cat.versions("vh") === Seq(3))
+    assert(cat.table("vh").count() === 35L) // appends: 10 + 20 + 5
+
+    // SQL surface
+    val st = graft.sources.CatalogSql.exec(spark, cat, "VACUUM vh RETAIN 48 HOURS")
+      .collect().head
+    assert(st.getString(0) === "vacuum_hours" && st.getLong(2) === 1L)
+    val parts = graft.sources.CatalogSql.exec(spark, cat, "SHOW PARTITIONS vh")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts.nonEmpty && parts === parts.sorted)
+    assert(graft.sources.CatalogSql.isCommand("VACUUM vh RETAIN 48 HOURS"))
+    assert(graft.sources.CatalogSql.isCommand("SHOW PARTITIONS vh"))
+  }
 }
