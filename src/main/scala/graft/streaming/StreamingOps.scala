@@ -870,6 +870,42 @@ object StreamingOps {
       })
     }.orderBy("event_id")
 
+  /** Streaming POINT-IN-TIME (SCD2) enrichment: each purchase event joins
+    * the dimension version VALID AT ITS EVENT TIME — stream-static join
+    * on key + validity interval (`ts ∈ [valid_from, valid_to)`), the
+    * as-of discipline that prevents enriching yesterday's fact with
+    * today's dimension row. The SCD2 dim here is derived deterministically
+    * from `customer` (v1 before the mid-span cutoff, '#2'-suffixed v2
+    * after), so the DuckDB oracle replays the interval join exactly.
+    * Static side is dim-sized → Spark broadcasts it per micro-batch; the
+    * stream never shuffles on the dim key.
+    */
+  def enrichScd2Static(spark: SparkSession, sfDir: String): DataFrame =
+    withStagedEvents(spark, sfDir) { stageDir =>
+      runToFiles(spark, "stream_scd2", { session =>
+        val base = graft.Tables.customer(session, sfDir)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+        val lo = to_timestamp(lit("1970-01-01 00:00:00"))
+        val hi = to_timestamp(lit("2100-01-01 00:00:00"))
+        val dim = base.select(col("k"), col("seg"),
+            lo.as("valid_from"), cut.as("valid_to"))
+          .unionByName(base.select(col("k"),
+            concat(col("seg"), lit("#2")).as("seg"),
+            cut.as("valid_from"), hi.as("valid_to")))
+        val stream = session.readStream
+          .schema(eventsSchema)
+          .parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .filter(col("event_type") === "purchase")
+          .join(dim, col("user_id") === col("k") &&
+            col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+          .select(col("event_id"), col("user_id"),
+            col("seg").as("segment_pit"), col("value"))
+        (stream, org.apache.spark.sql.streaming.OutputMode.Append())
+      })
+    }.orderBy("event_id")
+
   val queries: Seq[Q] = Seq(
     // identical semantics to the batch events_sessionize_agg — that's the
     // point: stream results must reconcile with batch over the same data
@@ -1054,6 +1090,26 @@ object StreamingOps {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
     )(enrichWithStatic),
+
+    // ---- stream-static SCD2 point-in-time enrichment (see
+    // [[enrichScd2Static]]): events before the cutoff carry the v1
+    // segment, after it the '#2' version — the oracle replays the
+    // interval join over the same derived dim ----
+    Q(
+      "stream_scd2_enrich",
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    TIMESTAMP '1970-01-01' AS f, TIMESTAMP '2024-01-15' AS t
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '#2',
+        |    TIMESTAMP '2024-01-15', TIMESTAMP '2100-01-01'
+        |  FROM customer)
+        |SELECT e.event_id, e.user_id, d.seg AS segment_pit, e.value
+        |FROM events e JOIN dim d ON d.k = e.user_id
+        |  AND e.ts >= d.f AND e.ts < d.t
+        |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
+    )(enrichScd2Static),
 
     // ---- stream-stream interval join, oracle = the batch join ----
     Q(

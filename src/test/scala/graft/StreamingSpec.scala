@@ -367,4 +367,25 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
     assert(stream.nonEmpty)
   }
+
+  test("stream_scd2_enrich: events pick the dimension version valid at their event time") {
+    val df = SparkEntry.queries("stream_scd2_enrich")(spark, sf0001).cache()
+    try {
+      // exactly one dim version matches per event (intervals partition time)
+      val purchases = Tables.events(spark, sf0001)
+        .filter(col("event_type") === "purchase").count()
+      assert(df.count() === purchases)
+      // events after the cutoff carry the #2 version, before it the v1
+      val tagged = df.join(
+        Tables.events(spark, sf0001).select(col("event_id"), col("ts")), "event_id")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00")).cast("timestamp_ntz")
+      assert(tagged.filter(col("ts") >= cut &&
+        !col("segment_pit").endsWith("#2")).count() === 0L)
+      assert(tagged.filter(col("ts") < cut &&
+        col("segment_pit").endsWith("#2")).count() === 0L)
+      // both versions actually fire on the fixture
+      assert(df.filter(col("segment_pit").endsWith("#2")).count() > 0L)
+      assert(df.filter(!col("segment_pit").endsWith("#2")).count() > 0L)
+    } finally df.unpersist()
+  }
 }
