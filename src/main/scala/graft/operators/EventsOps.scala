@@ -1417,6 +1417,67 @@ object EventsOps {
       cusumChangepoint(Tables.events(s, d))
     },
 
+    // ---- A/B experiment readout: users hash-split into two arms, arm
+    // conversion = users with ≥1 purchase / arm users, and the two-
+    // proportion z² statistic — the launch-gate analysis every event
+    // pipeline ships. All counts exact BIGINT; conversion and z² are
+    // FIXED-SHAPE double expressions over them (micros-quantized), so
+    // the readout is engine-identical. One scan → per-user flags →
+    // 2-row arm aggregate; z² > 3.84 ⇔ p < .05 (1 dof) ----
+    Q(
+      "events_ab_test",
+      """WITH u AS (SELECT user_id,
+        |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS c FROM u GROUP BY arm),
+        |w AS (SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 1 THEN c END) AS c1
+        |  FROM a)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(FLOOR(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS conv0_mic,
+        |  CAST(FLOOR(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS conv1_mic,
+        |  CAST(FLOOR(
+        |    (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    / (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+        |       * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |       * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS z2_mic
+        |FROM w""".stripMargin,
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150,
+          1L).otherwise(0L)).as("conv"))
+        .select(
+          pmod(graft.functions.TextFunctions.tokenHash60(
+            concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)).as("arm"),
+          col("conv"))
+      val a = u.groupBy("arm").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val w = a.agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("c"))).as("c0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("c"))).as("c1"))
+      def D(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("double")
+      val p0 = D(col("c0")) / D(col("n0"))
+      val p1 = D(col("c1")) / D(col("n1"))
+      val pp = D(col("c0") + col("c1")) / D(col("n0") + col("n1"))
+      w.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        floor(p0 * 1000000.0 + 0.5).cast("long").as("conv0_mic"),
+        floor(p1 * 1000000.0 + 0.5).cast("long").as("conv1_mic"),
+        floor((p0 - p1) * (p0 - p1)
+          / (pp * (lit(1.0) - pp)
+            * (lit(1.0) / D(col("n0")) + lit(1.0) / D(col("n1"))))
+          * 1000000.0 + 0.5).cast("long").as("z2_mic"))
+    },
+
     // ---- running DISTINCT count over a window (feature-discovery curve:
     // how many distinct event types has each user touched so far, at
     // every event). Windows can't do COUNT(DISTINCT) directly — the

@@ -302,4 +302,22 @@ class EventsSpec extends SparkSpec {
       assert(df.filter(col("n_types_seen") < 1L).count() === 0L)
     } finally df.unpersist()
   }
+
+  test("events_ab_test: arms partition the user base; z2 is non-negative and finite") {
+    val r = SparkEntry.queries("events_ab_test")(spark, sf0001).collect().head
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(n0 + n1 === users)
+    assert(c0 <= n0 && c1 <= n1)
+    assert(c0 + c1 > 0L && c0 + c1 < n0 + n1, "conversion must be non-degenerate")
+    val (conv0, conv1, z2) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(conv0 >= 0L && conv0 <= 1000000L && conv1 >= 0L && conv1 <= 1000000L)
+    assert(z2 >= 0L)
+    // hand-check the z2 arithmetic from the exact counts
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val want = math.floor((p0 - p1) * (p0 - p1) /
+      (pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)) * 1000000.0 + 0.5).toLong
+    assert(z2 === want)
+  }
 }
