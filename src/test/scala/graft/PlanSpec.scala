@@ -259,7 +259,8 @@ class PlanSpec extends SparkSpec {
       "dq_benford", // 1-row digit-total scalar broadcast
       "dq_chi2_independence", // 1-row grand-total scalar broadcast
       "basket_association_rules", // 1-row order-count scalar broadcast
-      "dedup_minhash_calibration") // 32-row permutation-constant broadcast
+      "dedup_minhash_calibration", // 32-row permutation-constant broadcast
+      "corpus_budget_select") // 1-row token-budget scalar broadcast
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
