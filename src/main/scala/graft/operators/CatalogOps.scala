@@ -1179,6 +1179,43 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- atomic REPLACE WHERE (idempotent backfill): re-materialize the
+    // 'en' slice of the table in ONE commit — delete-matching + insert
+    // as a single manifest swap ([[Catalog.replaceWhere]]), so readers
+    // never see the deleted-but-not-reinserted gap and a crash can't
+    // strand the table half-mutated. The oracle states the final
+    // algebra: everything but 'en' survives, the corrected batch
+    // replaces it ----
+    Q(
+      "catalog_replace_where",
+      """WITH corrected AS (
+        |  SELECT doc_id, text, lang, 'backfill' AS source,
+        |    n_chars + 1000 AS n_chars
+        |  FROM documents WHERE lang = 'en'),
+        |final AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE lang <> 'en'
+        |  UNION ALL SELECT * FROM corrected)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM final GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      cat.create("docs_rw", docs.schema, partitionBy = Some("lang"))
+      cat.insert("docs_rw", docs)
+      val corrected = docs.filter(col("lang") === "en")
+        .withColumn("source", lit("backfill"))
+        .withColumn("n_chars", col("n_chars") + 1000)
+      cat.replaceWhere("docs_rw", col("lang") === "en", corrected)
+      cat.table("docs_rw")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("lang", "source")
+    },
+
     // ---- partition-scoped OPTIMIZE: fragment-ingest a partitioned
     // table, then compact ONLY the 'en' partition (`OPTIMIZE ... WHERE`,
     // [[Catalog.compactWhere]]) — the 100-TB lifecycle reality: you

@@ -1319,6 +1319,41 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     perFile.map(_.getLong(1)).sum
   }
 
+  /** Atomic REPLACE WHERE (Delta's `INSERT INTO t REPLACE WHERE cond`):
+    * delete every row matching `condition` AND insert `df`, as ONE
+    * snapshot commit — readers see either the old state or the fully
+    * replaced one, never the deleted-but-not-yet-inserted gap that a
+    * deleteRows-then-insert sequence exposes (and a crash between the
+    * two can't strand the table half-mutated). File-granular like
+    * [[deleteRows]]: only files containing matching rows are rewritten;
+    * the incoming batch stages alongside; one manifest swap covers both.
+    * This is the idempotent-backfill primitive (re-materialize one day /
+    * partition of a derived table). Returns rows deleted.
+    */
+  def replaceWhere(name: String, condition: org.apache.spark.sql.Column,
+      df: DataFrame): Long = {
+    val cur = manifest(name, currentVersion(name))
+    val (survivorFiles, removedCount) =
+      if (cur.isEmpty) (cur, 0L)
+      else {
+        val perFile = collectBounded("replaceWhere", name,
+          logicalWithFile(name).filter(condition)
+            .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
+        if (perFile.isEmpty) (cur, 0L)
+        else {
+          val affected = perFile.map(_.getString(0)).toSeq.sorted
+          val retained = logicalOverFiles(name, affected)
+            .filter(!coalesce(condition, lit(false)))
+          val kept = stageIn(name, projectToPhysical(name, retained))
+          (cur.diff(relativize(name, affected)) ++ kept,
+            perFile.map(_.getLong(1)).sum)
+        }
+      }
+    val added = stageIn(name, projectToPhysical(name, df))
+    commitVersion(name, "replace_where", survivorFiles ++ added)
+    removedCount
+  }
+
   /** Right-to-be-forgotten erasure (GDPR art.17 shape): COW-delete the
     * matching rows, then PURGE history to the erased snapshot ONLY —
     * time travel / RESTORE to any pre-erasure version fails loudly, and

@@ -37,6 +37,8 @@ object CatalogSql {
     """(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?\s*$""".r
   private val Insert =
     """(?is)^INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+  private val ReplaceWhere =
+    """(?is)^INSERT\s+INTO\s+(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
   private val Delete =
     """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$""".r
   private val Merge =
@@ -246,7 +248,7 @@ object CatalogSql {
   def isCommand(statement: String): Boolean = {
     val stmt = statement.trim.stripSuffix(";").trim
     stmt match {
-      case CloneStmt(_, _) | Erase(_, _) |
+      case CloneStmt(_, _) | Erase(_, _) | ReplaceWhere(_, _, _) |
           CreateAs(_, _) | Create(_, _, _) | Insert(_, _) | Delete(_, _) |
           Merge(_, _, _, _, _, _, _, _, _, _) | AddCol(_, _, _, _) |
           AddCheck(_, _) |
@@ -394,6 +396,13 @@ object CatalogSql {
         cat.create(t, sch, Option(part))
         chks.foreach(cat.addCheck(t, _))
         status(spark, "create", t, 0L)
+      case ReplaceWhere(t, cond, src) =>
+        val df = subQuery(spark, cat, src)
+        val sch = cat.schema(t)
+        val aligned =
+          if (df.columns.length == sch.fields.length) df.toDF(sch.fieldNames.toSeq: _*)
+          else df
+        status(spark, "replace_where", t, cat.replaceWhere(t, expr(cond), aligned))
       case Insert(t, src) =>
         val df = subQuery(spark, cat, src)
         // ANSI INSERT binds columns POSITIONALLY (a bare VALUES row has no

@@ -1092,4 +1092,37 @@ class CatalogSpec extends SparkSpec {
     assert(graft.sources.CatalogSql.isCommand("VACUUM vh RETAIN 48 HOURS"))
     assert(graft.sources.CatalogSql.isCommand("SHOW PARTITIONS vh"))
   }
+
+  test("replaceWhere: one atomic commit, returns deleted count, SQL REPLACE WHERE routes") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("rw", docs.schema, partitionBy = Some("lang"))
+    cat.insert("rw", docs)
+    val vBefore = cat.versions("rw").size
+    val enBefore = cat.table("rw").filter(col("lang") === "en").count()
+    val corrected = docs.filter(col("lang") === "en").limit(3)
+      .withColumn("source", lit("backfill"))
+    val deleted = cat.replaceWhere("rw", col("lang") === "en", corrected)
+    assert(deleted === enBefore)
+    // ONE commit covers delete + insert
+    assert(cat.versions("rw").size === vBefore + 1)
+    assert(cat.history("rw").last._2 === "replace_where")
+    assert(cat.table("rw").filter(col("lang") === "en").count() === 3L)
+    assert(cat.table("rw").filter(col("lang") === "en" &&
+      col("source") =!= "backfill").count() === 0L)
+    // time travel still reaches the pre-replace snapshot
+    assert(cat.tableAt("rw", vBefore).filter(col("lang") === "en").count() === enBefore)
+
+    // no-match predicate: pure insert, still a single commit
+    val d2 = cat.replaceWhere("rw", col("lang") === "zz", docs.limit(2))
+    assert(d2 === 0L)
+    assert(cat.versions("rw").size === vBefore + 2)
+
+    // SQL surface
+    val st = graft.sources.CatalogSql.exec(spark, cat,
+      "INSERT INTO rw REPLACE WHERE lang = 'en' SELECT * FROM rw WHERE lang = 'de' LIMIT 1")
+    assert(st.collect().head.getString(0) === "replace_where")
+    assert(graft.sources.CatalogSql.isCommand(
+      "INSERT INTO rw REPLACE WHERE lang = 'en' SELECT 1"))
+  }
 }
