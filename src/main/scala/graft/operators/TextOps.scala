@@ -804,6 +804,56 @@ object TextOps {
       ).orderBy("doc_id")
     },
 
+    // ---- classifier-eval CONFUSION MATRIX over the langid heuristic:
+    // per (true lang, predicted lang) cell counts plus the row-normalized
+    // rate (recall on the diagonal, confusion off it) — the QA report
+    // every classifier in the pipeline (langid, quality) ships with.
+    // One scan through the same scorer + an alphabet²-sized aggregate;
+    // rates are exact-BIGINT integer division ----
+    Q(
+      "langid_confusion",
+      """WITH langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der','die','das']),
+        |    ('en', ['the','a','of']),
+        |    ('es', ['el','la','de']),
+        |    ('fr', ['le','la','et']),
+        |    ('zh', ['的','了','在'])) AS t(lang_c, markers)),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, l.lang_c,
+        |    len(list_filter(string_split(d.text,' '), tk -> list_contains(l.markers, tk))) AS score
+        |  FROM documents d CROSS JOIN langs l),
+        |best AS (
+        |  SELECT doc_id, lang, lang_c, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_c DESC) AS rn
+        |  FROM scored),
+        |pred AS (SELECT lang,
+        |    CASE WHEN score > 0 THEN lang_c ELSE 'und' END AS lang_pred
+        |  FROM best WHERE rn = 1),
+        |cells AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+        |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS rate_mic
+        |FROM cells ORDER BY lang, lang_pred""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val profiles = Map(
+        "en" -> Seq("the", "a", "of"),
+        "de" -> Seq("der", "die", "das"),
+        "es" -> Seq("el", "la", "de"),
+        "fr" -> Seq("le", "la", "et"),
+        "zh" -> Seq("的", "了", "在"))
+      val cells = Tables.documents(s, d)
+        .select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text"), profiles).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      cells.select(col("lang"), col("lang_pred"), col("n"),
+          sum(col("n")).over(Window.partitionBy("lang")).as("n_true"))
+        .withColumn("rate_mic", expr("n * 1000000 DIV n_true"))
+        .orderBy("lang", "lang_pred")
+    },
+
     // ---- order-sensitive rolling-hash fingerprint. Token hash = first
     // 15 md5 hex chars (portable); oracle replays the same polynomial
     // fold with pre-modded elements ((a*b + x) mod p distributes) ----

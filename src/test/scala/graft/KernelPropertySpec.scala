@@ -208,4 +208,23 @@ class KernelPropertySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs.forall(bi.contains), "every generated transition must be a corpus bigram")
   }
+
+  test("langid_confusion: cells partition the corpus, row rates sum to ~1e6 per true lang") {
+    val cells = SparkEntry.queries("langid_confusion")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(cells.map(_._3).sum === Tables.documents(spark, sf0001).count())
+    cells.groupBy(_._1).foreach { case (lang, rows) =>
+      val nTrue = rows.head._4
+      assert(rows.map(_._3).sum === nTrue, s"$lang cells must sum to its row total")
+      // integer-floor rates: within one ulp-per-cell of 1e6
+      val rateSum = rows.map(_._5).sum
+      assert(rateSum <= 1000000L && rateSum >= 1000000L - rows.length,
+        s"$lang rates sum $rateSum")
+    }
+    // agreement with the per-doc prediction row
+    val fromDocs = SparkEntry.queries("langid_heuristic")(spark, sf0001)
+      .groupBy("lang", "lang_pred").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    cells.foreach { case (l, p, n, _, _) => assert(fromDocs((l, p)) === n) }
+  }
 }
