@@ -83,10 +83,14 @@ object StressScale {
     * count while the per-group counts grow 10×.
     */
   private[graft] def eventsReplica(ev: DataFrame, k: Int, idStride: Long): DataFrame =
+    // the SAME stride for user_id as for event_id: the disjointness
+    // contract is `stride > max fixture id`, asserted once in [[gen]] —
+    // a separate hardcoded user stride could silently collide on a
+    // fixture with ≥ stride users
     ev.select(
       (col("event_id") + lit(k * idStride)).as("event_id"),
       col("ts"),
-      (col("user_id") + lit(k * 1000000L)).as("user_id"),
+      (col("user_id") + lit(k * idStride)).as("user_id"),
       col("event_type"), col("value"), col("props"))
 
   private def gen(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
@@ -106,6 +110,12 @@ object StressScale {
       .parquet(out.resolve("embeddings.parquet").toString)
     val ev = Tables.events(spark, srcDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // replica disjointness holds only if the stride clears every id the
+    // replicas offset — assert it against the fixture instead of trusting
+    // the constant (one cheap aggregate, generation-time only)
+    val evMax = ev.agg(max("event_id"), max("user_id")).head()
+    require(evMax.getLong(0) < stride && evMax.getLong(1) < stride,
+      s"events ids exceed replica stride $stride: $evMax")
     (0 until replicas).map(eventsReplica(ev, _, stride))
       .reduce(_.unionAll(_))
       .repartition(32).write.mode("overwrite")

@@ -458,10 +458,15 @@ object CatalogOps {
       x("""CREATE TABLE docs_tts AS
           |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
           |FROM documents""".stripMargin)
-      Thread.sleep(20)
-      val boundary = java.time.Instant.now() // after v1, before v2
-      Thread.sleep(20)
       x("DELETE FROM docs_tts WHERE doc_id % 4 = 1") // v2
+      // Boundary = v1's OWN commit time. versionAt resolves "latest
+      // commit ≤ ts", and the catalog guarantees strictly increasing
+      // manifest mtimes (commitVersion's monotonicity nudge), so this
+      // instant maps to v1 on any filesystem — no wall-clock sleeps,
+      // no mtime-granularity flakiness.
+      val boundary = cat.historyWithTime("docs_tts")
+        .find(_._1 == 1).map(_._4)
+        .getOrElse(throw new IllegalStateException("docs_tts v1 missing"))
       x(s"""SELECT a1.lang, a1.n1 AS n_v1, a2.n2 AS n_head,
           |  CAST(a1.n1 - a2.n2 AS BIGINT) AS n_deleted
           |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1
@@ -1068,6 +1073,35 @@ object CatalogOps {
       cat.create("docs_orc", docs.schema)
       cat.insertOrc("docs_orc", orcDir)
       cat.table("docs_orc")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L)
+            .as("text_fp"))
+        .orderBy("lang")
+    },
+
+    // ---- Avro ingest round-trip: export the fixture as Avro container
+    // files (AvroCodec — Avro core, per-partition containers), ingest
+    // through the schema-directed name-mapped decoder, and prove the
+    // content survived with the same per-lang profile + byte-exact text
+    // fingerprint as the CSV/ORC twins ----
+    Q(
+      "catalog_avro_roundtrip",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS text_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val wh = tempWarehouse()
+      val cat = new Catalog(s, wh)
+      val docs = Tables.documents(s, d)
+      val avroDir = s"$wh/avro_stage"
+      graft.sources.AvroCodec.writeAvro(docs, avroDir)
+      cat.create("docs_avro", docs.schema)
+      cat.insertAvro("docs_avro", avroDir)
+      cat.table("docs_avro")
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),

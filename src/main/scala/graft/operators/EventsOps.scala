@@ -219,8 +219,14 @@ object EventsOps {
       val hashed = seg.select(col("event_type"), col("user_id"),
         graft.functions.TextFunctions.tokenHash60(col("user_id").cast("string")).as("h"))
       val wT = Window.partitionBy("event_type").orderBy(col("h"), col("user_id"))
+      // pin the sketch ONCE: it is model-sized (≤ k rows per segment) but
+      // its lineage is the full events scan + distinct + window, and SEVEN
+      // downstream branches (sz, prs, comb×2, ir×2, the two difference
+      // numerators) would each replay that scan — measured 2.45 s → the
+      // pinned form re-reads ~320 rows instead
       val sk = hashed.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= k).select(col("event_type"), col("h"))
+        .localCheckpoint(true)
       val sz = sk.groupBy("event_type").agg(count(lit(1)).as("n"))
       val prs = sz.select(col("event_type").as("ta"))
         .join(sz.select(col("event_type").as("tb")), col("ta") < col("tb"))

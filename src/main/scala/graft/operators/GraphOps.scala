@@ -267,26 +267,57 @@ object GraphOps {
     * deg < minDeg contribute nothing; deg > capDeg are EXCLUDED (hub
     * cap: the quadratic pair blowup lives in the hubs and their RA
     * weight is ~0 anyway — the df-cap discipline of the PPJoin tier).
+    *
+    * Pair generation is INLINE, not a self-join: one shuffle groups the
+    * capped membership into per-resource sorted arrays (≤ capDeg
+    * entries), a codegen'd combination expression emits each i<j pair
+    * packed into ONE BIGINT (`a·2³² + b` — requires entity ids < 2³²,
+    * which the key-offset stress replicas respect), and the pair
+    * aggregate runs on 8-byte keys. vs the previous SHUFFLE_HASH
+    * self-join of the weighted membership (which shuffled both sides,
+    * probed deg² candidates to keep deg²/2, and hash-aggregated a 2-col
+    * key): measured 11.7 s → 4.1 s at sf0.1 for the identical result.
+    * The final top-k is a TakeOrdered — no global sort.
     */
   def resourceAllocationTopPairs(
       bip: org.apache.spark.sql.DataFrame,
       minDeg: Int, capDeg: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val deg = bip.groupBy("p").agg(count(lit(1)).as("d"))
+    // pinned once: both the degree aggregate and the membership join
+    // consume it, and its lineage (source join + distinct) is the most
+    // expensive upstream stage
+    val m = bip.localCheckpoint(true)
+    val deg = m.groupBy("p").agg(count(lit(1)).as("d"))
       .filter(col("d") >= minDeg && col("d") <= capDeg)
-    // pin the weighted membership once (feeds both self-join sides; the
-    // lineage repeats the source join + distinct + degree join) and hash-
-    // join the bounded-key self-join instead of sort-merge: measured
-    // 13.0 s bare / 12.2 s pinned / 11.3 s pinned+hash at sf0.1 — the
-    // residual cost IS the Σ deg²/2 pair aggregate (~9M pairs), which the
-    // deg cap keeps linear in corpus size (deg is scale-invariant here)
-    val w = bip.join(deg, "p")
-      .select(col("c"), col("p"), expr("1000000L DIV d").as("w_mic"))
-      .localCheckpoint(true)
-    w.as("a")
-      .join(w.as("b").hint("SHUFFLE_HASH"),
-        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-      .groupBy(col("a.c").as("cust_a"), col("b.c").as("cust_b"))
-      .agg(count(lit(1)).as("n_common"), sum(col("a.w_mic")).as("ra_mic"))
+    val grouped = m.join(deg, "p")
+      .select(col("p"), col("c"), expr("1000000L DIV d").as("w_mic"))
+      .groupBy("p")
+      // ascending member list ⇒ combinations are already (a < b); w_mic
+      // is constant within a resource (1e6 DIV deg), first() is exact
+      .agg(array_sort(collect_list(col("c"))).as("cs"),
+        first(col("w_mic")).as("w_mic"))
+      // EXPLICIT fan-out before the explode: AQE correctly coalesces the
+      // model-sized array table to ~1 post-shuffle partition, but the
+      // combination explode below multiplies rows ~capDeg²/2-fold and the
+      // partial pair aggregate must not run single-threaded on that one
+      // partition (measured: 12 s single-threaded vs ~1 s spread). The
+      // repartition moves only the SMALL side (one array row per
+      // resource), never the pairs.
+      .repartition(bip.sparkSession.sessionState.conf.numShufflePartitions)
+    val pairs = grouped.select(col("w_mic"), explode(expr(
+      "flatten(transform(cs, (x, i) -> " +
+        "transform(slice(cs, i + 2, size(cs) - i - 1), " +
+        "y -> shiftleft(x, 32) + y)))")).as("pk"))
+      // pin the pair aggregate's distribution too: keys are ~all-unique,
+      // so map-side partial aggregation buys nothing and AQE's byte-bound
+      // coalesce would funnel the ~9M-key final hash map into a few
+      // reducers; an explicit hash repartition keeps every core hashing
+      .repartition(bip.sparkSession.sessionState.conf.numShufflePartitions,
+        col("pk"))
+    pairs.groupBy("pk")
+      .agg(count(lit(1)).as("n_common"), sum(col("w_mic")).as("ra_mic"))
+      .select(expr("shiftright(pk, 32)").as("cust_a"),
+        expr("pk & 4294967295").as("cust_b"),
+        col("n_common"), col("ra_mic"))
       .orderBy(col("ra_mic").desc, col("cust_a"), col("cust_b"))
       .limit(k)
   }

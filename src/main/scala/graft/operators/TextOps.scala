@@ -230,6 +230,202 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------ Unigram-LM tokenizer
+
+  /** Candidate piece table for the unigram tokenizer: every substring of
+    * the vocabulary words up to `maxPieceLen` chars, freq-weighted
+    * occurrence counts; the seed keeps ALL single chars (segmentation
+    * must never dead-end) plus the top-`mTop` multi-char candidates by
+    * (count desc, piece) — the suffix-array seeding of SentencePiece
+    * restated over the bounded-length substring lattice.
+    */
+  private[graft] def unigramSeedVocab(
+      words: DataFrame, maxPieceLen: Int, mTop: Int): DataFrame = {
+    val cand = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word"), col("freq"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("p") + 1))).as("l"))
+      .select(expr("substring(word, p, l)").as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("c"))
+    cand.filter(length(col("piece")) === 1)
+      .unionByName(cand.filter(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece")).limit(mTop))
+  }
+
+  /** The Viterbi DP as ONE codegen'd fold expression per word — no UDF,
+    * no per-position join round. State = the best
+    * `(score, n_pieces, token_str)` per prefix length, totally ordered by
+    * (score desc, n asc, token_str asc) so the argmax segmentation is
+    * deterministic and the oracle's exhaustive path enumeration picks the
+    * identical winner (the order is dominance-preserving: all three
+    * components compose additively/append-only, so a better prefix stays
+    * better under any shared continuation).
+    */
+  private def viterbiExpr(maxL: Int): String = {
+    val piece = "substring(word, i - l + 1, l)"
+    val lp = s"element_at(lpmap, $piece)"
+    val prev = "element_at(acc, i - l + 1)"
+    val cand = s"named_struct('s', ($prev).s + $lp, 'n', ($prev).n + 1, " +
+      s"'t', CASE WHEN ($prev).t = '' THEN $piece " +
+      s"ELSE concat(($prev).t, '|', $piece) END)"
+    val step =
+      s"""CASE WHEN $lp IS NULL THEN b
+         |     WHEN b IS NULL THEN $cand
+         |     WHEN ($cand).s > b.s THEN $cand
+         |     WHEN ($cand).s < b.s THEN b
+         |     WHEN ($cand).n < b.n THEN $cand
+         |     WHEN ($cand).n > b.n THEN b
+         |     WHEN ($cand).t < b.t THEN $cand
+         |     ELSE b END""".stripMargin
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  array(named_struct('s', 0L, 'n', 0, 't', '')),
+       |  (acc, i) -> array_append(acc,
+       |    aggregate(sequence(1, least($maxL, i)),
+       |      cast(null as struct<s: bigint, n: int, t: string>),
+       |      (b, l) -> $step)),
+       |  acc -> element_at(acc, -1))""".stripMargin
+  }
+
+  /** Viterbi-segment each `(word, freq)` row against `vocab(piece, lp)`:
+    * returns `(word, freq, score, n_tokens, token_str)`. One join builds
+    * the per-word piece→logprob map (only the word's own substrings —
+    * model-sized rows), then [[viterbiExpr]] runs the DP per row.
+    */
+  private[graft] def viterbiSegment(
+      words: DataFrame, vocab: DataFrame, maxPieceLen: Int): DataFrame = {
+    val subs = words
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("p") + 1))).as("l"))
+      .select(col("word"), expr("substring(word, p, l)").as("piece"))
+      .distinct()
+    val pm = subs.join(vocab.select("piece", "lp"), "piece")
+      .groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("lp"))))
+        .as("lpmap"))
+    words.join(pm, "word")
+      .withColumn("seg", expr(viterbiExpr(maxPieceLen)))
+      .select(col("word"), col("freq"), col("seg.s").as("score"),
+        col("seg.n").cast("long").as("n_tokens"), col("seg.t").as("token_str"))
+  }
+
+  /** Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018 —
+    * the OTHER mainstream subword algorithm beside BPE), relationally:
+    *   1. seed = char + top-`mTop` substring candidates with
+    *      freq-weighted counts ([[unigramSeedVocab]]); seed logprobs are
+    *      integer micros `FLOOR(1e6·ln(c/N))` — one fixed-shape double
+    *      per piece, cross-engine stable;
+    *   2. E-step: Viterbi segmentation of the vocabulary word table under
+    *      the seed model ([[viterbiSegment]]);
+    *   3. M-step + prune: piece usage = freq-weighted counts over the
+    *      argmax segmentations; multi-char pieces keep only the
+    *      top-`vTop` by (usage desc, piece) — the EM prune step — and
+    *      logprobs re-estimate add-1-smoothed over the pruned set (chars
+    *      with zero usage survive via smoothing, as SentencePiece keeps
+    *      required chars).
+    * Returns (final vocab `(piece, usage, lp)`, the word table). All
+    * state is model-sized; the corpus is touched once building the word
+    * table — the [[bpeTrain]] scale discipline.
+    */
+  private[graft] def unigramTrain(docs: DataFrame, topN: Int,
+      maxPieceLen: Int, mTop: Int, vTop: Int): (DataFrame, DataFrame) = {
+    val words = bpeWords(docs, topN).localCheckpoint(true)
+    val seed = unigramSeedVocab(words, maxPieceLen, mTop)
+    val n0 = seed.agg(sum("c").as("nn"))
+    val vocab0 = seed.crossJoin(broadcast(n0))
+      .select(col("piece"),
+        floor(lit(1000000.0) *
+          log(col("c").cast("double") / col("nn").cast("double")))
+          .cast("long").as("lp"))
+      .localCheckpoint(true)
+    val seg0 = viterbiSegment(words, vocab0, maxPieceLen)
+    val usage = seg0
+      .select(col("freq"), explode(split(col("token_str"), "[|]")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("usage"))
+    val chars = vocab0.filter(length(col("piece")) === 1).select("piece")
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+    val multi = usage.filter(length(col("piece")) > 1)
+      .orderBy(col("usage").desc, col("piece")).limit(vTop)
+    val pruned = chars.unionByName(multi)
+    val tot2 = pruned.agg(sum("usage").as("n2"), count(lit(1)).as("v2"))
+    val vocab1 = pruned.crossJoin(broadcast(tot2))
+      .select(col("piece"), col("usage"),
+        floor(lit(1000000.0) *
+          log((col("usage") + 1).cast("double") /
+            (col("n2") + col("v2")).cast("double")))
+          .cast("long").as("lp"))
+      .localCheckpoint(true)
+    (vocab1, words)
+  }
+
+  /** DuckDB CTE chain replaying [[unigramTrain]] + the final-vocab encode:
+    * seed (`v0`), exhaustive segmentation enumeration via a RECURSIVE CTE
+    * (`p0`/`b0` — the argmax under (score desc, n, toks) is the same
+    * winner the Spark DP picks, see [[viterbiExpr]]), usage/prune (`v1`),
+    * second enumeration (`p1`/`b1`). Callers prefix `WITH RECURSIVE`.
+    */
+  private[graft] def unigramOracleCtes(
+      topN: Int, maxL: Int, mTop: Int, vTop: Int): String =
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word
+       |  ORDER BY freq DESC, word LIMIT $topN),
+       |up AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS p FROM w),
+       |ul AS (SELECT word, freq, p,
+       |    unnest(generate_series(1, least($maxL, length(word) - p + 1))) AS l FROM up),
+       |cand AS (SELECT substr(word, p, l) AS piece, CAST(SUM(freq) AS BIGINT) AS c
+       |  FROM ul GROUP BY 1),
+       |seed AS (SELECT piece, c FROM cand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (SELECT piece, c,
+       |      ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM cand WHERE length(piece) > 1) WHERE rk <= $mTop),
+       |n0 AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM seed),
+       |v0 AS (SELECT piece, CAST(FLOOR(1000000.0 *
+       |    ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))) AS BIGINT) AS lp
+       |  FROM seed CROSS JOIN n0),
+       |p0(word, pos, score, n, toks) AS (
+       |  SELECT word, 0, CAST(0 AS BIGINT), 0, '' FROM w
+       |  UNION ALL
+       |  SELECT p.word, p.pos + length(v.piece), p.score + v.lp, p.n + 1,
+       |    CASE WHEN p.toks = '' THEN v.piece ELSE p.toks || '|' || v.piece END
+       |  FROM p0 p JOIN v0 v ON p.pos + length(v.piece) <= length(p.word)
+       |    AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece),
+       |b0 AS (SELECT word, toks FROM (SELECT word, toks,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY score DESC, n, toks) AS rk
+       |  FROM p0 WHERE pos = length(word)) WHERE rk = 1),
+       |us AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage FROM (
+       |    SELECT w.freq, unnest(string_split(b.toks, '|')) AS piece
+       |    FROM b0 b JOIN w USING (word)) GROUP BY 1),
+       |pr AS (SELECT v.piece, CAST(COALESCE(us.usage, 0) AS BIGINT) AS usage
+       |    FROM v0 v LEFT JOIN us ON us.piece = v.piece WHERE length(v.piece) = 1
+       |  UNION ALL
+       |  SELECT piece, usage FROM (SELECT piece, usage,
+       |      ROW_NUMBER() OVER (ORDER BY usage DESC, piece) AS rk
+       |    FROM us WHERE length(piece) > 1) WHERE rk <= $vTop),
+       |n2 AS (SELECT CAST(SUM(usage) AS BIGINT) AS nn,
+       |    CAST(COUNT(*) AS BIGINT) AS vv FROM pr),
+       |v1 AS (SELECT piece, usage, CAST(FLOOR(1000000.0 *
+       |    ln(CAST(usage + 1 AS DOUBLE) / CAST(nn + vv AS DOUBLE))) AS BIGINT) AS lp
+       |  FROM pr CROSS JOIN n2),
+       |p1(word, pos, score, n, toks) AS (
+       |  SELECT word, 0, CAST(0 AS BIGINT), 0, '' FROM w
+       |  UNION ALL
+       |  SELECT p.word, p.pos + length(v.piece), p.score + v.lp, p.n + 1,
+       |    CASE WHEN p.toks = '' THEN v.piece ELSE p.toks || '|' || v.piece END
+       |  FROM p1 p JOIN v1 v ON p.pos + length(v.piece) <= length(p.word)
+       |    AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece),
+       |b1 AS (SELECT word, n, toks FROM (SELECT word, n, toks,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY score DESC, n, toks) AS rk
+       |  FROM p1 WHERE pos = length(word)) WHERE rk = 1)""".stripMargin
+
   /** Oracle chain for [[bpeEncodeCorpus]]: [[bpeOracleCtes]]'s training
     * rounds (supplying `m1..mR`), then the corpus symbol rows pushed
     * through the same R merge blocks keyed by (doc_id, wid), ending in
@@ -483,11 +679,17 @@ object TextOps {
 
   /** Greedy bigram-LM generation (see the `lm_generate_greedy`
     * registration for the full contract): train bigram counts in one
-    * corpus scan, retrieve the vocab-sized argmax-successor table to the
-    * driver (the LM *is* the model — same driver-side cost class as
-    * k-means centroids / the BPE merge argmax), seed with the modal
-    * token and walk `steps` greedy transitions (ties → lexicographic
-    * min). Empty corpus → empty result, never a crash.
+    * corpus scan, keep the argmax-successor table DISTRIBUTED, and walk
+    * `steps` greedy transitions (ties → lexicographic min) as a chain of
+    * `steps` joins against ONE broadcast of the successor table — the
+    * broadcast exchange is plan-identical at every step, so it builds
+    * once and is reused. Nothing corpus-vocabulary-sized ever lands on
+    * the driver (only the single seed row is collected); at 100 TB the
+    * successor table would be a bucketed model table and the same chain
+    * would SHUFFLE_HASH-join it. A dead end (token with no continuation)
+    * joins to zero rows and every later step stays empty — the walk
+    * stops exactly where the driver loop did. Empty corpus → empty
+    * result, never a crash.
     */
   def greedyGenerate(docs: DataFrame, text: Column, steps: Int): DataFrame = {
     val s = docs.sparkSession
@@ -506,22 +708,29 @@ object TextOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))))
       .filter(col("rk") === 1)
-      .select("w1", "w2").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .select("w1", "w2")
+      // pin the model: the 13 union branches below have nested lineages
+      // (branch i = i joins), and without the pin each one would replay
+      // the corpus-sized bigram aggregate — vocab-sized state, one build
+      .localCheckpoint(true)
+    // one row — the only collect in the operator
     val seedRow = uni.orderBy(col("c").desc, col("t")).limit(1).collect()
     import s.implicits._
     if (seedRow.isEmpty) Seq.empty[(Long, String)].toDF("step", "tok")
     else {
       val seed = seedRow.head.getString(0)
-      val out = scala.collection.mutable.Buffer((0L, seed))
-      var tok = seed
-      var i = 0
-      var cont = true
-      while (i < steps && cont) succ.get(tok) match {
-        case Some(n) => i += 1; tok = n; out += ((i.toLong, tok))
-        case None => cont = false
+      var cur = Seq((0L, seed)).toDF("step", "tok")
+      var out = cur
+      (1 to steps).foreach { i =>
+        // fresh attribute ids per step so the self-referencing chain
+        // resolves unambiguously; the broadcast child canonicalizes to
+        // the same plan every step → ReuseExchange builds it once
+        val m = succ.select(col("w1").as(s"w1_$i"), col("w2").as(s"w2_$i"))
+        cur = cur.join(broadcast(m), cur("tok") === col(s"w1_$i"))
+          .select((cur("step") + 1).as("step"), col(s"w2_$i").as("tok"))
+        out = out.unionAll(cur)
       }
-      out.toSeq.toDF("step", "tok").orderBy("step")
+      out.orderBy("step")
     }
   }
 
@@ -598,6 +807,65 @@ object TextOps {
       }
       bpeApplyCorpus(Tables.documents(s, d),
         graft.sources.ModelStore.loadMerges(s, dir))
+    },
+
+    // ---- unigram-LM tokenizer TRAINING (SentencePiece-style, Kudo
+    // 2018) — the other mainstream subword algorithm beside BPE: seed
+    // substring candidates → Viterbi E-step → usage M-step + prune →
+    // add-1 re-estimate ([[unigramTrain]]). The oracle replays the seed
+    // arithmetic and checks the argmax segmentations by EXHAUSTIVE
+    // enumeration (recursive CTE), so the learned piece table is
+    // hash-exact cross-engine ----
+    Q(
+      "unigram_train",
+      s"""WITH RECURSIVE ${unigramOracleCtes(150, 4, 40, 24)}
+         |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, usage,
+         |  lp AS logp_micros
+         |FROM v1 ORDER BY piece""".stripMargin,
+    ) { (s, d) =>
+      val (vocab, _) =
+        unigramTrain(Tables.documents(s, d), 150, 4, 40, 24)
+      vocab.select(col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("usage"), col("lp").as("logp_micros")).orderBy("piece")
+    },
+
+    // ---- the trained unigram model APPLIED: each vocab word's Viterbi
+    // segmentation under the final pruned model — the encode side of the
+    // same run (ties → fewer pieces, then lexicographic token string;
+    // the oracle's exhaustive argmax applies the identical order) ----
+    Q(
+      "unigram_encode",
+      s"""WITH RECURSIVE ${unigramOracleCtes(150, 4, 40, 24)}
+         |SELECT b.word, CAST(b.n AS BIGINT) AS n_tokens, b.toks AS token_str
+         |FROM b1 b ORDER BY word""".stripMargin,
+    ) { (s, d) =>
+      val (vocab, words) =
+        unigramTrain(Tables.documents(s, d), 150, 4, 40, 24)
+      viterbiSegment(words, vocab, 4)
+        .select(col("word"), col("n_tokens"), col("token_str"))
+        .orderBy("word")
+    },
+
+    // ---- the unigram tokenizer SERVED from its persisted model: piece
+    // table trained once per fixture identity, written via ModelStore,
+    // later encodes load it and never retrain (the bpe_*_served
+    // discipline). Same oracle: served ≡ trained ----
+    Q(
+      "unigram_encode_served",
+      s"""WITH RECURSIVE ${unigramOracleCtes(150, 4, 40, 24)}
+         |SELECT b.word, CAST(b.n AS BIGINT) AS n_tokens, b.toks AS token_str
+         |FROM b1 b ORDER BY word""".stripMargin,
+    ) { (s, d) =>
+      val dir = Similarity.withStagedIndex(s, d, "unigram:150:4:40:24",
+        fixture = "documents.parquet") { tmp =>
+        graft.sources.ModelStore.saveUnigram(s, tmp,
+          unigramTrain(Tables.documents(s, d), 150, 4, 40, 24)._1)
+      }
+      val vocab = graft.sources.ModelStore.loadUnigram(s, dir)
+      viterbiSegment(bpeWords(Tables.documents(s, d), 150), vocab, 4)
+        .select(col("word"), col("n_tokens"), col("token_str"))
+        .orderBy("word")
     },
 
     // ---- per-document stats: token counts, lengths, fingerprints ----

@@ -1,0 +1,252 @@
+package graft.sources
+
+import java.io.File
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.file.{DataFileWriter, SeekableByteArrayInput, DataFileReader}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro Object Container File ingest/export against Apache Avro CORE
+  * (`org.apache.avro`, shipped with Spark) — the separate `spark-avro`
+  * DataSource module is not on this classpath, so the decode is ours:
+  * `binaryFile` lists and reads whole files in parallel and a
+  * per-partition [[DataFileReader]] walks each container's blocks.
+  * Columns map by NAME against the declared table schema (Avro is
+  * self-describing, like ORC); nullable unions `[null, T]` resolve to
+  * their branch; `timestamp-micros`/`timestamp-millis`/`date` logical
+  * types land as native Spark temporals.
+  *
+  * Scale shape: parallelism is per-FILE (the standard many-files layout —
+  * an Avro container IS block-splittable, but a block-splitting reader
+  * needs a DataSourceV2 with sync-marker scan; per-file tasks are the
+  * right cost/complexity point for an ingest decoder, and `binaryFile`
+  * caps single files at 2 GiB). Export writes one container per
+  * partition, so file count = partition count and no driver collect.
+  */
+object AvroCodec {
+
+  /** Read Avro container files under `path` (a file or directory) into a
+    * DataFrame with exactly the `target` schema, fields matched by name
+    * (missing in the file → null).
+    */
+  def readAvro(spark: SparkSession, path: String, target: StructType): DataFrame = {
+    val bytes = spark.read.format("binaryFile").load(path)
+      .select("content").rdd.map(_.getAs[Array[Byte]](0))
+    val rows = bytes.mapPartitions { it =>
+      it.flatMap { content =>
+        val rdr = new DataFileReader[GenericRecord](
+          new SeekableByteArrayInput(content),
+          new GenericDatumReader[GenericRecord]())
+        try rdr.iterator().asScala.map(rec => toRow(rec, target)).toVector
+        finally rdr.close()
+      }
+    }
+    spark.createDataFrame(rows, target)
+  }
+
+  /** Read Avro files with every target column decoded AS A STRING (null
+    * stays null) — the raw face the dead-letter split casts from, exactly
+    * like the CSV quarantine path's string-schema read.
+    */
+  def readAvroAsStrings(
+      spark: SparkSession, path: String, target: StructType): DataFrame = {
+    val names = target.fieldNames.toSeq
+    val strSchema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val bytes = spark.read.format("binaryFile").load(path)
+      .select("content").rdd.map(_.getAs[Array[Byte]](0))
+    val rows = bytes.mapPartitions { it =>
+      it.flatMap { content =>
+        val rdr = new DataFileReader[GenericRecord](
+          new SeekableByteArrayInput(content),
+          new GenericDatumReader[GenericRecord]())
+        try rdr.iterator().asScala.map { rec =>
+          Row.fromSeq(names.map { n =>
+            val f = rec.getSchema.getField(n)
+            if (f == null) null
+            else render(rec.get(f.pos()), f.schema())
+          })
+        }.toVector
+        finally rdr.close()
+      }
+    }
+    spark.createDataFrame(rows, strSchema)
+  }
+
+  /** Export `df` as Avro container files under `dir`, one file per
+    * partition (`part-NNNNN.avro`), deflate-compressed. The Avro schema
+    * derives from the DataFrame schema with nullable-union fields.
+    */
+  def writeAvro(df: DataFrame, dir: String): Unit = {
+    new File(dir).mkdirs()
+    // Schema is not serializable — ship its JSON and re-parse per task
+    val schemaJson = toAvroSchema(df.schema, "spark_export").toString
+    val sparkSchema = df.schema
+    df.rdd.foreachPartition { it =>
+      val sch = new Schema.Parser().parse(schemaJson)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      w.create(sch, new File(dir, f"part-$pid%05d.avro"))
+      try it.foreach(r => w.append(toAvro(r, sparkSchema, sch)))
+      finally w.close()
+    }
+  }
+
+  // ---- Spark StructType → Avro schema ----
+
+  private[sources] def toAvroSchema(st: StructType, name: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = typeToAvro(f.dataType, s"${name}_${f.name}")
+      val sch =
+        if (f.nullable)
+          Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+        else base
+      new Schema.Field(f.name, sch, null, null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def typeToAvro(dt: DataType, name: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(et, containsNull) =>
+      val e = typeToAvro(et, s"${name}_item")
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), e))
+        else e)
+    case st: StructType => toAvroSchema(st, name)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = typeToAvro(vt, s"${name}_value")
+      Schema.createMap(
+        if (valueContainsNull)
+          Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), v))
+        else v)
+    case other => throw new IllegalArgumentException(
+      s"avro export: unsupported Spark type $other (decimal/interval not mapped)")
+  }
+
+  // ---- Row → GenericRecord ----
+
+  private def toAvro(row: Row, st: StructType, sch: Schema): GenericRecord = {
+    val rec = new GenericData.Record(sch)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      rec.put(f.name, valueToAvro(if (row.isNullAt(i)) null else row.get(i), f.dataType,
+        nonNull(sch.getField(f.name).schema())))
+    }
+    rec
+  }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  private def valueToAvro(v: Any, dt: DataType, sch: Schema): AnyRef = v match {
+    case null => null
+    case ts: java.sql.Timestamp => Long.box(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
+    case ts: java.time.Instant =>
+      Long.box(ts.getEpochSecond * 1000000L + ts.getNano / 1000)
+    case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+    case b: Array[Byte] => ByteBuffer.wrap(b)
+    case r: Row => toAvro(r, dt.asInstanceOf[StructType], sch)
+    case seq: scala.collection.Seq[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      val es = nonNull(sch.getElementType)
+      seq.map(e => valueToAvro(e, et, es)).asJava
+    case m: scala.collection.Map[_, _] =>
+      val vt = dt.asInstanceOf[MapType].valueType
+      val vs = nonNull(sch.getValueType)
+      m.map { case (k, mv) => k.toString -> valueToAvro(mv, vt, vs) }.asJava
+    case s: String => s
+    case other => other.asInstanceOf[AnyRef] // numeric/boolean primitives box as-is
+  }
+
+  // ---- GenericRecord → Row (by NAME against the target schema) ----
+
+  private def toRow(rec: GenericRecord, target: StructType): Row =
+    Row.fromSeq(target.fields.toSeq.map { f =>
+      val af = rec.getSchema.getField(f.name)
+      if (af == null) null
+      else fromAvro(rec.get(af.pos()), nonNull(af.schema()), f.dataType)
+    })
+
+  private def fromAvro(v: Any, sch: Schema, dt: DataType): Any = v match {
+    case null => null
+    case _ => dt match {
+      case LongType => v.asInstanceOf[Number].longValue()
+      case IntegerType => v.asInstanceOf[Number].intValue()
+      case ShortType => v.asInstanceOf[Number].shortValue()
+      case ByteType => v.asInstanceOf[Number].byteValue()
+      case DoubleType => v.asInstanceOf[Number].doubleValue()
+      case FloatType => v.asInstanceOf[Number].floatValue()
+      case BooleanType => v.asInstanceOf[Boolean]
+      case StringType => v.toString // Utf8 / enum symbol / any scalar
+      case BinaryType =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case TimestampType =>
+        val micros = sch.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis => v.asInstanceOf[Number].longValue() * 1000L
+          case _ => v.asInstanceOf[Number].longValue() // micros (the default stamp)
+        }
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          micros, java.time.temporal.ChronoUnit.MICROS))
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue()))
+      case ArrayType(et, _) =>
+        val es = nonNull(sch.getElementType)
+        v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
+          .map(e => fromAvro(e, es, et))
+      case st: StructType => toRow(v.asInstanceOf[GenericRecord], st)
+      case MapType(StringType, vt, _) =>
+        val vs = nonNull(sch.getValueType)
+        v.asInstanceOf[java.util.Map[_, _]].asScala.map {
+          case (k, mv) => k.toString -> fromAvro(mv, vs, vt)
+        }.toMap
+      case other => throw new IllegalArgumentException(
+        s"avro ingest: unsupported target type $other for ${sch.getType}")
+    }
+  }
+
+  /** Render an Avro value as its string form for the quarantine raw read:
+    * scalars via toString, temporal logical types as their ISO forms so a
+    * later `try_cast` to TIMESTAMP/DATE succeeds, bytes as hex.
+    */
+  private def render(v: Any, sch0: Schema): String = v match {
+    case null => null
+    case _ =>
+      val sch = nonNull(sch0)
+      sch.getLogicalType match {
+        case _: LogicalTypes.TimestampMicros =>
+          java.time.Instant.EPOCH.plus(v.asInstanceOf[Number].longValue(),
+            java.time.temporal.ChronoUnit.MICROS).toString
+        case _: LogicalTypes.TimestampMillis =>
+          java.time.Instant.ofEpochMilli(v.asInstanceOf[Number].longValue()).toString
+        case _: LogicalTypes.Date =>
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString
+        case _ => v match {
+          case bb: ByteBuffer =>
+            val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out)
+            out.map("%02x".format(_)).mkString
+          case other => other.toString
+        }
+      }
+  }
+}

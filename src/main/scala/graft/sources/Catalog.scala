@@ -607,6 +607,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"concurrent commit detected for $name v$v — another writer advanced the log")
     Files.move(tmp, manifestPath(name, v),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Commit-time monotonicity (Delta's "timestamps out of order"
+    // adjustment, delta-io/delta DeltaHistoryManager): TIMESTAMP AS OF
+    // resolves by manifest mtime, so on filesystems with coarse mtime
+    // granularity (1 s is common) two rapid commits could stamp EQUAL
+    // times, making the boundary between them unaddressable. If the new
+    // manifest's mtime is not strictly after its predecessor's, nudge it
+    // 1 ms past it — the log's time axis stays strictly increasing.
+    val prev = manifestPath(name, v - 1)
+    if (Files.exists(prev)) {
+      val prevT = Files.getLastModifiedTime(prev).toInstant
+      val curP = manifestPath(name, v)
+      if (!Files.getLastModifiedTime(curP).toInstant.isAfter(prevT))
+        Files.setLastModifiedTime(curP,
+          java.nio.file.attribute.FileTime.from(prevT.plusMillis(1)))
+    }
     v
   }
 
@@ -828,6 +843,35 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       options: Map[String, String] =
         Map("header" -> "true", "escape" -> "\"", "multiLine" -> "true"))
       : (Long, Long) = {
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      schema(name).fields.map(f => org.apache.spark.sql.types.StructField(
+        f.name, org.apache.spark.sql.types.StringType, nullable = true)))
+    quarantineSplit(name, quarantine,
+      spark.read.options(options).schema(rawSchema).csv(path))
+  }
+
+  /** Avro ingest with the same dead-letter contract as
+    * [[insertCsvQuarantine]]: the container decodes to STRING columns
+    * ([[AvroCodec.readAvroAsStrings]] — name-mapped, logical temporals
+    * rendered ISO), then the shared try_cast split routes unparseable
+    * rows to `quarantine` with a `_reason`. One decode, one snapshot,
+    * both sinks consistent.
+    */
+  def insertAvroQuarantine(
+      name: String, quarantine: String, path: String): (Long, Long) =
+    quarantineSplit(name, quarantine,
+      AvroCodec.readAvroAsStrings(spark, path, schema(name)))
+
+  /** The shared dead-letter split behind the CSV and Avro quarantine
+    * decoders: `raw` carries the target's columns AS STRINGS; rows whose
+    * cells all `try_cast` to the declared types insert into `name`, the
+    * rest land in `quarantine` untouched plus a `_reason` naming the
+    * failing columns. `raw` is persisted before either sink so both
+    * splits observe ONE snapshot and the decode runs once.
+    */
+  private def quarantineSplit(
+      name: String, quarantine: String,
+      raw0: DataFrame): (Long, Long) = {
     val target = schema(name)
     val qSchema = schema(quarantine)
     require(
@@ -838,10 +882,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           f.dataType == org.apache.spark.sql.types.StringType),
       s"quarantine table '$quarantine' must carry ${name}'s columns as " +
         "strings plus a _reason string column")
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      target.fields.map(f => org.apache.spark.sql.types.StructField(
-        f.name, org.apache.spark.sql.types.StringType, nullable = true)))
-    val raw = spark.read.options(options).schema(rawSchema).csv(path)
+    val raw = raw0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def tryCast(f: org.apache.spark.sql.types.StructField) =
       expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
@@ -872,6 +913,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val raw = spark.read.schema(schema(name)).orc(path)
     insert(name, preprocess(raw))
   }
+
+  /** Ingest Avro container files ([[AvroCodec.readAvro]] — Avro core, no
+    * spark-avro module needed): self-describing like ORC, so columns map
+    * by NAME; logical timestamp/date types land as Spark temporals.
+    * Storage inside the catalog stays parquet.
+    */
+  def insertAvro(name: String, path: String,
+      preprocess: DataFrame => DataFrame = identity): Long =
+    insert(name, preprocess(AvroCodec.readAvro(spark, path, schema(name))))
 
   /** Compact a table's data files to `targetFiles` per partition (the
     * OPTIMIZE / small-files lifecycle op: streaming and per-batch inserts

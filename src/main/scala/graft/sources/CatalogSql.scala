@@ -37,8 +37,58 @@ object CatalogSql {
     """(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?\s*$""".r
   private val Insert =
     """(?is)^INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
-  private val ReplaceWhere =
-    """(?is)^INSERT\s+INTO\s+(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+  private val ReplaceWherePrefix =
+    """(?is)^INSERT\s+INTO\s+(\w+)\s+REPLACE\s+WHERE\s+(.+)$""".r
+
+  private val SourceKeywords = Seq("SELECT", "VALUES", "WITH", "TABLE")
+
+  /** Index of the first source-query keyword (SELECT/VALUES/WITH/TABLE)
+    * at TOP level — outside single-quoted literals and parentheses, on
+    * word boundaries — or -1. A bare lazy-regex split would truncate a
+    * condition carrying a keyword inside a string literal
+    * (`note = 'handle WITH care' SELECT …`).
+    */
+  private def topLevelSourceStart(s: String): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (ch == '\'') inStr = true
+      else if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      else if (depth == 0 && ch.isLetter) {
+        val leftOk = i == 0 || {
+          val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_'
+        }
+        if (leftOk && SourceKeywords.exists { k =>
+          i + k.length <= s.length &&
+            s.regionMatches(true, i, k, 0, k.length) &&
+            (i + k.length == s.length || {
+              val n = s.charAt(i + k.length); !n.isLetterOrDigit && n != '_'
+            })
+        }) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** `INSERT INTO t REPLACE WHERE <cond> <SELECT|VALUES|WITH|TABLE …>` —
+    * the cond/source boundary comes from [[topLevelSourceStart]]'s
+    * quote- and paren-aware scan, so string literals and subqueries
+    * inside the condition can carry source keywords safely.
+    */
+  private object ReplaceWhere {
+    def unapply(stmt: String): Option[(String, String, String)] = stmt match {
+      case ReplaceWherePrefix(t, rest) =>
+        val i = topLevelSourceStart(rest)
+        if (i <= 0) None
+        else Some((t, rest.substring(0, i).trim, rest.substring(i).trim))
+      case _ => None
+    }
+  }
   private val Delete =
     """(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$""".r
   private val Merge =
@@ -313,13 +363,29 @@ object CatalogSql {
     * (`2026-08-15T00:00:00Z`) or the SQL `yyyy-MM-dd HH:mm:ss[.fff]`
     * form, interpreted as UTC (the engine's session timezone).
     */
-  private def parseTravelTs(s: String): java.time.Instant =
-    try java.time.Instant.parse(s.trim)
+  private def parseTravelTs(s: String): java.time.Instant = {
+    val t = s.trim
+    try java.time.Instant.parse(t)
     catch {
       case _: java.time.format.DateTimeParseException =>
-        java.time.LocalDateTime.parse(
-          s.trim.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC)
+        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            // bare DATE literal (Delta accepts it): midnight UTC
+            try java.time.LocalDate.parse(t).atStartOfDay
+              .toInstant(java.time.ZoneOffset.UTC)
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"cannot parse TIMESTAMP AS OF '$t' — accepted forms: " +
+                    "ISO-8601 instant (2026-08-15T00:00:00Z), " +
+                    "'yyyy-MM-dd HH:mm:ss[.fff]' (UTC), or 'yyyy-MM-dd' " +
+                    "(midnight UTC)")
+            }
+        }
     }
+  }
 
   /** Rewrite `<table> TIMESTAMP AS OF '<ts>'` to a view over the latest
     * commit ≤ ts ([[Catalog.tableAsOf]]). The literal itself is quoted,
@@ -608,18 +674,21 @@ object CatalogSql {
           .toDF("name", "definition")
       case CopyInto(t, path, fmt, quarantine) =>
         val fmtName = Option(fmt).map(_.toLowerCase).getOrElse("parquet")
-        require(quarantine == null || fmtName == "csv",
-          s"WITH QUARANTINE is a csv-decoder clause, got format $fmtName")
+        require(quarantine == null || fmtName == "csv" || fmtName == "avro",
+          s"WITH QUARANTINE is a csv/avro-decoder clause, got format $fmtName")
         val n = fmtName match {
           case "csv" if quarantine != null =>
             cat.insertCsvQuarantine(t, quarantine, path)._1
           case "csv" => cat.insertCsv(t, path)
           case "json" => cat.insertJson(t, path)
           case "orc" => cat.insertOrc(t, path)
+          case "avro" if quarantine != null =>
+            cat.insertAvroQuarantine(t, quarantine, path)._1
+          case "avro" => cat.insertAvro(t, path)
           case "parquet" =>
             cat.insert(t, spark.read.schema(cat.schema(t)).parquet(path))
           case other => throw new IllegalArgumentException(
-            s"COPY INTO format must be csv/json/orc/parquet, got $other")
+            s"COPY INTO format must be csv/json/orc/avro/parquet, got $other")
         }
         status(spark, "copy_into", t, n)
       case CopyTo(t, path, fmt) =>

@@ -88,4 +88,19 @@ object ModelStore {
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toSeq
+
+  /** Write a learned unigram-LM piece table `(piece, usage, lp)` — the
+    * SentencePiece-style tokenizer model artifact, the unigram sibling of
+    * [[saveMerges]].
+    */
+  def saveUnigram(spark: SparkSession, dir: String,
+      vocab: org.apache.spark.sql.DataFrame): Unit =
+    vocab.select(col("piece"), col("usage"), col("lp"))
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/unigram")
+
+  /** Load [[saveUnigram]]'s piece table back as a DataFrame (stays
+    * distributed — the encode side joins it, never collects it).
+    */
+  def loadUnigram(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$dir/unigram").select("piece", "usage", "lp")
 }

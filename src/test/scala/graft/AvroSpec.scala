@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{AvroCodec, Catalog, CatalogSql}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Avro container ingest/export (AvroCodec — Avro core, no spark-avro
+  * module): typed round-trips including temporals, arrays, nested
+  * structs and nulls; name-mapped decode against a reordered/narrower
+  * target; the dead-letter quarantine split; and the COPY INTO surface.
+  */
+class AvroSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft_avro_").toString
+
+  test("typed round-trip: scalars, timestamp, date, array, struct, nulls") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("flag", BooleanType),
+      StructField("ts", TimestampType),
+      StructField("d", DateType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("nested", StructType(Seq(
+        StructField("x", IntegerType), StructField("y", StringType))))))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true,
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"),
+        java.sql.Date.valueOf("2024-03-01"), Seq("a", "b"), Row(7, "in")),
+      Row(2L, null, null, false, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp()
+    AvroCodec.writeAvro(df, dir)
+    val back = AvroCodec.readAvro(spark, dir, schema)
+    assert(back.schema == schema ||
+      back.schema.fieldNames.sameElements(schema.fieldNames))
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a == b)
+    // timestamp survives to the microsecond
+    assert(b.head.getTimestamp(4).getTime == a.head.getTimestamp(4).getTime)
+  }
+
+  test("name-mapped decode: reordered + narrower target, missing col null") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "s", "v")
+    val dir = tmp()
+    AvroCodec.writeAvro(df, dir)
+    // target reorders, drops v, and asks for a column the file lacks
+    val target = StructType(Seq(
+      StructField("s", StringType), StructField("id", LongType),
+      StructField("absent", StringType)))
+    val back = AvroCodec.readAvro(spark, dir, target).orderBy("id").collect()
+    assert(back.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("x", 1L, null), ("y", 2L, null)))
+  }
+
+  test("catalog insertAvro round-trips the documents fixture exactly") {
+    val cat = new Catalog(spark, tmp())
+    val docs = Tables.documents(spark, sf0001)
+    val dir = tmp()
+    AvroCodec.writeAvro(docs, dir)
+    cat.create("d_avro", docs.schema)
+    val n = cat.insertAvro("d_avro", dir)
+    assert(n == docs.count())
+    val fp = (df: org.apache.spark.sql.DataFrame) => df.agg(
+      sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L))
+      .head().getLong(0)
+    assert(fp(cat.table("d_avro")) == fp(docs))
+  }
+
+  test("avro quarantine: unparseable cells dead-letter with _reason") {
+    import spark.implicits._
+    val cat = new Catalog(spark, tmp())
+    cat.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType))))
+    cat.create("t_dead", StructType(Seq(
+      StructField("id", StringType), StructField("n", StringType),
+      StructField("_reason", StringType))))
+    // the staged avro declares n as STRING — two rows carry non-numeric n
+    val dirty = Seq(("1", "10"), ("2", "bad2"), ("3", "30"), ("4", "x4"))
+      .toDF("id", "n")
+    val dir = tmp()
+    AvroCodec.writeAvro(dirty, dir)
+    val (good, bad) = cat.insertAvroQuarantine("t", "t_dead", dir)
+    assert(good == 2 && bad == 2)
+    assert(cat.table("t").agg(sum("n")).head().getLong(0) == 40L)
+    val dead = cat.table("t_dead").orderBy("id").collect()
+    assert(dead.map(_.getString(1)).toSeq == Seq("bad2", "x4"))
+    assert(dead.forall(_.getString(2) == "n"))
+  }
+
+  test("COPY INTO ... FORMAT avro through the SQL surface") {
+    val cat = new Catalog(spark, tmp())
+    val docs = Tables.documents(spark, sf0001)
+    val dir = tmp()
+    AvroCodec.writeAvro(docs.select("doc_id", "lang"), dir)
+    CatalogSql.exec(spark, cat,
+      "CREATE TABLE dl (doc_id BIGINT, lang STRING)")
+    val st = CatalogSql.exec(spark, cat,
+      s"COPY INTO dl FROM '$dir' FORMAT avro").collect()
+    assert(st.head.getLong(st.head.fieldIndex("rows")) == docs.count())
+    assert(cat.table("dl").count() == docs.count())
+  }
+}

@@ -209,6 +209,26 @@ class KernelPropertySpec extends SparkSpec {
     assert(pairs.forall(bi.contains), "every generated transition must be a corpus bigram")
   }
 
+  test("unigram tokenizer: segmentations re-join to their words, model prunes") {
+    val vocab = SparkEntry.queries("unigram_train")(spark, sf0001).collect()
+    // every single char of the word table survives pruning; multi-char ≤ 24
+    assert(vocab.count(_.getLong(1) > 1) <= 24)
+    assert(vocab.forall(_.getLong(3) < 0L), "logprobs are negative micros")
+    val enc = SparkEntry.queries("unigram_encode")(spark, sf0001).collect()
+    // the tokenization is a true segmentation: pieces concatenate back
+    enc.foreach { r =>
+      assert(r.getString(2).replace("|", "") == r.getString(0),
+        s"pieces must re-join to the word: $r")
+      assert(r.getString(2).split("[|]").length == r.getLong(1))
+    }
+    // every emitted piece is in the trained vocabulary
+    val pieces = vocab.map(_.getString(0)).toSet
+    assert(enc.flatMap(_.getString(2).split("[|]")).forall(pieces.contains))
+    // served path is byte-identical to the trained path
+    val served = SparkEntry.queries("unigram_encode_served")(spark, sf0001).collect()
+    assert(enc.map(_.toSeq).toSeq == served.map(_.toSeq).toSeq)
+  }
+
   test("langid_confusion: cells partition the corpus, row rates sum to ~1e6 per true lang") {
     val cells = SparkEntry.queries("langid_confusion")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -61,6 +61,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("fresh stats SUPPRESS a dangerous broadcast: small on disk, big decoded") {
+    val cat = new graft.sources.Catalog(
+      spark, graft.operators.CatalogOps.tempWarehouse())
+    import org.apache.spark.sql.types._
+    cat.create("dimc", StructType(Seq(
+      StructField("k", LongType), StructField("pad", StringType))))
+    // 5000 identical 100-char strings: parquet dictionary-encodes this to
+    // ~a few KiB on disk, but the decoded footprint is ~5000 × 120 B
+    cat.insert("dimc", spark.range(5000)
+      .selectExpr("id AS k", "repeat('a', 100) AS pad"))
+    val fact = spark.range(20000).selectExpr("id % 5000 AS k", "id AS v")
+    def joinPlan() = fact.join(cat.table("dimc"), "k")
+      .queryExecution.sparkPlan.toString
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold between the on-disk bytes (under — the file-size
+      // heuristic says broadcast) and the decoded estimate (over — the
+      // executor-memory truth says don't)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "200000")
+      assert(joinPlan().contains("BroadcastHashJoin"),
+        "without stats, the compressed on-disk size mis-plans a broadcast")
+      cat.analyze("dimc")
+      assert(!joinPlan().contains("BroadcastHashJoin"),
+        "fresh stats must veto the OOM-shaped broadcast (merge hint)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("semi/anti joins compile to semi/anti physical joins") {
     val semi = SparkEntry.queries("q_semi_join")(spark, sf0001)
     assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
