@@ -63,7 +63,8 @@ object Bench {
       // this collapses 32 near-empty reducers into a few right-sized ones
       // (fixed task overhead dominates small shuffles); at 100 TB the same
       // rule yields full parallelism because partitions are byte-bound.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -36,6 +36,11 @@ object Verify {
           dir.listFiles().foreach(_.delete()); dir.delete()
         }
       }
+      // drop whatever the query pinned (localCheckpoints of iterative
+      // pipelines): 250+ queries in one session would otherwise
+      // accumulate block-manager state for the whole dump
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -161,22 +161,33 @@ object TextOps {
       a: String, b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ks = keys.map(col)
-    val wByPos = Window.partitionBy(ks: _*).orderBy("pos")
-    val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
+    val w = Window.partitionBy(ks: _*).orderBy("pos")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // every window here shares ONE partitioning (the keys) and ONE sort
+    // (pos), so a whole merge round is a single exchange-free window
+    // stage over whatever distribution the input already carries. The
+    // overlap bookkeeping (occurrences overlap only as consecutive
+    // positions, possible only when left == right, e.g. "aaa" under
+    // (a,a)) is restated as running aggregates: a run's start is an occ
+    // row whose predecessor is not occ, and greedy left-to-right keeps
+    // every other position within the run — no (keys, occ) or
+    // (keys, island) re-shuffle exists anymore (the previous three-window
+    // form re-exchanged per round; ×6 rounds it dominated the encode).
+    val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(w))
     val occ = paired.withColumn("occ",
       coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
-    val wOcc = Window.partitionBy(ks :+ col("occ"): _*).orderBy("pos")
-    val isl = occ.withColumn("isl",
-      when(col("occ"), col("pos") - row_number().over(wOcc)))
-    val wIsl = Window.partitionBy(ks :+ col("isl"): _*).orderBy("pos")
-    val kept = isl.withColumn("kept",
-      col("occ") && row_number().over(wIsl) % 2 === 1)
-    val dropped = kept.withColumn("pk",
-      lag(col("kept"), 1, false).over(wByPos))
+    val runs = occ
+      .withColumn("rs",
+        col("occ") && !coalesce(lag(col("occ"), 1).over(w), lit(false)))
+      .withColumn("rs_pos",
+        last(when(col("rs"), col("pos")), ignoreNulls = true).over(wRun))
+    val kept = runs.withColumn("kept",
+      col("occ") && (col("pos") - col("rs_pos")) % 2 === 0)
+    val dropped = kept.withColumn("pk", lag(col("kept"), 1, false).over(w))
     val carried = syms.columns.filterNot(c => c == "pos" || c == "sym").map(col)
     dropped.filter(!col("pk"))
       .select(carried ++ Seq(
-        row_number().over(wByPos).cast("long").as("pos"),
+        row_number().over(w).cast("long").as("pos"),
         when(col("kept"), lit(a + b)).otherwise(col("sym")).as("sym")): _*)
   }
 
@@ -212,6 +223,13 @@ object TextOps {
       .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("p"))
       .select(col("word"), col("p").cast("long").as("pos"),
         expr("substring(word, p, 1)").as("sym"))
+      // pin the distribution ONCE: applyMerge's windows all require
+      // hash(word), the localCheckpoints preserve partitioning, so every
+      // merge round below runs n-way parallel with zero further
+      // exchanges (AQE would otherwise coalesce the few-MB symbol table
+      // to one partition and serialize all 6 rounds)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("word"))
       .localCheckpoint(true)
     for ((_, a, b, _) <- merges)
       syms = applyMerge(syms, Seq("word"), a, b).localCheckpoint(true)

@@ -710,11 +710,14 @@ object CatalogSql {
           case "orc" =>
             df.write.mode("overwrite").orc(path)
             spark.read.orc(path).count()
+          case "avro" =>
+            AvroCodec.writeAvro(df, path)
+            AvroCodec.readAvro(spark, path, df.schema).count()
           case "parquet" =>
             df.write.mode("overwrite").parquet(path)
             spark.read.parquet(path).count()
           case other => throw new IllegalArgumentException(
-            s"COPY TO format must be csv/json/orc/parquet, got $other")
+            s"COPY TO format must be csv/json/orc/avro/parquet, got $other")
         }
         status(spark, "copy_to", t, n)
       case Explain(mode, q) =>

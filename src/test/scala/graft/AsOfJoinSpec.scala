@@ -34,6 +34,17 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.asOf(leftDf, right, "k", "ts", "ts", Seq("pay"))
       .select(col("ltag"), col("asof.pay").as("pay")).collect()
     assert(out.forall(_.isNullAt(1)), "NULL-ts/key right rows leaked into matches")
+    // the same guarantee must hold in EVERY scan direction: a NULL-ts
+    // right row sorts first under both asc and desc_nulls_first orders,
+    // so without the drop it would be carried as a phantom match
+    for (dir <- Seq("forward", "nearest")) {
+      val o = AsOfJoin.asOf(leftDf,
+        right.filter(col("pay") =!= "late"), // keep only the poison rows
+        "k", "ts", "ts", Seq("pay"), direction = dir)
+        .select(col("ltag"), col("asof.pay").as("pay")).collect()
+      assert(o.forall(_.isNullAt(1)),
+        s"NULL-ts/key right rows leaked into $dir matches")
+    }
   }
 
   test("asOf preserves NULL-ts / NULL-key left rows with a NULL payload") {

@@ -107,5 +107,13 @@ class AvroSpec extends SparkSpec {
       s"COPY INTO dl FROM '$dir' FORMAT avro").collect()
     assert(st.head.getLong(st.head.fieldIndex("rows")) == docs.count())
     assert(cat.table("dl").count() == docs.count())
+    // and back out: COPY ... TO ... FORMAT avro round-trips
+    val out = tmp()
+    val st2 = CatalogSql.exec(spark, cat,
+      s"COPY dl TO '$out/export' FORMAT avro").collect()
+    assert(st2.head.getLong(st2.head.fieldIndex("rows")) == docs.count())
+    val back = AvroCodec.readAvro(spark, s"$out/export",
+      cat.table("dl").schema)
+    assert(back.count() == docs.count())
   }
 }

@@ -756,4 +756,47 @@ class CatalogSqlSpec extends SparkSpec {
     CatalogSql.exec(spark, cat, "CREATE TABLE t3 (c BIGINT)")
     assert(cat.schema("t3").fieldNames.toSeq === Seq("c"))
   }
+
+  test("REPLACE WHERE condition may carry source keywords in literals/subqueries") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE rw (id BIGINT, note STRING)")
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO rw VALUES (1, 'handle WITH care'), (2, 'plain'), (3, 'select x')")
+    // a keyword INSIDE a string literal must not split the statement early
+    val st = CatalogSql.exec(spark, cat,
+      "INSERT INTO rw REPLACE WHERE note = 'handle WITH care' " +
+        "SELECT 10, 'replaced'").collect().head
+    assert(st.getString(0) === "replace_where")
+    val back = CatalogSql.exec(spark, cat,
+      "SELECT id, note FROM rw ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back === Seq((2L, "plain"), (3L, "select x"), (10L, "replaced")))
+    // a keyword inside a parenthesized subquery in the condition survives
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO rw REPLACE WHERE id IN (SELECT 2) VALUES (20, 'v')")
+    assert(CatalogSql.exec(spark, cat, "SELECT COUNT(*) FROM rw WHERE id = 2")
+      .collect().head.getLong(0) === 0L)
+  }
+
+  test("TIMESTAMP AS OF accepts a bare date; unparseable forms fail with guidance") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE tt AS SELECT 1 AS a")
+    // midnight-UTC date parse: predates the commit → loud "no retained
+    // version" (proving the literal PARSED), not a DateTimeParseException
+    val e1 = intercept[Exception] {
+      CatalogSql.exec(spark, cat,
+        "SELECT * FROM tt TIMESTAMP AS OF '2001-01-01'").collect()
+    }
+    assert(e1.getMessage.contains("no retained version"))
+    val e2 = intercept[IllegalArgumentException] {
+      CatalogSql.exec(spark, cat,
+        "SELECT * FROM tt TIMESTAMP AS OF 'not-a-time'").collect()
+    }
+    assert(e2.getMessage.contains("accepted forms"))
+    // a date at or after the commit resolves to the snapshot
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC).plusDays(1)
+    assert(CatalogSql.exec(spark, cat,
+      s"SELECT * FROM tt TIMESTAMP AS OF '$tomorrow'")
+      .collect().head.getInt(0) === 1)
+  }
 }
