@@ -276,8 +276,14 @@ object GraphOps {
     * aggregate runs on 8-byte keys. vs the previous SHUFFLE_HASH
     * self-join of the weighted membership (which shuffled both sides,
     * probed deg² candidates to keep deg²/2, and hash-aggregated a 2-col
-    * key): measured 11.7 s → 4.1 s at sf0.1 for the identical result.
-    * The final top-k is a TakeOrdered — no global sort.
+    * key): measured 11.7 s → 2.9 s at sf0.1 for the identical result
+    * (a join-based variant with the same explicit repartitions was also
+    * tried and lost at both scales: 5.4 s / 65 s). At the 10× tier the
+    * pair aggregate becomes shuffle-volume-bound (≈2.2 GB of packed
+    * pairs): 56 s at the session's fixed 32 shuffle partitions, 38 s
+    * when partitions scale 3× with the data — on a real cluster shuffle
+    * parallelism grows with input, so the fixed-core harness understates
+    * the scaling. The final top-k is a TakeOrdered — no global sort.
     */
   def resourceAllocationTopPairs(
       bip: org.apache.spark.sql.DataFrame,
