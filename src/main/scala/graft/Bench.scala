@@ -69,7 +69,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the invoking harness records only the tail of the
+    // combined output, and per-query WARN chatter (streaming's
+    // ResolveWriteToStream most of all) can push the final JSON line out
+    // of that window — which is exactly what blanked BENCH_r13's
+    // per-query map
+    spark.sparkContext.setLogLevel("ERROR")
     spark
   }
 
@@ -157,9 +162,10 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props("user.dir"), recordName),
       (json(results, round = false) + "\n").getBytes("UTF-8"))
-    // Compact headline line — sized to fit the harness's ~2000-char
-    // stdout tail window (full suite total; subset of per-query values).
-    println(json(results.filter(r => headline.contains(r._1)), round = true))
+    // stop FIRST, print LAST: shutdown-time log lines must not land after
+    // the compact headline line and push it out of the harness's
+    // ~2000-char tail window.
     spark.stop()
+    println(json(results.filter(r => headline.contains(r._1)), round = true))
   }
 }

@@ -1111,6 +1111,34 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- Avro WIRE parse (the kafka_wire_parse sibling for binary
+    // payloads): rows encoded as bare Avro binary datums — the shape of
+    // a schema-registry Kafka message value, no container framing — then
+    // decoded back through the name-mapped datum reader and profiled.
+    // The oracle computes the same profile from the fixture directly, so
+    // equality proves the encode→decode cycle is lossless; the decode is
+    // a per-partition streaming reader (decoder/record reuse, no driver
+    // hop) — the exact kernel a `from_avro`-style Kafka consumer runs ----
+    Q(
+      "avro_wire_parse",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS text_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val schemaJson = graft.sources.AvroCodec.writerSchemaJson(docs.schema)
+      val wire = graft.sources.AvroCodec.encodeDatum(docs)
+      graft.sources.AvroCodec.decodeDatum(wire, schemaJson, docs.schema)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(graft.functions.TextFunctions.tokenHash60(col("text")) % 1000003L)
+            .as("text_fp"))
+        .orderBy("lang")
+    },
+
     // ---- Z-order clustering + stats-based file pruning: rewrite events
     // clustered on the (user_id, value) Z-curve, then answer a 2-D box
     // query reading ONLY the files whose stats overlap the box

@@ -38,6 +38,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Contrastive hard-negative mining: per query vector, the top-k most
+    * similar corpus vectors whose LABEL DIFFERS from the query's — the
+    * negatives a contrastive trainer actually wants (similar but wrong).
+    * Unlike [[bruteForceTopK]] with a static pre-filter, the candidate
+    * predicate here is PER-QUERY (label ≠ this query's label), so it
+    * rides the join condition; the query batch broadcasts (model-sized)
+    * against one linear corpus scan, ranking is a per-query window —
+    * the filtered-ANN shape with a dynamic filter.
+    */
+  def hardNegativesTopK(
+      queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      label: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      col(label).as("qlab"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      col(label).as("clab"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("qlab") =!= col("clab"))
+      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("clab").cast("long").as("neg_label"), col("rank"), col("sim"))
+  }
+
   /** Element-wise mean vectors per cluster key (the "centroid table"). */
   def centroids(corpus: DataFrame, key: String, vec: String): DataFrame =
     corpus
@@ -1247,6 +1274,46 @@ object Similarity {
           emb.filter(col("label") % 2 === 0), "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim"), 6).as("sim_r"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- contrastive HARD-NEGATIVE mining: per query, the top-5 most
+    // similar vectors with a DIFFERENT label — "similar but wrong", the
+    // negatives a contrastive trainer wants. The label predicate is
+    // per-query (rides the join condition), distinguishing this from
+    // ann_topk_filtered's static pre-filter ----
+    Q(
+      "ann_hard_negatives",
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+        |             CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, label AS clab,
+        |        CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |px AS (SELECT query_id, neighbor_id, unnest(q.v) x, unnest(c.v) y
+        |       FROM q, c WHERE query_id <> neighbor_id AND qlab <> clab),
+        |dots AS (SELECT query_id, neighbor_id, SUM(x*y) AS dot
+        |         FROM px GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, SUM(x*x) AS n2
+        |          FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) x FROM embeddings)
+        |          GROUP BY 1),
+        |sims AS (SELECT query_id, neighbor_id,
+        |           dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS sim
+        |         FROM dots JOIN norms nq ON nq.vec_id = query_id
+        |                   JOIN norms nc ON nc.vec_id = neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+        |             ROUND(sim, 6) AS sim_r
+        |           FROM sims)
+        |SELECT r.query_id, r.neighbor_id,
+        |  CAST(e.label AS BIGINT) AS neg_label, r.rank, r.sim_r
+        |FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+        |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin,
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      hardNegativesTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", "label", 5)
+        .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+          col("rank"), round(col("sim"), 6).as("sim_r"))
         .orderBy("query_id", "rank")
     },
 

@@ -531,6 +531,48 @@ object TrainingData {
     val wtab = broadcast(
       weights.toSeq.toDF(source, "__w")
         .select(col(source), (col("__w") * totalTokenBudget).as("__quota")))
+    admitByQuota(df, source, id, tokens, wtab, buckets)
+      .select(col(id), col(source), col("n_tok"))
+  }
+
+  /** Temperature-weighted mixture (the multilingual-LM upsampling recipe
+    * — mBERT/XLM-R draw languages ∝ nᵅ with α < 1 so tail sources are
+    * over-represented relative to their raw share): per-source quotas
+    * derive from the DATA (quotaᵢ ∝ √nᵢ at the α = 0.5 default) instead
+    * of a declared weight table, then the same deterministic hash-ordered
+    * prefix admission as [[mixtureSample]]. √ is the one power IEEE 754
+    * guarantees correctly rounded, so the integer-micros quantization
+    * `FLOOR(√n·1e6 + 0.5)` is cross-engine exact and the whole quota
+    * arithmetic stays in BIGINT — hash-exact oracle replay. The size
+    * table is source-cardinality (model-sized, broadcast); everything
+    * else is [[mixtureSample]]'s bounded two-level cumsum.
+    */
+  def mixtureTemperatureSample(
+      df: DataFrame, source: String, id: String, tokens: Column,
+      totalTokenBudget: Long, buckets: Int = 4096): DataFrame = {
+    val sizes = df
+      .select(col(source), size(tokens).cast("long").as("__nt"))
+      .groupBy(source).agg(sum("__nt").as("__n"))
+      .withColumn("__s",
+        floor(sqrt(col("__n").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val stot = sizes.agg(sum("__s").as("__stot"))
+    val wtab = broadcast(sizes.crossJoin(broadcast(stot))
+      .select(col(source),
+        expr(s"__s * ${totalTokenBudget}L DIV __stot").as("__quota")))
+    admitByQuota(df, source, id, tokens, wtab, buckets)
+      .select(col(id), col(source), col("n_tok"),
+        col("__quota").as("src_quota"))
+  }
+
+  /** The shared admission core of the mixture samplers: keep, per
+    * source, documents in stable hash order while their START token
+    * offset is inside the source's quota (`quotas(source, __quota)` —
+    * model-sized, broadcast by the callers). Carries `__quota` through
+    * for callers that publish it.
+    */
+  private def admitByQuota(
+      df: DataFrame, source: String, id: String, tokens: Column,
+      quotas: DataFrame, buckets: Int): DataFrame = {
     val h = TextFunctions.tokenHash60(col(id).cast("string"))
     val base = df
       .select(col(id), col(source), tokens.as("__toks"), h.as("__h"))
@@ -547,9 +589,8 @@ object TrainingData {
     base.join(offsets, Seq(source, "__b"))
       .withColumn("__start",
         col("__off") + sum(col("n_tok")).over(wIn) - col("n_tok"))
-      .join(wtab, source)
+      .join(quotas, source)
       .filter(col("__start") < col("__quota"))
-      .select(col(id), col(source), col("n_tok"))
   }
 
   /** Repetition-aware corpus mixture — the data-constrained-LM recipe
@@ -1271,6 +1312,36 @@ object TrainingData {
       mixtureSample(
         Tables.documents(s, d), "source", "doc_id",
         TextFunctions.tokens(col("text")), weights, totalTokenBudget = 3000)
+        .orderBy("doc_id")
+    },
+
+    // ---- temperature mixture (α = 0.5): per-source quotas ∝ √(source
+    // tokens) — data-derived, no declared weight table; tail sources get
+    // over-represented exactly as the multilingual-LM recipe intends.
+    // √n quantizes to integer micros (IEEE correctly-rounded sqrt), so
+    // quota arithmetic is all-BIGINT and the oracle replays it exactly ----
+    Q(
+      "corpus_mixture_temperature",
+      """WITH t AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |sz AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n FROM t GROUP BY 1),
+        |sq AS (SELECT source,
+        |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s
+        |  FROM sz),
+        |st AS (SELECT CAST(SUM(s) AS BIGINT) AS stot FROM sq),
+        |qt AS (SELECT source, (s * 3000) // stot AS quota FROM sq CROSS JOIN st),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h % 4096, h, doc_id) - n_tok AS strt
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.n_tok, qt.quota AS src_quota
+        |FROM c JOIN qt USING (source) WHERE c.strt < qt.quota
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      mixtureTemperatureSample(
+        Tables.documents(s, d), "source", "doc_id",
+        TextFunctions.tokens(col("text")), totalTokenBudget = 3000)
         .orderBy("doc_id")
     },
 

@@ -97,6 +97,59 @@ object AvroCodec {
     }
   }
 
+  /** The Avro writer schema (JSON) this codec derives for a DataFrame —
+    * the artifact a wire producer/consumer pair shares out of band.
+    */
+  def writerSchemaJson(st: StructType, name: String = "wire"): String =
+    toAvroSchema(st, name).toString
+
+  /** Encode each row as a bare Avro BINARY DATUM (no container framing —
+    * the shape of a Kafka message value or any schema-registry payload):
+    * one `value BINARY` column out, schema shared via
+    * [[writerSchemaJson]]. Per-partition writer reuse; no driver hop.
+    */
+  def encodeDatum(df: DataFrame): DataFrame = {
+    val schemaJson = writerSchemaJson(df.schema)
+    val sparkSchema = df.schema
+    val rows = df.rdd.mapPartitions { it =>
+      val sch = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](sch)
+      val out = new java.io.ByteArrayOutputStream()
+      var enc: org.apache.avro.io.BinaryEncoder = null
+      it.map { r =>
+        out.reset()
+        enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, enc)
+        writer.write(toAvro(r, sparkSchema, sch), enc)
+        enc.flush()
+        Row(out.toByteArray)
+      }
+    }
+    df.sparkSession.createDataFrame(rows,
+      StructType(Seq(StructField("value", BinaryType, nullable = false))))
+  }
+
+  /** Decode a `value BINARY` column of bare Avro datums written under
+    * `writerSchemaJson` into rows of exactly `target` (fields matched by
+    * name, like the container path) — the consumer half of the wire
+    * shape. Per-partition reader + decoder reuse.
+    */
+  def decodeDatum(df: DataFrame, writerSchemaJson: String,
+      target: StructType): DataFrame = {
+    val rows = df.select("value").rdd.mapPartitions { it =>
+      val sch = new Schema.Parser().parse(writerSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](sch)
+      var dec: org.apache.avro.io.BinaryDecoder = null
+      var rec: GenericRecord = null
+      it.map { r =>
+        dec = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(r.getAs[Array[Byte]](0), dec)
+        rec = reader.read(rec, dec)
+        toRow(rec, target)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, target)
+  }
+
   // ---- Spark StructType → Avro schema ----
 
   private[sources] def toAvroSchema(st: StructType, name: String): Schema = {

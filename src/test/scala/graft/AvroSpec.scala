@@ -96,6 +96,25 @@ class AvroSpec extends SparkSpec {
     assert(dead.forall(_.getString(2) == "n"))
   }
 
+  test("wire datums: encode/decode round-trips, narrower reader target works") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 10L), (2L, null.asInstanceOf[String], 20L))
+      .toDF("id", "s", "v")
+    val schemaJson = AvroCodec.writerSchemaJson(df.schema)
+    val wire = AvroCodec.encodeDatum(df)
+    assert(wire.schema.fieldNames.toSeq == Seq("value"))
+    val back = AvroCodec.decodeDatum(wire, schemaJson, df.schema)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(back == df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // narrower + reordered consumer target: name-mapped, missing → null
+    val target = StructType(Seq(
+      StructField("v", LongType), StructField("id", LongType),
+      StructField("absent", StringType)))
+    val nar = AvroCodec.decodeDatum(wire, schemaJson, target)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+    assert(nar.toSeq == Seq((10L, 1L, null), (20L, 2L, null)))
+  }
+
   test("COPY INTO ... FORMAT avro through the SQL surface") {
     val cat = new Catalog(spark, tmp())
     val docs = Tables.documents(spark, sf0001)

@@ -287,7 +287,9 @@ class PlanSpec extends SparkSpec {
       "dq_chi2_independence", // 1-row grand-total scalar broadcast
       "basket_association_rules", // 1-row order-count scalar broadcast
       "dedup_minhash_calibration", // 32-row permutation-constant broadcast
-      "corpus_budget_select") // 1-row token-budget scalar broadcast
+      "corpus_budget_select", // 1-row token-budget scalar broadcast
+      "ann_hard_negatives", // query-batch broadcast, per-query label filter
+      "corpus_mixture_temperature") // 1-row Σ√n scalar broadcast
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

@@ -574,4 +574,51 @@ class TrainingDataSpec extends SparkSpec {
       assert(a === b2)
     } finally sel.unpersist()
   }
+
+  test("temperature mixture: quota share ∝ 1/√n — tail sources upsampled") {
+    val sel = SparkEntry.queries("corpus_mixture_temperature")(spark, sf0001)
+    val rows = sel.collect()
+    assert(rows.nonEmpty)
+    // every admitted doc starts inside its source quota by construction;
+    // check the published quota table is consistent: one quota per source
+    val quotas = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    // raw source sizes
+    val sizes = Tables.documents(spark, sf0001)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 0.5 property: RELATIVE share (quota/n) strictly decreases with
+    // size — the smallest source is upsampled vs the largest
+    val present = quotas.keys.toSeq
+    val small = present.minBy(sizes)
+    val big = present.maxBy(sizes)
+    assert(sizes(big) > sizes(small))
+    assert(quotas(small).toDouble / sizes(small) >
+      quotas(big).toDouble / sizes(big),
+      "temperature sampling must over-represent the tail source")
+    // quotas sum to ≤ the declared 3000-token budget (integer division
+    // truncates per source)
+    assert(quotas.values.sum <= 3000L)
+  }
+
+  test("hard negatives: every neighbor is similar-but-WRONG-label, k per query") {
+    val got = SparkEntry.queries("ann_hard_negatives")(spark, sf0001)
+    val rows = got.collect()
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exactly 5 per query, ranks contiguous, sims non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to 5L))
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      // the defining property: neighbor label ≠ query label, always
+      rs.foreach { r =>
+        assert(labels(r.getLong(1)).toLong == r.getLong(2))
+        assert(r.getLong(2) != labels(q).toLong,
+          s"hard negative must carry a different label: $r")
+      }
+    }
+  }
 }
