@@ -86,6 +86,34 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- OCC multi-writer commit: four writers insert disjoint slices
+    // CONCURRENTLY (real threads, real racing manifest commits — losers
+    // rebase on the new HEAD and retry, appends commute). Content must
+    // equal the serial schedule, which is exactly what the oracle
+    // computes; the linear version log is asserted in-query. ----
+    Q(
+      "catalog_concurrent_commit",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val cat = new Catalog(s, tempWarehouse())
+      val docs = Tables.documents(s, d)
+      cat.create("docs_occ", docs.schema)
+      val writers = (0 until 4).map { i =>
+        new Thread(() =>
+          cat.insert("docs_occ", docs.filter(col("doc_id") % 4 === i)))
+      }
+      writers.foreach(_.start()); writers.foreach(_.join())
+      require(cat.versions("docs_occ") == (1 to 4),
+        s"OCC log must be linear 1..4, got ${cat.versions("docs_occ")}")
+      cat.table("docs_occ")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    },
+
     // ---- the SQL-TEXT surface over the warehouse (CatalogSql): CTAS →
     // ALTER ADD COLUMN DEFAULT → ANSI MERGE (upsert-all) → DELETE →
     // INSERT INTO → SELECT, every step routed as a text statement (the
@@ -492,14 +520,22 @@ object CatalogOps {
       graft.sources.GraftSql.registerFixtures(s, d)
       val cat = new Catalog(s, tempWarehouse())
       def x(q: String) = graft.sources.CatalogSql.exec(s, cat, q)
-      def mustFail(q: String): Unit =
+      def mustFail(q: String): Unit = {
+        // the constraint probe ABORTS a Spark job by design; silence the
+        // scheduler's job-abort ERROR stack for just this window so bench
+        // and verify logs don't carry expected-failure noise
+        val root = org.apache.logging.log4j.LogManager.getRootLogger
+          .asInstanceOf[org.apache.logging.log4j.core.Logger]
+        val prevLevel = root.getLevel
+        s.sparkContext.setLogLevel("OFF")
         try {
           x(q).collect()
           throw new IllegalStateException(s"statement unexpectedly succeeded: $q")
         } catch {
           case e: IllegalStateException => throw e
           case _: Exception => () // the constraint fired; nothing committed
-        }
+        } finally s.sparkContext.setLogLevel(prevLevel.toString)
+      }
       x("""CREATE TABLE docs_ck (
           |  doc_id BIGINT NOT NULL, lang STRING NOT NULL, n_chars BIGINT,
           |  CHECK (n_chars >= 0))""".stripMargin)

@@ -271,8 +271,9 @@ object GraphOps {
     * Pair generation is INLINE, not a self-join: one shuffle groups the
     * capped membership into per-resource sorted arrays (≤ capDeg
     * entries), a codegen'd combination expression emits each i<j pair
-    * packed into ONE BIGINT (`a·2³² + b` — requires entity ids < 2³²,
-    * which the key-offset stress replicas respect), and the pair
+    * packed into ONE BIGINT (`a·2³² + b` — requires entity ids < 2³¹ so
+    * the unpack never touches the sign bit; the key-offset stress
+    * replicas respect this), and the pair
     * aggregate runs on 8-byte keys. vs the previous SHUFFLE_HASH
     * self-join of the weighted membership (which shuffled both sides,
     * probed deg² candidates to keep deg²/2, and hash-aggregated a 2-col
@@ -321,7 +322,10 @@ object GraphOps {
         col("pk"))
     pairs.groupBy("pk")
       .agg(count(lit(1)).as("n_common"), sum(col("w_mic")).as("ra_mic"))
-      .select(expr("shiftright(pk, 32)").as("cust_a"),
+      // shiftrightUNSIGNED: ids in [2^31, 2^32) would sign-extend under
+      // the arithmetic shift; unsigned unpack is correct for the full
+      // 32-bit range even though the documented bound is 2^31
+      .select(expr("shiftrightunsigned(pk, 32)").as("cust_a"),
         expr("pk & 4294967295").as("cust_b"),
         col("n_common"), col("ra_mic"))
       .orderBy(col("ra_mic").desc, col("cust_a"), col("cust_b"))

@@ -336,8 +336,8 @@ object TextOps {
     * the OTHER mainstream subword algorithm beside BPE), relationally:
     *   1. seed = char + top-`mTop` substring candidates with
     *      freq-weighted counts ([[unigramSeedVocab]]); seed logprobs are
-    *      integer micros `FLOOR(1e6·ln(c/N))` — one fixed-shape double
-    *      per piece, cross-engine stable;
+    *      integer micros `FLOOR(1e6·ln(c/N))` computed LIBM-FREE by
+    *      [[quantLnMicros]] — bit-identical cross-engine by construction;
     *   2. E-step: Viterbi segmentation of the vocabulary word table under
     *      the seed model ([[viterbiSegment]]);
     *   3. M-step + prune: piece usage = freq-weighted counts over the
@@ -350,6 +350,32 @@ object TextOps {
     * state is model-sized; the corpus is touched once building the word
     * table — the [[bpeTrain]] scale discipline.
     */
+  /** `FLOOR(1e6·ln(c/n))` as a SQL scalar with NO libm call, for the
+    * unigram lp quantization: the exponent comes from integer bit-length
+    * (`length(bin(n DIV c)) - 1`), the mantissa log from a fixed 9-term
+    * atanh series in plain IEEE `+ - * /` — every operation is
+    * correctly rounded and evaluated in the same order by Spark and
+    * DuckDB, so the two engines produce the SAME bits and the floor can
+    * never flip on a libm ulp (JVM `Math.log` and libm `log` are each
+    * only ~1-ulp accurate and may disagree; lp feeds the Viterbi argmax,
+    * which amplifies a 1-micro flip into a different segmentation).
+    * Truncation error vs true ln is < 2e-4 micro (|t| ≤ 1/3 since the
+    * reduced mantissa is in (1/2, 1]); requires `1 <= c <= n`.
+    */
+  private[graft] def quantLnMicros(c: String, n: String, duck: Boolean): String = {
+    val q = if (duck) s"(($n) // ($c))" else s"(($n) DIV ($c))"
+    val e = s"(length(bin($q)) - 1)"
+    val sh = if (duck) s"(($c) << $e)" else s"shiftleft(($c), $e)"
+    val m = s"(CAST($sh AS DOUBLE) / CAST(($n) AS DOUBLE))"
+    val t = s"(($m - 1.0) / ($m + 1.0))"
+    val t2 = s"($t * $t)"
+    val poly = s"(1.0 + $t2*((1.0/3.0) + $t2*((1.0/5.0) + $t2*((1.0/7.0) + " +
+      s"$t2*((1.0/9.0) + $t2*((1.0/11.0) + $t2*((1.0/13.0) + $t2*((1.0/15.0) + " +
+      s"$t2*(1.0/17.0)))))))))"
+    s"CAST(FLOOR(1000000.0 * (2.0 * $t * $poly - " +
+      s"CAST($e AS DOUBLE) * 0.6931471805599453)) AS BIGINT)"
+  }
+
   private[graft] def unigramTrain(docs: DataFrame, topN: Int,
       maxPieceLen: Int, mTop: Int, vTop: Int): (DataFrame, DataFrame) = {
     val words = bpeWords(docs, topN).localCheckpoint(true)
@@ -357,9 +383,7 @@ object TextOps {
     val n0 = seed.agg(sum("c").as("nn"))
     val vocab0 = seed.crossJoin(broadcast(n0))
       .select(col("piece"),
-        floor(lit(1000000.0) *
-          log(col("c").cast("double") / col("nn").cast("double")))
-          .cast("long").as("lp"))
+        expr(quantLnMicros("c", "nn", duck = false)).as("lp"))
       .localCheckpoint(true)
     val seg0 = viterbiSegment(words, vocab0, maxPieceLen)
     val usage = seg0
@@ -374,10 +398,7 @@ object TextOps {
     val tot2 = pruned.agg(sum("usage").as("n2"), count(lit(1)).as("v2"))
     val vocab1 = pruned.crossJoin(broadcast(tot2))
       .select(col("piece"), col("usage"),
-        floor(lit(1000000.0) *
-          log((col("usage") + 1).cast("double") /
-            (col("n2") + col("v2")).cast("double")))
-          .cast("long").as("lp"))
+        expr(quantLnMicros("(usage + 1)", "(n2 + v2)", duck = false)).as("lp"))
       .localCheckpoint(true)
     (vocab1, words)
   }
@@ -406,8 +427,7 @@ object TextOps {
        |      ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
        |    FROM cand WHERE length(piece) > 1) WHERE rk <= $mTop),
        |n0 AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM seed),
-       |v0 AS (SELECT piece, CAST(FLOOR(1000000.0 *
-       |    ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))) AS BIGINT) AS lp
+       |v0 AS (SELECT piece, ${quantLnMicros("c", "nn", duck = true)} AS lp
        |  FROM seed CROSS JOIN n0),
        |p0(word, pos, score, n, toks) AS (
        |  SELECT word, 0, CAST(0 AS BIGINT), 0, '' FROM w
@@ -430,8 +450,8 @@ object TextOps {
        |    FROM us WHERE length(piece) > 1) WHERE rk <= $vTop),
        |n2 AS (SELECT CAST(SUM(usage) AS BIGINT) AS nn,
        |    CAST(COUNT(*) AS BIGINT) AS vv FROM pr),
-       |v1 AS (SELECT piece, usage, CAST(FLOOR(1000000.0 *
-       |    ln(CAST(usage + 1 AS DOUBLE) / CAST(nn + vv AS DOUBLE))) AS BIGINT) AS lp
+       |v1 AS (SELECT piece, usage,
+       |    ${quantLnMicros("(usage + 1)", "(nn + vv)", duck = true)} AS lp
        |  FROM pr CROSS JOIN n2),
        |p1(word, pos, score, n, toks) AS (
        |  SELECT word, 0, CAST(0 AS BIGINT), 0, '' FROM w

@@ -174,6 +174,8 @@ object AvroCodec {
     case BinaryType => Schema.create(Schema.Type.BYTES)
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType => // wall-clock stamp, no zone: local-timestamp-micros
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType =>
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case ArrayType(et, containsNull) =>
@@ -214,6 +216,8 @@ object AvroCodec {
     case ts: java.sql.Timestamp => Long.box(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
     case ts: java.time.Instant =>
       Long.box(ts.getEpochSecond * 1000000L + ts.getNano / 1000)
+    case ldt: java.time.LocalDateTime => // TimestampNTZ: micros from the local epoch
+      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000)
     case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
     case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
     case b: Array[Byte] => ByteBuffer.wrap(b)
@@ -260,6 +264,18 @@ object AvroCodec {
         }
         java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
           micros, java.time.temporal.ChronoUnit.MICROS))
+      case TimestampNTZType =>
+        val micros = sch.getLogicalType match {
+          case _: LogicalTypes.LocalTimestampMillis =>
+            v.asInstanceOf[Number].longValue() * 1000L
+          case _: LogicalTypes.TimestampMillis =>
+            v.asInstanceOf[Number].longValue() * 1000L
+          case _ => v.asInstanceOf[Number].longValue() // local/instant micros
+        }
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
       case DateType =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
           v.asInstanceOf[Number].longValue()))
@@ -292,6 +308,18 @@ object AvroCodec {
             java.time.temporal.ChronoUnit.MICROS).toString
         case _: LogicalTypes.TimestampMillis =>
           java.time.Instant.ofEpochMilli(v.asInstanceOf[Number].longValue()).toString
+        case _: LogicalTypes.LocalTimestampMicros => // ISO local form, no zone suffix
+          val micros = v.asInstanceOf[Number].longValue()
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).toString
+        case _: LogicalTypes.LocalTimestampMillis =>
+          val millis = v.asInstanceOf[Number].longValue()
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(millis, 1000L),
+            (Math.floorMod(millis, 1000L) * 1000000L).toInt,
+            java.time.ZoneOffset.UTC).toString
         case _: LogicalTypes.Date =>
           java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString
         case _ => v match {

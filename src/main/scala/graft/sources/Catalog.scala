@@ -439,7 +439,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def insert(name: String, df: DataFrame): Long = {
     val added = stageIn(name, projectToPhysical(name, df))
-    commitVersion(name, "insert", manifest(name, currentVersion(name)) ++ added)
+    // appends commute: commit under OCC retry so concurrent writers both
+    // land (serializable — the log stays linear, content order-free)
+    commitAppend(name, "insert", added)
     if (added.isEmpty) 0L
     else parquetRowCount(added.map(rel => dataDir(name).resolve(rel)))
   }
@@ -500,8 +502,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * vacuumed). Returns the new version number.
     */
   def restoreVersion(name: String, v: Int): Int = {
+    val base = currentVersion(name)
     val files = manifest(name, v) // loud require if v was vacuumed/never existed
-    commitVersion(name, s"restore v$v", files)
+    commitVersionAt(name, base, s"restore v$v", files)
   }
 
   /** Shallow CLONE (Delta/Iceberg `CREATE TABLE ... CLONE` semantics):
@@ -594,35 +597,101 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * new version fully live. No reader ever observes a partial mutation —
     * the discipline that replaces the pre-manifest `.bak` swap dance.
     */
-  private def commitVersion(name: String, op: String, files: Seq[String]): Int = {
+  private def commitVersion(name: String, op: String, files: Seq[String]): Int =
+    commitVersionAt(name, currentVersion(name), op, files)
+
+  /** Commit `files` as the child of snapshot `base` — the serializable
+    * rewrite-op commit: `base` is the version the operation READ its
+    * file list from (pinned at the operation's first state access), so
+    * if any other writer committed base+1 in the meantime the
+    * fail-if-exists link detects it and the operation aborts LOUDLY
+    * instead of silently clobbering the concurrent change (the
+    * lost-update window the old commit-time `currentVersion+1` left
+    * open). Appends don't need this — they rebase via [[commitAppend]].
+    */
+  private[graft] def commitVersionAt(
+      name: String, base: Int, op: String, files: Seq[String]): Int = {
+    val v = base + 1
+    if (!tryCommitAt(name, v, op, files))
+      throw new IllegalStateException(
+        s"concurrent commit detected for $name v$v — another writer advanced " +
+          "the log past the base this operation read (its file list rewrites " +
+          "a stale snapshot and cannot rebase)")
+    v
+  }
+
+  /** Attempt to publish manifest `v` atomically, failing (false) if a
+    * concurrent writer already claimed that version number. The commit
+    * point is `link(2)` — `Files.createLink` — which atomically fails
+    * with [[java.nio.file.FileAlreadyExistsException]] when the target
+    * exists, unlike POSIX rename (which silently REPLACES and would make
+    * a lost-update race invisible). This is the same fail-if-exists
+    * discipline Delta's LogStore requires of its `write(..., overwrite =
+    * false)` commits.
+    */
+  private def tryCommitAt(
+      name: String, v: Int, op: String, files: Seq[String]): Boolean = {
     Files.createDirectories(versionsDir(name))
-    val v = currentVersion(name) + 1
-    val tmp = versionsDir(name).resolve(s".v$v.tmp")
+    // writer-unique staging name: two concurrent writers must not clobber
+    // each other's tmp while racing for the same version slot
+    val tmp = versionsDir(name).resolve(
+      s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.writeString(tmp, (s"# $op" +: files.sorted).mkString("\n"))
-    // optimistic single-writer check: POSIX rename REPLACES an existing
-    // target, so a lost-update race would otherwise be silent. (A real
-    // multi-writer deployment would commit via link(2)-style
-    // fail-if-exists — this guard turns the common race loud.)
-    require(!Files.exists(manifestPath(name, v)),
-      s"concurrent commit detected for $name v$v — another writer advanced the log")
-    Files.move(tmp, manifestPath(name, v),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val won =
+      try { Files.createLink(manifestPath(name, v), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    Files.deleteIfExists(tmp)
+    if (won) nudgeMtime(name, v)
+    won
+  }
+
+  /** Optimistic-concurrency APPEND commit (Delta's conflict-resolution
+    * shape for blind appends): stage-once, then retry the manifest commit
+    * against whatever HEAD is current — an insert's file list is
+    * `HEAD ++ added`, and since appends only ADD files they commute with
+    * any concurrent committed operation, so the rebase is always just
+    * re-reading HEAD. Bounded retries turn pathological contention loud
+    * instead of livelocking. Rewrite ops (delete/merge/compact) do NOT
+    * get this path: their file lists are diffs against a specific base
+    * snapshot and a concurrent commit invalidates them — they abort via
+    * [[commitVersion]]'s fail-if-exists.
+    */
+  private def commitAppend(
+      name: String, op: String, added: Seq[String], maxRetries: Int = 24): Int = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(name) + 1
+      if (tryCommitAt(name, v, op, manifest(name, v - 1) ++ added)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"append commit to $name failed after $maxRetries OCC retries — " +
+        "pathological writer contention")
+  }
+
+  /** Commit-time mtime monotonicity (see body comment). */
+  private def nudgeMtime(name: String, v: Int): Unit = {
     // Commit-time monotonicity (Delta's "timestamps out of order"
     // adjustment, delta-io/delta DeltaHistoryManager): TIMESTAMP AS OF
     // resolves by manifest mtime, so on filesystems with coarse mtime
     // granularity (1 s is common) two rapid commits could stamp EQUAL
     // times, making the boundary between them unaddressable. If the new
     // manifest's mtime is not strictly after its predecessor's, nudge it
-    // 1 ms past it — the log's time axis stays strictly increasing.
+    // past it — and READ THE RESULT BACK: on filesystems with coarse
+    // mtime granularity a +1 ms nudge can truncate straight back to the
+    // predecessor's second, so escalate (1 ms → 1 s → 2 s …) until the
+    // stored value is strictly greater, mirroring Delta's loop.
     val prev = manifestPath(name, v - 1)
     if (Files.exists(prev)) {
       val prevT = Files.getLastModifiedTime(prev).toInstant
       val curP = manifestPath(name, v)
-      if (!Files.getLastModifiedTime(curP).toInstant.isAfter(prevT))
+      var bumpMs = 1L
+      while (!Files.getLastModifiedTime(curP).toInstant.isAfter(prevT)) {
         Files.setLastModifiedTime(curP,
-          java.nio.file.attribute.FileTime.from(prevT.plusMillis(1)))
+          java.nio.file.attribute.FileTime.from(prevT.plusMillis(bumpMs)))
+        bumpMs = if (bumpMs < 1000L) 1000L else bumpMs + 1000L
+      }
     }
-    v
   }
 
   /** Stage a physical write under `<data>.stage_tmp`, then move the data
@@ -635,7 +704,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def stageIn(name: String, projected: DataFrame): Seq[String] = {
     val dir = dataDir(name)
     Files.createDirectories(dir)
-    val staged = Paths.get(dir.toString + ".stage_tmp")
+    // writer-unique staging dir: concurrent OCC appends must not clobber
+    // each other's staged files before their commits race for the log
+    val staged = Paths.get(dir.toString + ".stage_tmp_" +
+      java.util.UUID.randomUUID().toString.take(8))
     deleteRecursively(staged)
     writeData(name, projected, staged.toString, SaveMode.Overwrite)
     val moved = walkAll(staged)
@@ -680,6 +752,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .filter(d => d != dir && listDir(d).isEmpty)
       .foreach(Files.delete)
     vs.dropRight(keep).foreach(v => Files.deleteIfExists(manifestPath(name, v)))
+    // crash-orphaned staging dirs (writer-unique names don't self-clean
+    // the way the old fixed .stage_tmp did) — vacuum is the reclaim API
+    listDir(dir.getParent)
+      .filter(_.getFileName.toString.startsWith(dir.getFileName.toString + ".stage_tmp"))
+      .foreach(deleteRecursively)
   }
 
   /** Age-based retention (`VACUUM t RETAIN <n> HOURS`, the Delta-style
@@ -932,15 +1009,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * Partitioned tables keep their Hive layout, compacted per partition.
     */
   def compact(name: String, targetFiles: Int = 1): Unit = {
+    val base = currentVersion(name)
     // a created-but-never-inserted table has nothing to compact
-    if (manifest(name, currentVersion(name)).isEmpty) return
+    if (manifest(name, base).isEmpty) return
     // compact rewrites the PHYSICAL bytes as-is (no default coalescing):
     // a pre-addColumn file's nulls stay nulls on disk, so compaction never
     // bakes read-time defaults into data files. The new manifest lists
     // ONLY the compacted files; the old fragments stay on disk for time
     // travel until a vacuum reclaims them.
     val added = stageIn(name, rawData(name).repartition(targetFiles))
-    commitVersion(name, "compact", added)
+    commitVersionAt(name, base, "compact", added)
   }
 
   /** Partition-scoped OPTIMIZE (`OPTIMIZE t WHERE <pred>`): compact ONLY
@@ -956,7 +1034,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def compactWhere(name: String, condition: org.apache.spark.sql.Column,
       targetFiles: Int = 1): Unit = {
-    if (manifest(name, currentVersion(name)).isEmpty) return
+    val base = currentVersion(name)
+    if (manifest(name, base).isEmpty) return
     val perFile = collectBounded("compactWhere", name,
       logicalWithFile(name).filter(condition)
         .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
@@ -964,8 +1043,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val affected = perFile.map(_.getString(0)).toSeq.sorted
     val added = stageIn(name, rawOverFiles(name, affected)
       .repartition(targetFiles))
-    commitVersion(name, "compact_where",
-      manifest(name, currentVersion(name))
+    commitVersionAt(name, base, "compact_where",
+      manifest(name, base)
         .diff(relativize(name, affected)) ++ added)
   }
 
@@ -981,7 +1060,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * for time travel until vacuum.
     */
   def compactZOrder(name: String, zcols: Seq[String], targetFiles: Int = 8): Unit = {
-    if (manifest(name, currentVersion(name)).isEmpty) return
+    val base = currentVersion(name)
+    if (manifest(name, base).isEmpty) return
     require(zcols.nonEmpty, "ZORDER BY needs at least one column")
     val s = schema(name)
     val phys = zcols.map { c =>
@@ -1008,7 +1088,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z"))
-    commitVersion(name, s"zorder(${zcols.mkString(",")})", added)
+    commitVersionAt(name, base, s"zorder(${zcols.mkString(",")})", added)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -1260,10 +1340,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val p = partitionColumn(name)
       .getOrElse(throw new IllegalArgumentException(s"table $name is not partitioned"))
     val prefix = s"$p=$value/"
-    val cur = manifest(name, currentVersion(name))
+    val base = currentVersion(name)
+    val cur = manifest(name, base)
     val remaining = cur.filterNot(_.startsWith(prefix))
     if (remaining.size != cur.size)
-      commitVersion(name, s"deletePartition $p=$value", remaining)
+      commitVersionAt(name, base, s"deletePartition $p=$value", remaining)
   }
 
   /** Drop table + data. */
@@ -1353,7 +1434,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * `.bak` copy, never silent loss.
     */
   def deleteRows(name: String, condition: org.apache.spark.sql.Column): Long = {
-    if (manifest(name, currentVersion(name)).isEmpty) return 0L
+    val base = currentVersion(name)
+    if (manifest(name, base).isEmpty) return 0L
     // manifest pass: affected files + per-file matched-row counts in ONE
     // job; driver retrieval bounded by graft.dml.maxAffectedFiles
     val perFile = collectBounded("deleteRows", name,
@@ -1364,8 +1446,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val retained = logicalOverFiles(name, affected)
       .filter(!coalesce(condition, lit(false)))
     val added = stageIn(name, projectToPhysical(name, retained))
-    commitVersion(name, "deleteRows",
-      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
+    commitVersionAt(name, base, "deleteRows",
+      manifest(name, base).diff(relativize(name, affected)) ++ added)
     perFile.map(_.getLong(1)).sum
   }
 
@@ -1382,7 +1464,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     */
   def replaceWhere(name: String, condition: org.apache.spark.sql.Column,
       df: DataFrame): Long = {
-    val cur = manifest(name, currentVersion(name))
+    val base = currentVersion(name)
+    val cur = manifest(name, base)
     val (survivorFiles, removedCount) =
       if (cur.isEmpty) (cur, 0L)
       else {
@@ -1400,7 +1483,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         }
       }
     val added = stageIn(name, projectToPhysical(name, df))
-    commitVersion(name, "replace_where", survivorFiles ++ added)
+    commitVersionAt(name, base, "replace_where", survivorFiles ++ added)
     removedCount
   }
 
@@ -1439,7 +1522,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       require(s.fieldNames.contains(c), s"update column $c not in schema of $name") }
     require(set.map(_._1).distinct.size == set.size,
       "UPDATE assigns a column twice")
-    if (manifest(name, currentVersion(name)).isEmpty) return 0L
+    val base = currentVersion(name)
+    if (manifest(name, base).isEmpty) return 0L
     val perFile = collectBounded("updateRows", name,
       logicalWithFile(name).filter(condition)
         .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
@@ -1454,8 +1538,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       }
     }.toSeq: _*)
     val added = stageIn(name, projectToPhysical(name, rewritten))
-    commitVersion(name, "updateRows",
-      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
+    commitVersionAt(name, base, "updateRows",
+      manifest(name, base).diff(relativize(name, affected)) ++ added)
     perFile.map(_.getLong(1)).sum
   }
 
@@ -1483,6 +1567,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * rewritten. Returns (matchedRows, insertedRows).
     */
   def merge(name: String, updates: DataFrame, key: String): (Long, Long) = {
+    val base = currentVersion(name)
     val s = schema(name)
     require(s.fieldNames.contains(key), s"merge key $key not in schema of $name")
     val nUpd = updates.count()
@@ -1507,8 +1592,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val retained = logicalOverFiles(name, affected).join(keys, Seq(key), "left_anti")
       .select(s.fieldNames.map(col).toSeq: _*)
     val added = stageIn(name, projectToPhysical(name, retained.unionByName(updLogical)))
-    commitVersion(name, "merge",
-      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
+    commitVersionAt(name, base, "merge",
+      manifest(name, base).diff(relativize(name, affected)) ++ added)
     (matched, nUpd - matchedKeys)
   }
 
@@ -1558,6 +1643,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       matched: Seq[Catalog.MatchedClause],
       notMatched: Seq[Option[String]],
       targetAlias: String = "t", sourceAlias: String = "s"): (Long, Long, Long) = {
+    val base = currentVersion(name)
     val s = schema(name)
     require(s.fieldNames.contains(key), s"merge key $key not in schema of $name")
     require(matched.nonEmpty || notMatched.nonEmpty,
@@ -1621,8 +1707,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val nIns = ins.count()
     val added = stageIn(name,
       projectToPhysical(name, kept.unionByName(updated).unionByName(ins)))
-    commitVersion(name, "merge",
-      manifest(name, currentVersion(name)).diff(relativize(name, affected)) ++ added)
+    commitVersionAt(name, base, "merge",
+      manifest(name, base).diff(relativize(name, affected)) ++ added)
     (actionCounts.getOrElse("update", 0L), actionCounts.getOrElse("delete", 0L), nIns)
   }
 

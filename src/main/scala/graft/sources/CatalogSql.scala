@@ -51,11 +51,20 @@ object CatalogSql {
   private def topLevelSourceStart(s: String): Int = {
     var depth = 0
     var inStr = false
+    var inTick = false // backtick-quoted identifier
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
+      if (inStr) {
+        // Spark's default literal syntax: backslash escapes the next char
+        // ('a\'b' stays one literal); doubled '' is the other escape and
+        // falls out naturally (close + immediately reopen).
+        if (ch == '\\') i += 1
+        else if (ch == '\'') inStr = false
+      }
+      else if (inTick) { if (ch == '`') inTick = false }
       else if (ch == '\'') inStr = true
+      else if (ch == '`') inTick = true
       else if (ch == '(') depth += 1
       else if (ch == ')') depth -= 1
       else if (depth == 0 && ch.isLetter) {

@@ -135,4 +135,35 @@ class AvroSpec extends SparkSpec {
       cat.table("dl").schema)
     assert(back.count() == docs.count())
   }
+
+  test("TimestampNTZ round-trips as local-timestamp-micros (the repo's canonical stamp)") {
+    // events-shaped: NTZ is what Tables.events normalizes to, so COPY TO
+    // avro must handle it (it used to throw 'unsupported Spark type')
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampNTZType)))
+    val rows = Seq(
+      Row(1L, java.time.LocalDateTime.parse("2024-03-01T12:34:56.789123")),
+      Row(2L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp()
+    AvroCodec.writeAvro(df, dir)
+    // the written Avro schema carries the local-timestamp-micros logical type
+    val sj = AvroCodec.writerSchemaJson(schema)
+    assert(sj.contains("local-timestamp-micros"))
+    val back = AvroCodec.readAvro(spark, dir, schema)
+    assert(back.orderBy("id").collect().toSeq === rows)
+    // the quarantine string face renders NTZ as an ISO local form (no zone)
+    val asStr = AvroCodec.readAvroAsStrings(spark, dir, schema)
+      .orderBy("id").collect()
+    assert(asStr(0).getString(1) === "2024-03-01T12:34:56.789123")
+    assert(asStr(1).getString(1) == null)
+    // and the whole events fixture survives an avro round-trip
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+    val evDir = tmp()
+    AvroCodec.writeAvro(ev, evDir)
+    val evBack = AvroCodec.readAvro(spark, evDir, ev.schema)
+    assert(evBack.count() === ev.count())
+    assert(evBack.exceptAll(ev).isEmpty && ev.exceptAll(evBack).isEmpty)
+  }
 }

@@ -780,6 +780,31 @@ class CatalogSqlSpec extends SparkSpec {
       .collect().head.getLong(0) === 0L)
   }
 
+  test("REPLACE WHERE scanner: backslash-escaped quotes and backticked identifiers") {
+    val cat = freshCat()
+    CatalogSql.exec(spark, cat, "CREATE TABLE rw2 (id BIGINT, note STRING)")
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO rw2 SELECT 1, 'it\\'s WITH x' UNION ALL SELECT 2, 'plain'")
+    // Spark's default backslash escape: the literal contains an escaped
+    // quote followed by a keyword — the scanner must stay inside the
+    // string and not split the condition at that WITH
+    val st = CatalogSql.exec(spark, cat,
+      "INSERT INTO rw2 REPLACE WHERE note = 'it\\'s WITH x' " +
+        "SELECT 10, 'replaced'").collect().head
+    assert(st.getString(0) === "replace_where")
+    val back = CatalogSql.exec(spark, cat,
+      "SELECT id, note FROM rw2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back === Seq((2L, "plain"), (10L, "replaced")))
+    // a backtick-quoted identifier carrying a keyword-looking name is
+    // not a split point either
+    CatalogSql.exec(spark, cat,
+      "INSERT INTO rw2 REPLACE WHERE `note` = 'replaced' VALUES (20, 'v2')")
+    assert(CatalogSql.exec(spark, cat,
+      "SELECT COUNT(*) FROM rw2 WHERE note = 'replaced'")
+      .collect().head.getLong(0) === 0L)
+  }
+
   test("TIMESTAMP AS OF accepts a bare date; unparseable forms fail with guidance") {
     val cat = freshCat()
     CatalogSql.exec(spark, cat, "CREATE TABLE tt AS SELECT 1 AS a")
