@@ -101,6 +101,10 @@ object Bench {
     // Optional comma-separated name filter for targeted timing.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).toSet)
+    // Default tier skips weekly lifecycle rows (their serving-path twins
+    // are the per-round perf signal; Verify still oracle-checks them
+    // every round). SPARK_GRAFT_BENCH_TIER=full times everything.
+    val fullTier = sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("full")
     // Global JVM warm pass: C2-compile the scan/codegen/shuffle machinery
     // before ANY query is timed — otherwise the first measured query pays
     // suite-wide JIT warm-up that later ones amortize for free.
@@ -124,7 +128,12 @@ object Bench {
       System.gc()
     }
     // Stable ordering so per-round bench JSON diffs cleanly.
-    val toRun = SparkEntry.allQ.filter(q => filter.forall(_.contains(q.name)))
+    val toRun = SparkEntry.allQ
+      .filter(q => filter.forall(_.contains(q.name)))
+      .filter(q => fullTier || filter.isDefined || !q.weekly)
+    val weeklySkipped =
+      if (fullTier || filter.isDefined) Seq.empty
+      else SparkEntry.allQ.filter(_.weekly).map(_.name)
     val results = toRun.zipWithIndex.map { case (q, idx) =>
       if (idx > 0 && restartEvery > 0 && idx % restartEvery == 0) {
         // session rotation (untimed): bounded-state execution windows
@@ -151,13 +160,39 @@ object Bench {
     // clobber) the full-suite record.
     val recordName =
       if (filter.isDefined) "BENCH_local_filtered.json" else "BENCH_local.json"
+    // Environment evidence (the round-14 finding: identical code measures
+    // 2.5× apart under different machine states; medians bound but don't
+    // eliminate it). Recording load/memory/GC alongside the numbers makes
+    // any future builder/driver divergence attributable from artifacts.
+    def envJson(): String = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val load = os.getSystemLoadAverage
+      val freeGb = os match {
+        case x: com.sun.management.OperatingSystemMXBean =>
+          f"${x.getFreeMemorySize / 1e9}%.1f"
+        case _ => "null"
+      }
+      val heapGb = f"${Runtime.getRuntime.maxMemory / 1e9}%.1f"
+      val (gcN, gcSec) = {
+        import scala.jdk.CollectionConverters._
+        val gs = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala
+        (gs.map(_.getCollectionCount).sum,
+          gs.map(_.getCollectionTime).sum / 1000.0)
+      }
+      s"""{"load_avg":$load,"free_mem_gb":$freeGb,"heap_gb":$heapGb,""" +
+        s""""gc_count":$gcN,"gc_sec":$gcSec,"cpus":$cpus}"""
+    }
+    val env = envJson()
+    val weeklyJson = weeklySkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     def json(rs: Seq[(String, Double)], round: Boolean): String = {
       val qs = rs.map { case (k, v) =>
         val vs = if (round) f"$v%.3f" else v.toString
         "\"" + k + "\":" + vs
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$suiteTotal,"unit":"sec","queries":$qs,""" +
-        s""""local_json":"$recordName","runs":$runs,"sf":"$sfDir"}"""
+        s""""local_json":"$recordName","runs":$runs,"sf":"$sfDir",""" +
+        s""""env":$env,"weekly_skipped":$weeklyJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props("user.dir"), recordName),

@@ -26,6 +26,7 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
+    weekly: Boolean = false,
 )
 
 object Q {
@@ -36,4 +37,17 @@ object Q {
   /** Rows-only checked query (no SQL-expressible oracle). */
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+
+  /** Weekly-tier query: a full LIFECYCLE replay (multi-batch streaming
+    * runs, train-then-serve loops, incremental-maintenance epochs) whose
+    * cheap serving-path twin is the row a per-round bench should time.
+    * Still a first-class oracle row — Verify runs it every round and the
+    * DuckDB gate checks it — but [[Bench]] skips it by default
+    * (`SPARK_GRAFT_BENCH_TIER=full` restores it), the way a production
+    * perf suite times the serving path per-commit and the end-to-end
+    * rebuild on a slower cadence.
+    */
+  def weekly(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle), weekly = true)
 }

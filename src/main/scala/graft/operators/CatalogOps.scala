@@ -978,7 +978,7 @@ object CatalogOps {
     // the profile forward from the CDC feed ALONE — no HEAD rescan. The
     // oracle recomputes the head profile from scratch; matching it proves
     // delta-add/delta-subtract/group-birth/group-death all land exactly ----
-    Q(
+    Q.weekly(
       "catalog_incremental_agg",
       """WITH del AS (
         |  SELECT * FROM documents

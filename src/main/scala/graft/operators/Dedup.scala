@@ -241,19 +241,25 @@ object Dedup {
     */
   def prefixFilteredJaccardPairs(
       docs: DataFrame, id: String, shingles: Column,
-      threshold: Double): DataFrame = withShingleCache(docs, id, shingles) { sh =>
+      threshold: Double): DataFrame = {
+    // NO localCheckpoints anywhere in this operator (they were the row's
+    // machine-state sensitivity — pinned deserialized blocks compete with
+    // shuffle memory; shuffle files degrade gracefully instead): the two
+    // shingle consumers below both exchange the same explode subtree on
+    // hash(sh), so ReuseExchange computes the explode once, and the three
+    // arr consumers share the post-join hash(id) exchange the same way.
+    val sh = explodedShingles(Tables.fanOut(docs), id, shingles)
+      .select(col(id), xxhash64(col("sh")).as("sh"))
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // Per-doc shingle array sorted by (global df, shingle) — ONE shuffle on
     // id (struct sort_array inside the agg) instead of the r3 join + two-
     // window formulation, whose extra hash-partition + sort cost ~1.3s of
-    // the 5.5s sf0.1 total. Checkpointed because three consumers read it:
-    // the prefix explode and both verification sides.
+    // the 5.5s sf0.1 total.
     val arr = sh.join(docFreq, "sh")
       .groupBy(col(id))
       .agg(transform(
         sort_array(collect_list(struct(col("df"), col("sh")))),
         s => s.getField("sh")).as("arr"))
-      .localCheckpoint(true)
     // Integer-boundary guard: sizes/positions are exact ints, so comparing
     // against t·n through doubles can mis-prune when t·n lands on an
     // integer and the double product carries representation error above

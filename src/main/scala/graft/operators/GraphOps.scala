@@ -289,19 +289,44 @@ object GraphOps {
   def resourceAllocationTopPairs(
       bip: org.apache.spark.sql.DataFrame,
       minDeg: Int, capDeg: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    // pinned once: both the degree aggregate and the membership join
-    // consume it, and its lineage (source join + distinct) is the most
-    // expensive upstream stage
-    val m = bip.localCheckpoint(true)
-    val deg = m.groupBy("p").agg(count(lit(1)).as("d"))
+    // deg and the membership join BOTH shuffle bip on hash(p): the two
+    // sides canonicalize to the same Exchange, so ReuseExchange computes
+    // the expensive upstream (source join + distinct) ONCE and shares the
+    // shuffle output — no localCheckpoint, no pinned block-manager state
+    // (the r14 checkpoint was the suite's single biggest block allocator
+    // and the row's main machine-state sensitivity; shuffle files live in
+    // page cache and degrade gracefully under memory pressure).
+    val deg = bip.groupBy("p").agg(count(lit(1)).as("d"))
       .filter(col("d") >= minDeg && col("d") <= capDeg)
-    val grouped = m.join(deg, "p")
+    val grouped = bip.join(deg, "p")
       .select(col("p"), col("c"), expr("1000000L DIV d").as("w_mic"))
       .groupBy("p")
       // ascending member list ⇒ combinations are already (a < b); w_mic
       // is constant within a resource (1e6 DIV deg), first() is exact
       .agg(array_sort(collect_list(col("c"))).as("cs"),
         first(col("w_mic")).as("w_mic"))
+      // MODEL-SIZED (one array row per kept resource, arrays ≤ capDeg):
+      // the only materialized state in the whole operator. Two consumers:
+      // the pair-count sizing aggregate and the explode.
+      .localCheckpoint(true)
+    // Size the pair-stage parallelism from the COMPUTED fan-out, not the
+    // session default: the explode multiplies rows Σ d(d−1)/2-fold, so a
+    // fixed 32-partition layout that is right for the input is ~10× too
+    // coarse at a 10× corpus (measured 19.5× time growth at fixed
+    // partitions — the pair aggregate's per-task hash maps outgrow
+    // execution memory and spill). One trivial aggregate over the
+    // checkpointed array table computes the exact pair count before any
+    // partitioning decision; ~750k pairs per task keeps the final-agg map
+    // comfortably in execution memory at any scale, and a real cluster
+    // gets the same rule with executors × cores as the floor.
+    val nPairs = grouped
+      .agg(expr("sum(size(cs) * (size(cs) - 1) DIV 2)")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val sessParts = bip.sparkSession.sessionState.conf.numShufflePartitions
+    val pairParts = math.max(sessParts, (nPairs / 750000L).toInt + 1)
+    val fanned = grouped
       // EXPLICIT fan-out before the explode: AQE correctly coalesces the
       // model-sized array table to ~1 post-shuffle partition, but the
       // combination explode below multiplies rows ~capDeg²/2-fold and the
@@ -309,8 +334,8 @@ object GraphOps {
       // partition (measured: 12 s single-threaded vs ~1 s spread). The
       // repartition moves only the SMALL side (one array row per
       // resource), never the pairs.
-      .repartition(bip.sparkSession.sessionState.conf.numShufflePartitions)
-    val pairs = grouped.select(col("w_mic"), explode(expr(
+      .repartition(pairParts)
+    val pairs = fanned.select(col("w_mic"), explode(expr(
       "flatten(transform(cs, (x, i) -> " +
         "transform(slice(cs, i + 2, size(cs) - i - 1), " +
         "y -> shiftleft(x, 32) + y)))")).as("pk"))
@@ -318,8 +343,7 @@ object GraphOps {
       // so map-side partial aggregation buys nothing and AQE's byte-bound
       // coalesce would funnel the ~9M-key final hash map into a few
       // reducers; an explicit hash repartition keeps every core hashing
-      .repartition(bip.sparkSession.sessionState.conf.numShufflePartitions,
-        col("pk"))
+      .repartition(pairParts, col("pk"))
     pairs.groupBy("pk")
       .agg(count(lit(1)).as("n_common"), sum(col("w_mic")).as("ra_mic"))
       // shiftrightUNSIGNED: ids in [2^31, 2^32) would sign-extend under

@@ -817,7 +817,7 @@ object TextOps {
     // token counts after the 6 trained merges (train on the vocab table,
     // tokenize every document — the production encode path); windows key
     // by word occurrence, one shuffle over corpus symbol rows per round ----
-    Q(
+    Q.weekly(
       "bpe_corpus_tokens",
       s"""WITH ${bpeCorpusCtes(150, 6)}
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

@@ -21,31 +21,81 @@ import org.apache.spark.sql.types._
   * their branch; `timestamp-micros`/`timestamp-millis`/`date` logical
   * types land as native Spark temporals.
   *
-  * Scale shape: parallelism is per-FILE (the standard many-files layout —
-  * an Avro container IS block-splittable, but a block-splitting reader
-  * needs a DataSourceV2 with sync-marker scan; per-file tasks are the
-  * right cost/complexity point for an ingest decoder, and `binaryFile`
-  * caps single files at 2 GiB). Export writes one container per
-  * partition, so file count = partition count and no driver collect.
+  * Scale shape: ingest is BLOCK-SPLITTABLE — the reader plans byte-range
+  * splits over every file and each task resynchronizes at the container's
+  * 16-byte sync marker ([[DataFileReader.sync]]/`pastSync`, the same
+  * contract Hadoop's AvroRecordReader uses), so one multi-GB container
+  * reads in parallel with no DataSourceV2 and no 2 GiB whole-file cap.
+  * Export writes one container per partition, so file count = partition
+  * count and no driver collect.
   */
 object AvroCodec {
 
+  /** One byte-range of one container file; a task owns every block whose
+    * starting sync lands in [start, end) — the Hadoop split contract, so
+    * splits tile a file exactly once no matter where block boundaries fall.
+    */
+  private case class AvroSplit(path: String, start: Long, end: Long)
+
+  /** Plan byte-range splits over `path` (a file or directory): every
+    * regular non-hidden file, `ceil(len / splitBytes)` ranges each. The
+    * listing is driver-side metadata work, O(files) — the same cost class
+    * as any FileIndex.
+    */
+  private def planSplits(
+      spark: SparkSession, path: String, splitBytes: Long): Seq[AvroSplit] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        files += ((st.getPath.toString, st.getLen))
+    }
+    files.toSeq.sortBy(_._1).flatMap { case (p, len) =>
+      (0L until math.max(len, 1L) by splitBytes)
+        .map(s => AvroSplit(p, s, math.min(s + splitBytes, len)))
+    }
+  }
+
   /** Read Avro container files under `path` (a file or directory) into a
     * DataFrame with exactly the `target` schema, fields matched by name
-    * (missing in the file → null).
+    * (missing in the file → null). One task per `splitBytes` byte range;
+    * records stream through the task (never a whole split in memory).
     */
-  def readAvro(spark: SparkSession, path: String, target: StructType): DataFrame = {
-    val bytes = spark.read.format("binaryFile").load(path)
-      .select("content").rdd.map(_.getAs[Array[Byte]](0))
-    val rows = bytes.mapPartitions { it =>
-      it.flatMap { content =>
-        val rdr = new DataFileReader[GenericRecord](
-          new SeekableByteArrayInput(content),
-          new GenericDatumReader[GenericRecord]())
-        try rdr.iterator().asScala.map(rec => toRow(rec, target)).toVector
-        finally rdr.close()
+  def readAvro(spark: SparkSession, path: String, target: StructType,
+      splitBytes: Long = 32L << 20): DataFrame = {
+    val splits = planSplits(spark, path, splitBytes)
+    val rows = spark.sparkContext
+      .parallelize(splits, math.max(splits.size, 1))
+      .mapPartitions { it =>
+        it.flatMap { sp =>
+          // default Configuration resolves file:// and the cluster's
+          // fs.defaultFS — enough for an ingest decoder; no Spark-internal
+          // SerializableConfiguration shim needed
+          val in = new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(sp.path),
+            new org.apache.hadoop.conf.Configuration())
+          val rdr = new DataFileReader[GenericRecord](
+            in, new GenericDatumReader[GenericRecord]())
+          rdr.sync(sp.start) // first sync at/after start (header counts: its
+          // trailing sync bytes make sync(0) land on the first block)
+          org.apache.spark.TaskContext.get() match {
+            case null => ()
+            case tc => tc.addTaskCompletionListener[Unit](_ => rdr.close())
+          }
+          new Iterator[Row] {
+            def hasNext: Boolean = {
+              val h = rdr.hasNext && !rdr.pastSync(sp.end)
+              if (!h) rdr.close()
+              h
+            }
+            def next(): Row = toRow(rdr.next(), target)
+          }
+        }
       }
-    }
     spark.createDataFrame(rows, target)
   }
 

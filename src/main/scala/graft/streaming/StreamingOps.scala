@@ -1200,7 +1200,7 @@ object StreamingOps {
     // COW rewrite really is file-granular — at sf0.1 the updates touch
     // 10% of the key space and the other ~90% of files pass through
     // untouched; sink cost tracks update volume, not table size ----
-    Q(
+    Q.weekly(
       "stream_upsert_merge",
       """WITH b0 AS (
         |  SELECT doc_id, text, lang, 'b0' AS source,
@@ -1356,7 +1356,7 @@ object StreamingOps {
     // once (when its LATER vector arrives), so the union over batches
     // equals the batch self-join EXACTLY — same oracle as
     // dedup_embedding_srp ----
-    Q("stream_dedup_embedding",
+    Q.weekly("stream_dedup_embedding",
       graft.operators.Similarity.srpOracleSql(0.4, 64, 32)) { (s, d) =>
       streamSrpDedup(s, graft.Tables.embeddings(s, d),
         threshold = 0.4, dim = 64)

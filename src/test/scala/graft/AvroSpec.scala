@@ -136,6 +136,43 @@ class AvroSpec extends SparkSpec {
     assert(back.count() == docs.count())
   }
 
+  test("one large multi-block container splits across >1 task, content exact") {
+    // many small blocks: a 1 KiB sync interval forces a sync marker every
+    // few records, so byte-range splits have boundaries to resync at
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", StringType)))
+    val n = 20000
+    val dir = tmp()
+    val avroSchema = new org.apache.avro.Schema.Parser()
+      .parse(AvroCodec.writerSchemaJson(schema, "split_test"))
+    val w = new org.apache.avro.file.DataFileWriter[
+        org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter(avroSchema))
+    w.setSyncInterval(1024)
+    w.create(avroSchema, new java.io.File(dir, "big.avro"))
+    (0 until n).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      rec.put("id", i.toLong)
+      rec.put("payload", s"row-$i-" + ("x" * 40))
+      w.append(rec)
+    }
+    w.close()
+    // 64 KiB ranges over a ~1.2 MB single file → many splits, each task
+    // resyncing mid-file; the union must be exactly the written rows
+    val back = AvroCodec.readAvro(spark, dir, schema, splitBytes = 64L << 10)
+    assert(back.rdd.getNumPartitions > 1,
+      "a single large container must read in >1 task")
+    assert(back.count() === n.toLong)
+    assert(back.agg(sum(col("id"))).head.getLong(0) === n.toLong * (n - 1) / 2)
+    assert(back.select("id").distinct().count() === n.toLong)
+    // spot-check payload integrity at a split-boundary-agnostic sample
+    val got = back.filter(col("id") % 4999 === 0).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq(0L, 4999L, 9998L, 14997L, 19996L)
+      .map(i => (i, s"row-$i-" + ("x" * 40))))
+  }
+
   test("TimestampNTZ round-trips as local-timestamp-micros (the repo's canonical stamp)") {
     // events-shaped: NTZ is what Tables.events normalizes to, so COPY TO
     // avro must handle it (it used to throw 'unsupported Spark type')
