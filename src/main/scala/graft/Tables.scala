@@ -66,6 +66,21 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Eager localCheckpoint at MEMORY_AND_DISK_SER — the pinning
+    * primitive every operator should use instead of bare
+    * `localCheckpoint(true)`. Serialized blocks hold compact UnsafeRow
+    * bytes (one byte[] per batch) where the deserialized default holds
+    * per-row object graphs: an order of magnitude fewer long-lived heap
+    * objects, so pinned state stops competing with shuffle/aggregation
+    * memory under GC pressure — the machine-state sensitivity that made
+    * byte-identical code measure 2.5× apart across rounds (NOTES_r14).
+    * The deser cost on re-read is one codegen'd copy per batch; every
+    * pinned table in this repo is model-sized or read O(1) times.
+    */
+  def pin(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {

@@ -85,7 +85,7 @@ object Dedup {
       f: DataFrame => DataFrame): DataFrame =
     f(explodedShingles(Tables.fanOut(docs), id, shingles)
       .select(col(id), xxhash64(col("sh")).as("sh"))
-      .localCheckpoint(true))
+      .transform(graft.Tables.pin))
 
   /** Exact pairwise Jaccard over a shingle set, computed distributively:
     * explode → self-equi-join on the shingle → intersection counts → join
@@ -369,7 +369,7 @@ object Dedup {
     Tables.fanOut(docs)
       .select(col(id), array_distinct(transform(shingles, s => xxhash64(s))).as("arr"))
       .filter(size(col("arr")) > 0)
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
 
   /** (id, band, key) LSH bucket keys from banded per-row MinHash
     * signatures over a hashed-shingle array table.
@@ -824,7 +824,7 @@ object Dedup {
       val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > 5).select("s")
       // read 4x (sizes, both join sides, signatures) — pin it once
-      val sh = sh0.join(hot, Seq("s"), "left_anti").localCheckpoint(true)
+      val sh = sh0.join(hot, Seq("s"), "left_anti").transform(graft.Tables.pin)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

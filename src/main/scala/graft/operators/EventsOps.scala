@@ -226,7 +226,7 @@ object EventsOps {
       // pinned form re-reads ~320 rows instead
       val sk = hashed.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= k).select(col("event_type"), col("h"))
-        .localCheckpoint(true)
+        .transform(graft.Tables.pin)
       val sz = sk.groupBy("event_type").agg(count(lit(1)).as("n"))
       val prs = sz.select(col("event_type").as("ta"))
         .join(sz.select(col("event_type").as("tb")), col("ta") < col("tb"))

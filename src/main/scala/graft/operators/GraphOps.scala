@@ -161,7 +161,7 @@ object GraphOps {
         .join(lp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.Tables.pin)
       // degrees in ONE pass over und (explode, not a two-projection union)
       val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -175,7 +175,7 @@ object GraphOps {
         .select(
           when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
-        .localCheckpoint(true)
+        .transform(graft.Tables.pin)
       val wedge = fwd.as("e1")
         .join(fwd.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
@@ -308,7 +308,7 @@ object GraphOps {
       // MODEL-SIZED (one array row per kept resource, arrays ≤ capDeg):
       // the only materialized state in the whole operator. Two consumers:
       // the pair-count sizing aggregate and the explode.
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     // Size the pair-stage parallelism from the COMPUTED fan-out, not the
     // session default: the explode multiplies rows Σ d(d−1)/2-fold, so a
     // fixed 32-partition layout that is right for the input is ~10× too

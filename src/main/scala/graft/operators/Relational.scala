@@ -736,19 +736,33 @@ object Relational {
         |CROSS JOIN n
         |ORDER BY lift_mic DESC, part_a, part_b LIMIT 50""".stripMargin,
     ) { (s, d) =>
-      // the deduplicated basket table feeds four consumers (order count,
-      // item supports, both self-join sides) — pin it once
+      // the deduplicated basket table feeds three consumers (order count,
+      // item supports, basket arrays); its distinct aggregate's exchange
+      // canonicalizes identically for all of them, so ReuseExchange
+      // shuffles lineitem's (ok, pk) projection ONCE and no state is
+      // pinned in the block manager (the former localCheckpoint was this
+      // row's heap-pressure sensitivity: +59% at 8g vs 24g in-suite)
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint(true)
       val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
       val supp = b.groupBy("pk").agg(count(lit(1)).as("supp"))
-      val pairs = b.as("a")
-        .join(b.as("b2"), col("a.ok") === col("b2.ok") && col("a.pk") < col("b2.pk"))
-        .groupBy(col("a.pk").as("part_a"), col("b2.pk").as("part_b"))
-        .agg(count(lit(1)).as("supp_ab"))
+      // pair generation INLINE from per-order sorted arrays — the packed
+      // 64-bit combination explode proven in GraphOps.resourceAllocation
+      // TopPairs: half the work of the ok-keyed self-join (emits only
+      // i<j), 8-byte aggregate keys, one less shuffle of the basket
+      // table. Baskets are ≤ lines-per-order wide, so the explode is a
+      // bounded ≤ C(7,2) fan-out — no repartition sizing needed.
+      val pairs = b.groupBy("ok")
+        .agg(array_sort(collect_list(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+            "y -> shiftleft(x, 32) + y)))")).as("pr"))
+        .groupBy("pr").agg(count(lit(1)).as("supp_ab"))
         .filter(col("supp_ab") >= 2)
+        .select(expr("shiftrightunsigned(pr, 32)").as("part_a"),
+          expr("pr & 4294967295").as("part_b"), col("supp_ab"))
       pairs
         .join(supp.select(col("pk").as("part_a"), col("supp").as("sa")), "part_a")
         .join(supp.select(col("pk").as("part_b"), col("supp").as("sb")), "part_b")

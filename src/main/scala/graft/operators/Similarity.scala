@@ -236,7 +236,7 @@ object Similarity {
     // pipelines' hashedShingleArr)
     val sig = Tables.fanOut(corpus).select(col(id), col(vec),
       srpSignature(col(vec), dim, bits).as("__sig"))
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     val blocks = (0 until 4).map { j =>
       struct(lit(j).as("blk"),
         shiftrightunsigned(col("__sig"), j * blockBits).bitwiseAND(lit(mask)).as("key"))

@@ -135,7 +135,7 @@ object TextOps {
         explode(sequence(lit(1), length(col("word")))).as("p"))
       .select(col("word"), col("freq"), col("p").cast("long").as("pos"),
         expr("substring(word, p, 1)").as("sym"))
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       val best = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
@@ -146,7 +146,7 @@ object TextOps {
       if (best.nonEmpty) {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, c))
-        syms = applyMerge(syms, Seq("word"), a, b).localCheckpoint(true)
+        syms = applyMerge(syms, Seq("word"), a, b).transform(graft.Tables.pin)
       }
     }
     (merges.result(), syms)
@@ -218,7 +218,7 @@ object TextOps {
     val words = docs.select(col("doc_id"), explode(filter(
         split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     var syms = words.select("word").distinct()
       .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("p"))
       .select(col("word"), col("p").cast("long").as("pos"),
@@ -230,9 +230,9 @@ object TextOps {
       // to one partition and serialize all 6 rounds)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("word"))
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     for ((_, a, b, _) <- merges)
-      syms = applyMerge(syms, Seq("word"), a, b).localCheckpoint(true)
+      syms = applyMerge(syms, Seq("word"), a, b).transform(graft.Tables.pin)
     val wordToks = syms.groupBy("word")
       .agg(count(lit(1)).as("n_toks"),
         array_sort(collect_list(struct(col("pos"), col("sym")))).as("ts"))
@@ -378,13 +378,13 @@ object TextOps {
 
   private[graft] def unigramTrain(docs: DataFrame, topN: Int,
       maxPieceLen: Int, mTop: Int, vTop: Int): (DataFrame, DataFrame) = {
-    val words = bpeWords(docs, topN).localCheckpoint(true)
+    val words = bpeWords(docs, topN).transform(graft.Tables.pin)
     val seed = unigramSeedVocab(words, maxPieceLen, mTop)
     val n0 = seed.agg(sum("c").as("nn"))
     val vocab0 = seed.crossJoin(broadcast(n0))
       .select(col("piece"),
         expr(quantLnMicros("c", "nn", duck = false)).as("lp"))
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     val seg0 = viterbiSegment(words, vocab0, maxPieceLen)
     val usage = seg0
       .select(col("freq"), explode(split(col("token_str"), "[|]")).as("piece"))
@@ -399,7 +399,7 @@ object TextOps {
     val vocab1 = pruned.crossJoin(broadcast(tot2))
       .select(col("piece"), col("usage"),
         expr(quantLnMicros("(usage + 1)", "(n2 + v2)", duck = false)).as("lp"))
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     (vocab1, words)
   }
 
@@ -750,7 +750,7 @@ object TextOps {
       // pin the model: the 13 union branches below have nested lineages
       // (branch i = i joins), and without the pin each one would replay
       // the corpus-sized bigram aggregate — vocab-sized state, one build
-      .localCheckpoint(true)
+      .transform(graft.Tables.pin)
     // one row — the only collect in the operator
     val seedRow = uni.orderBy(col("c").desc, col("t")).limit(1).collect()
     import s.implicits._
@@ -1679,7 +1679,7 @@ object TextOps {
       val fp = Multimodal.frameSample(media, stride = 1)
         .select(col("media_id"), col("width"), col("height"), col("sample_sum"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.Tables.pin)
       // df-cap: fingerprints shared by more than 16 videos are too common
       // to be evidence of copying (and would pair quadratically)
       val keep = fp.groupBy("width", "height", "sample_sum")

@@ -60,7 +60,7 @@ object TrainingData {
   def connectedComponentsStar(
       edges: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
     val nodes = edges.select(col(a).as("node"))
-      .union(edges.select(col(b).as("node"))).distinct().localCheckpoint(true)
+      .union(edges.select(col(b).as("node"))).distinct().transform(graft.Tables.pin)
     def canonical(e: DataFrame): DataFrame = e
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
@@ -130,7 +130,7 @@ object TrainingData {
   private def checkpointObserving(
       df: DataFrame, name: String, metrics: Seq[Column]): (DataFrame, org.apache.spark.sql.Row) = {
     val observed = df.observe(name, metrics.head, metrics.tail: _*)
-    val cp = observed.localCheckpoint(true)
+    val cp = observed.transform(graft.Tables.pin)
     (cp, observed.queryExecution.observedMetrics(name))
   }
 
@@ -1066,7 +1066,7 @@ object TrainingData {
         expr("ttr_mic DIV 10000").as("bucket"),
         TextFunctions.tokenHash60(
           concat(lit("sel:"), col("doc_id").cast("string"))).as("h"))
-        .localCheckpoint(true) // feeds bucket totals AND the boundary fill
+        .transform(graft.Tables.pin) // feeds bucket totals AND the boundary fill
       val bud = m.agg(expr("SUM(n_tok) DIV 5").as("bud"))
       val cum = b.groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))

@@ -286,7 +286,7 @@ object StreamingOps {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .drop("_rn", "batch")
-        .localCheckpoint(true)
+        .transform(graft.Tables.pin)
     } finally deleteRecursively(work)
   }
 
@@ -325,7 +325,7 @@ object StreamingOps {
       query.awaitTermination()
       // drop("batch") strips Append mode's per-batch partition dir column;
       // no-op for Complete output (no such column)
-      spark.read.parquet(outDir).drop("batch").localCheckpoint(true)
+      spark.read.parquet(outDir).drop("batch").transform(graft.Tables.pin)
     } finally deleteRecursively(work)
   }
 
@@ -720,7 +720,7 @@ object StreamingOps {
             timestamp_micros(col("start_us")).cast(TimestampNTZType).as("session_start"),
             col("n_events"), col("sum_value"))
           .orderBy("user_id", "session_start")
-          .localCheckpoint(true)
+          .transform(graft.Tables.pin)
       } finally deleteRecursively(work)
     }
 
@@ -1430,7 +1430,7 @@ object StreamingOps {
           cat.deletePartition("emb_idx", String.valueOf(batchId))
           val blocks = Similarity
             .srpBlockRows(df, "vec_id", "embedding", dim, 32)
-            .localCheckpoint(true) // consumed by probe AND index insert
+            .transform(graft.Tables.pin) // consumed by probe AND index insert
           val probe = blocks.select(col("vec_id").as("__b_id"),
             col("embedding").as("__b_vec"), col("blk"), col("key"))
           val cross = cat.table("emb_idx")
