@@ -196,29 +196,40 @@ object GraphOps {
     // here fans out quadratically. ----
     Q(
       "graph_degree_hist",
-      """WITH pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      """WITH b AS (SELECT l_orderkey AS ok, list_sort(list_distinct(
+        |    list(l_partkey))) AS ps FROM lineitem GROUP BY 1),
+        |pr AS (SELECT DISTINCT unnest(flatten([
+        |    [ps[i] * 4294967296 + ps[j]
+        |     FOR j IN range(i + 1, len(ps) + 1)] FOR i IN range(1, len(ps))]))
+        |    AS pk FROM b),
         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
-        |        (SELECT pa AS n FROM pairs UNION ALL SELECT pb FROM pairs)
-        |        GROUP BY n)
-        |SELECT CAST(FLOOR(ln(d) / ln(2)) AS BIGINT) AS deg_bucket,
+        |        (SELECT pk // 4294967296 AS n FROM pr
+        |         UNION ALL SELECT pk % 4294967296 FROM pr) GROUP BY n)
+        |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS deg_bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      // per-order sorted DISTINCT basket + packed 64-bit combination
+      // explode (the link-predict/basket-rules kernel): half the pair
+      // generation of the order-keyed self-join, the pair DISTINCT runs
+      // on one 8-byte column, and no wide join ever shuffles. floor(log2)
+      // buckets via integer bit-length — exact on both engines, no libm.
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(array_sort(collect_set(col("pk"))).as("ps"))
+        // spread the basket table before the fan-out (AQE's byte-bound
+        // coalesce would explode + partial-distinct on ~1 partition)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+            "y -> shiftleft(x, 32) + y)))")).as("pr"))
         .distinct()
-      // one pass over the pair set (a two-projection union would run the
-      // self-join + distinct twice)
-      pairs.select(explode(array(col("pa"), col("pb"))).as("n"))
+      pairs.select(explode(array(expr("shiftrightunsigned(pr, 32)"),
+          expr("pr & 4294967295"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
-        .groupBy(floor(log(col("d").cast("double")) / math.log(2.0)).cast("long")
-          .as("deg_bucket"))
+        .groupBy(expr("CAST(length(bin(d)) - 1 AS BIGINT)").as("deg_bucket"))
         .agg(count(lit(1)).as("n_nodes"),
           min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
         .orderBy("deg_bucket")

@@ -755,6 +755,9 @@ object Relational {
       // bounded ≤ C(7,2) fan-out — no repartition sizing needed.
       val pairs = b.groupBy("ok")
         .agg(array_sort(collect_list(col("pk"))).as("ps"))
+        // spread the basket table before the fan-out (AQE's byte-bound
+        // coalesce would explode + partial-aggregate on ~1 partition)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(expr(
           "flatten(transform(ps, (x, i) -> " +
             "transform(slice(ps, i + 2, size(ps) - i - 1), " +
