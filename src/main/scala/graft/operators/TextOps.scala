@@ -248,6 +248,213 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------ WordPiece tokenizer
+
+  /** WordPiece merge learning (Schuster & Nakajima 2012; the BERT-family
+    * tokenizer) — BPE's merge loop with the merge chosen by the
+    * LIKELIHOOD score `count(ab) / (count(a)·count(b))` instead of raw
+    * pair count (the unigram-LM likelihood gain of the merge). The score
+    * is published as the exact integer
+    * `(count(ab)·10¹²) DIV (count(a)·count(b))`, computed in DECIMAL(38)
+    * on the Spark side and HUGEINT in the oracle so it can never
+    * overflow or diverge; ties break by (pair count desc, pair asc).
+    * Greedy application and all scale discipline are [[applyMerge]]'s.
+    * Returns `(round, left, right, pairCount, scoreFix)` per merge plus
+    * the final symbol rows.
+    */
+  private[graft] def wordpieceTrain(docs: DataFrame, topN: Int, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wByPos = Window.partitionBy("word").orderBy("pos")
+    var syms = bpeWords(docs, topN)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word"), col("freq"), col("p").cast("long").as("pos"),
+        expr("substring(word, p, 1)").as("sym"))
+      .transform(graft.Tables.pin)
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
+      val pc = paired.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum("freq").as("c"))
+      val uc = syms.groupBy("sym").agg(sum("freq").as("u"))
+      val best = pc
+        .join(uc.select(col("sym"), col("u").as("ua")), "sym")
+        .join(uc.select(col("sym").as("nxt"), col("u").as("ub")), "nxt")
+        .select(col("sym"), col("nxt"), col("c"),
+          expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000000000 DIV (ua * ub) " +
+            "AS BIGINT)").as("score"))
+        .orderBy(col("score").desc, col("c").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((r, a, b, best(0).getLong(2), best(0).getLong(3)))
+        syms = applyMerge(syms, Seq("word"), a, b).transform(graft.Tables.pin)
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** Greedy LONGEST-MATCH-FIRST segmentation as one codegen'd fold per
+    * word — real WordPiece's SERVING algorithm, which is NOT merge
+    * replay (a merge sequence and longest-match can tokenize a word
+    * differently; production encoders all ship the matcher). State =
+    * (cursor, token_str, n); at the cursor, an inner descending-length
+    * fold finds the longest `vmap` piece, with a single-char fallback so
+    * unseen characters can never dead-end the scan.
+    */
+  private def greedyMatchExpr(maxL: Int): String = {
+    val lstar = s"coalesce(aggregate(" +
+      s"sequence(least($maxL, length(word) - acc.p + 1), 1, -1), " +
+      "cast(null as int), (m, l) -> CASE WHEN m IS NOT NULL THEN m " +
+      "WHEN element_at(vmap, substring(word, acc.p, l)) IS NOT NULL THEN l " +
+      "ELSE cast(null as int) END), 1)"
+    val tok = s"substring(word, acc.p, $lstar)"
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  named_struct('p', 1, 't', '', 'n', 0L),
+       |  (acc, i) -> CASE WHEN i <> acc.p THEN acc ELSE named_struct(
+       |    'p', acc.p + $lstar,
+       |    't', CASE WHEN acc.t = '' THEN $tok
+       |         ELSE concat(acc.t, '|', $tok) END,
+       |    'n', acc.n + 1L) END,
+       |  acc -> named_struct('t', acc.t, 'n', acc.n))""".stripMargin
+  }
+
+  /** Tokenize every document with a WordPiece merge table: the encode
+    * vocabulary is the merge products plus the corpus's single-char
+    * alphabet (the char-fallback alphabet every production tokenizer
+    * carries), each DISTINCT word is segmented once by
+    * [[greedyMatchExpr]], and documents get their tokenizations by a
+    * dictionary join — the [[bpeApplyCorpus]] amortization. Returns
+    * `(doc_id, n_tokens, n_token_types)`.
+    */
+  private[graft] def wordpieceApplyCorpus(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col("doc_id"), explode(filter(
+        split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)).as("word"))
+      .transform(graft.Tables.pin)
+    val dw = words.select("word").distinct()
+    val chars = dw
+      .select(explode(sequence(lit(1), length(col("word")))).as("p"), col("word"))
+      .select(expr("substring(word, p, 1)").as("piece")).distinct()
+    val vocab = chars
+      .unionByName(merges.map { case (a, b) => a + b }.toDF("piece"))
+      .distinct()
+      .transform(graft.Tables.pin) // model-sized: alphabet + one row/merge
+    val maxL = vocab.agg(max(length(col("piece")))).head.getInt(0)
+    // per-word piece-membership map over the word's own substrings only
+    val subs = dw
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxL), length(col("word")) - col("p") + 1))).as("l"))
+      .select(col("word"), expr("substring(word, p, l)").as("piece"))
+      .distinct()
+    val pm = subs.join(vocab, "piece")
+      .groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("piece"), lit(1))))
+        .as("vmap"))
+    val enc = dw.join(pm, "word")
+      .withColumn("seg", expr(greedyMatchExpr(maxL)))
+      .select(col("word"), col("seg.n").as("n_toks"),
+        split(col("seg.t"), "[|]").as("toks"))
+    val perDoc = words.join(enc, Seq("word"))
+    val nTok = perDoc.groupBy("doc_id").agg(sum("n_toks").as("n_tokens"))
+    val types = perDoc.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("t")).cast("long").as("n_token_types"))
+    nTok.join(types, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_token_types"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle CTE chain for [[wordpieceTrain]]: [[bpeOracleCtes]]'s round
+    * blocks with the merge argmax replaced by the likelihood score —
+    * `u<r>` carries the unigram symbol counts of `s<r-1>`, `m<r>` picks
+    * by (score desc, c desc, pair). HUGEINT arithmetic mirrors the Spark
+    * side's DECIMAL(38) exactly.
+    */
+  private[graft] def wordpieceOracleCtes(topN: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT word, freq, pos, sym,
+         |  LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s${r - 1}),
+         |u$r AS MATERIALIZED (SELECT sym, CAST(SUM(freq) AS BIGINT) AS u FROM s${r - 1} GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT a, b, c, CAST(score AS BIGINT) AS score FROM (
+         |  SELECT pc.sym AS a, pc.nxt AS b, pc.c,
+         |    (CAST(pc.c AS HUGEINT) * 1000000000000) //
+         |      (CAST(ua.u AS HUGEINT) * ub.u) AS score
+         |  FROM (SELECT sym, nxt, CAST(SUM(freq) AS BIGINT) AS c
+         |        FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2) pc
+         |  JOIN u$r ua ON ua.sym = pc.sym JOIN u$r ub ON ub.sym = pc.nxt)
+         |  ORDER BY score DESC, c DESC, a, b LIMIT 1),
+         |o$r AS (SELECT p.word, p.freq, p.pos, p.sym, m.a, m.b,
+         |  COALESCE(p.sym = m.a AND p.nxt = m.b, FALSE) AS occ
+         |  FROM p$r p CROSS JOIN m$r m),
+         |g$r AS (SELECT *, CASE WHEN occ THEN pos -
+         |  ROW_NUMBER() OVER (PARTITION BY word, occ ORDER BY pos) END AS isl FROM o$r),
+         |k$r AS (SELECT *, occ AND
+         |  ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) % 2 = 1 AS kept FROM g$r),
+         |d$r AS (SELECT *, COALESCE(LAG(kept) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pk FROM k$r),
+         |s$r AS MATERIALIZED (SELECT word, freq,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |  CASE WHEN kept THEN a || b ELSE sym END AS sym
+         |  FROM d$r WHERE NOT pk)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word
+       |  ORDER BY freq DESC, word LIMIT $topN),
+       |sp AS (SELECT word, freq,
+       |  unnest(generate_series(1, length(word))) AS p FROM w),
+       |s0 AS MATERIALIZED (SELECT word, freq, CAST(p AS BIGINT) AS pos,
+       |  substr(word, p, 1) AS sym FROM sp),
+       |$roundCtes""".stripMargin
+  }
+
+  /** Oracle chain for [[wordpieceApplyCorpus]] appended to
+    * [[wordpieceOracleCtes]]: vocab = corpus char alphabet + merge
+    * products, then EXHAUSTIVE segmentation enumeration per distinct
+    * corpus word (recursive CTE) with the greedy longest-match winner
+    * picked as the lexicographically LARGEST token-length sequence —
+    * equivalent to the left-to-right matcher because every prefix
+    * extends to a full path via single chars (same sum ⇒ no sequence is
+    * a strict prefix of another), so maximizing lengths left-to-right IS
+    * the greedy choice at every step. Callers prefix `WITH RECURSIVE`.
+    */
+  private[graft] def wordpieceCorpusCtes(topN: Int, rounds: Int): String = {
+    val mergeUnion = (1 to rounds)
+      .map(r => s"SELECT a || b AS piece FROM m$r").mkString("\n  UNION ")
+    s"""${wordpieceOracleCtes(topN, rounds)},
+       |cw AS (SELECT doc_id, unnest(lf) AS word
+       |  FROM (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |      x -> len(x) > 0) AS lf FROM documents)),
+       |dw AS MATERIALIZED (SELECT DISTINCT word FROM cw),
+       |v AS MATERIALIZED (SELECT DISTINCT substr(word, p, 1) AS piece FROM
+       |    (SELECT word, unnest(generate_series(1, length(word))) AS p FROM dw)
+       |  UNION $mergeUnion),
+       |e0(word, pos, lenseq, toks) AS (
+       |  SELECT word, 1, '', '' FROM dw
+       |  UNION ALL
+       |  SELECT e.word, e.pos + length(v.piece),
+       |    e.lenseq || chr(CAST(96 + length(v.piece) AS INTEGER)),
+       |    CASE WHEN e.toks = '' THEN v.piece
+       |         ELSE e.toks || '|' || v.piece END
+       |  FROM e0 e JOIN v ON substr(e.word, e.pos, length(v.piece)) = v.piece
+       |  WHERE e.pos <= length(e.word)),
+       |b0 AS (SELECT word, toks FROM (SELECT word, toks,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY lenseq DESC) AS rk
+       |  FROM e0 WHERE pos = length(word) + 1) WHERE rk = 1),
+       |tok AS (SELECT doc_id, unnest(string_split(b.toks, '|')) AS t
+       |  FROM cw JOIN b0 b USING (word))""".stripMargin
+  }
+
   // ------------------------------------------ Unigram-LM tokenizer
 
   /** Candidate piece table for the unigram tokenizer: every substring of
@@ -904,6 +1111,67 @@ object TextOps {
       viterbiSegment(bpeWords(Tables.documents(s, d), 150), vocab, 4)
         .select(col("word"), col("n_tokens"), col("token_str"))
         .orderBy("word")
+    },
+
+    // ---- WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the
+    // BERT-family algorithm, completing the BPE/unigram/WordPiece triad):
+    // BPE's merge loop with the merge argmax'd by the LIKELIHOOD score
+    // count(ab)/(count(a)·count(b)) as exact scaled integers. The oracle
+    // unrolls every round with the same HUGEINT arithmetic, so the merge
+    // table is hash-exact cross-engine ----
+    Q(
+      "wordpiece_train",
+      s"""WITH ${wordpieceOracleCtes(150, 6)}
+         |SELECT r, left_sym, right_sym, pair_count, score_fix FROM (
+         |${(1 to 6).map(r =>
+             s"  SELECT $r AS r, a AS left_sym, b AS right_sym, " +
+               s"c AS pair_count, score AS score_fix FROM m$r")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY r""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      wordpieceTrain(Tables.documents(s, d), topN = 150, rounds = 6)._1
+        .toDF("r", "left_sym", "right_sym", "pair_count", "score_fix")
+        .orderBy("r")
+    },
+
+    // ---- WordPiece ENCODE: greedy longest-match-first over the trained
+    // vocab + char alphabet — real WordPiece's serving algorithm, which
+    // is NOT merge replay (they can tokenize a word differently; every
+    // production encoder ships the matcher). The oracle enumerates ALL
+    // segmentations per distinct corpus word (recursive CTE) and picks
+    // the lexicographically largest token-length sequence — provably the
+    // greedy matcher's output — then replays the per-doc aggregate ----
+    Q.weekly(
+      "wordpiece_encode",
+      s"""WITH RECURSIVE ${wordpieceCorpusCtes(150, 6)}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT t) AS BIGINT) AS n_token_types
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val merges = wordpieceTrain(Tables.documents(s, d), 150, 6)._1
+      wordpieceApplyCorpus(Tables.documents(s, d),
+        merges.map(m => (m._2, m._3)))
+    },
+
+    // ---- the WordPiece matcher SERVED from its persisted merge table
+    // (ModelStore, trained once per fixture identity) — the BPE/unigram
+    // serving discipline applied to the third tokenizer family ----
+    Q(
+      "wordpiece_encode_served",
+      s"""WITH RECURSIVE ${wordpieceCorpusCtes(150, 6)}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT t) AS BIGINT) AS n_token_types
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val dir = graft.operators.Similarity.withStagedIndex(
+        s, d, "wordpiece:150:6", fixture = "documents.parquet") { tmp =>
+        graft.sources.ModelStore.saveMerges(s, tmp,
+          wordpieceTrain(Tables.documents(s, d), 150, 6)._1
+            .map(m => (m._1, m._2, m._3, m._4)))
+      }
+      wordpieceApplyCorpus(Tables.documents(s, d),
+        graft.sources.ModelStore.loadMerges(s, dir).map(m => (m._2, m._3)))
     },
 
     // ---- per-document stats: token counts, lengths, fingerprints ----

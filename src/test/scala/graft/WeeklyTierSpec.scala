@@ -11,10 +11,10 @@ class WeeklyTierSpec extends SparkSpec {
 
   private val weekly = SparkEntry.allQ.filter(_.weekly)
 
-  test("weekly tier is exactly the four known lifecycle rows") {
+  test("weekly tier is exactly the known lifecycle rows") {
     assert(weekly.map(_.name).sorted === Seq(
       "bpe_corpus_tokens", "catalog_incremental_agg",
-      "stream_dedup_embedding", "stream_upsert_merge"))
+      "stream_dedup_embedding", "stream_upsert_merge", "wordpiece_encode"))
     // every weekly row is oracle-checked (never rows-only): down-tiering
     // the bench cadence must not weaken the correctness gate
     assert(weekly.forall(_.oracle.isDefined))
