@@ -1236,6 +1236,73 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // ---- MATRYOSHKA retrieval (Kusupati et al. 2022): rank by cosine on
+    // the FIRST 16 of 64 dimensions — MRL-trained embeddings front-load
+    // information, so the truncated prefix is the cheap coarse index —
+    // then exact-rerank ONLY the retrieved pairs at full dimension (the
+    // candidates-only refine join, never the corpus). 4× less dot-product
+    // work and 4× smaller scans/broadcasts on the coarse pass at any
+    // scale; the refine cost is k·|queries|, corpus-independent. Both
+    // sims published rounded to 6dp, the ann determinism contract ----
+    Q(
+      "ann_topk_matryoshka",
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding[1:16] AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |    CAST(embedding[1:16] AS DOUBLE[]) v FROM embeddings),
+        |px AS (SELECT query_id, neighbor_id, unnest(q.v) x, unnest(c.v) y
+        |       FROM q, c WHERE query_id <> neighbor_id),
+        |dots AS (SELECT query_id, neighbor_id, SUM(x*y) AS dot
+        |         FROM px GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, SUM(x*x) AS n2
+        |          FROM (SELECT vec_id, unnest(CAST(embedding[1:16] AS DOUBLE[])) x
+        |                FROM embeddings) GROUP BY 1),
+        |sims AS (SELECT query_id, neighbor_id,
+        |           dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS sim
+        |         FROM dots JOIN norms nq ON nq.vec_id = query_id
+        |                   JOIN norms nc ON nc.vec_id = neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+        |             ROUND(sim, 6) AS sim16_r
+        |           FROM sims),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 5),
+        |fx AS (SELECT h.query_id, h.neighbor_id,
+        |         unnest(CAST(a.embedding AS DOUBLE[])) x,
+        |         unnest(CAST(b.embedding AS DOUBLE[])) y
+        |       FROM hits h JOIN embeddings a ON a.vec_id = h.query_id
+        |                   JOIN embeddings b ON b.vec_id = h.neighbor_id),
+        |fdots AS (SELECT query_id, neighbor_id, SUM(x*y) AS dot
+        |          FROM fx GROUP BY 1, 2),
+        |fnorms AS (SELECT vec_id, SUM(x*x) AS n2
+        |           FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) x
+        |                 FROM embeddings) GROUP BY 1)
+        |SELECT h.query_id, h.neighbor_id, h.rank, h.sim16_r,
+        |  ROUND(fd.dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS sim_full_r
+        |FROM hits h JOIN fdots fd USING (query_id, neighbor_id)
+        |JOIN fnorms nq ON nq.vec_id = h.query_id
+        |JOIN fnorms nc ON nc.vec_id = h.neighbor_id
+        |ORDER BY query_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val coarse = bruteForceTopK(
+        sliced.filter(col("vec_id") < 20), sliced, "vec_id", "embedding", 5)
+        .withColumnRenamed("sim", "sim16")
+      // exact full-dim refine of ONLY the retrieved pairs
+      coarse
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim16"), 6).as("sim16_r"),
+          round(VectorFunctions.cosine(col("qv"), col("cv")), 6)
+            .as("sim_full_r"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- FILTERED vector search (metadata pre-filter): top-5 among
     // vectors whose label passes the predicate — the filter restricts
     // the CANDIDATE SET before ranking, so every query still gets k

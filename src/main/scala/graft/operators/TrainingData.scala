@@ -504,6 +504,41 @@ object TrainingData {
           .as("tok_end"))
   }
 
+  /** Length-bucketed dynamic batching: documents land in power-of-two
+    * token-length buckets (integer bit-length — no libm), each
+    * (bucket, shard) orders deterministically by (n_tok, id) and cuts
+    * batches of `batchSize` — the padding-minimizing layout a training
+    * loader runs before padding each batch to its max length. Output is
+    * one row per BATCH: `(bucket, shard, batch_id, n_docs, max_tok,
+    * sum_tok, pad_waste_micros)` with the waste fraction
+    * `(n·max − Σ)·10⁶ DIV (n·max)` in exact integer micros.
+    *
+    * Scale shape: the only window is (bucket, shard)-local — the
+    * [[packSequences]] shard discipline; no global sort exists at any
+    * size. The power-of-two buckets bound every batch's intra-batch
+    * length spread by 2× structurally, and the within-bucket sort makes
+    * observed waste near zero except at bucket-tail batches.
+    */
+  def batchByLength(df: DataFrame, id: String, tokens: Column,
+      batchSize: Int, shards: Int): DataFrame = {
+    require(batchSize >= 1 && shards >= 1,
+      s"batchSize and shards must be >= 1, got $batchSize, $shards")
+    val h = TextFunctions.tokenHash60(col(id).cast("string"))
+    val w = Window.partitionBy("bucket", "shard").orderBy(col("n_tok"), col(id))
+    df.select(col(id), size(tokens).cast("long").as("n_tok"), h.as("__h"))
+      .filter(col("n_tok") > 0)
+      .select(col(id), col("n_tok"),
+        expr("CAST(length(bin(n_tok)) - 1 AS BIGINT)").as("bucket"),
+        pmod(col("__h"), lit(shards)).as("shard"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"CAST((__rn - 1) DIV $batchSize AS BIGINT)"))
+      .groupBy("bucket", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_waste_micros",
+        expr("(n_docs * max_tok - sum_tok) * 1000000 DIV (n_docs * max_tok)"))
+  }
+
   /** Deterministic corpus-mixture sampling: keep, per source, documents
     * in stable hash order until the source's share of the total token
     * budget is filled (a document is admitted if its START offset is
@@ -1258,6 +1293,39 @@ object TrainingData {
         Tables.documents(s, d), "doc_id", TextFunctions.tokens(col("text")),
         budget = 256, shards = 8)
         .orderBy("doc_id")
+    },
+
+    // ---- length-bucketed dynamic batching: power-of-two token-length
+    // buckets, shard-local (n_tok, id) order, batches of 16, per-batch
+    // padding waste in exact integer micros — the batch layout step
+    // between packing and the data loader. Windows are (bucket, shard)-
+    // local; buckets via integer bit-length on both engines ----
+    Q(
+      "batch_by_length",
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_tok,
+        |    CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+        |    h % 8 AS shard
+        |  FROM b WHERE n_tok > 0),
+        |r AS (SELECT *, CAST((ROW_NUMBER() OVER (
+        |    PARTITION BY bucket, shard ORDER BY n_tok, doc_id) - 1) // 16
+        |    AS BIGINT) AS batch_id FROM f)
+        |SELECT bucket, CAST(shard AS BIGINT) AS shard, batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1000000
+        |    // (COUNT(*) * MAX(n_tok)) AS BIGINT) AS pad_waste_micros
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY bucket, shard, batch_id""".stripMargin,
+    ) { (s, d) =>
+      batchByLength(
+        Tables.documents(s, d), "doc_id", TextFunctions.tokens(col("text")),
+        batchSize = 16, shards = 8)
+        .orderBy("bucket", "shard", "batch_id")
     },
 
     // ---- concatenate-and-cut packing: the GPT-pretraining layout —

@@ -289,7 +289,8 @@ class PlanSpec extends SparkSpec {
       "dedup_minhash_calibration", // 32-row permutation-constant broadcast
       "corpus_budget_select", // 1-row token-budget scalar broadcast
       "ann_hard_negatives", // query-batch broadcast, per-query label filter
-      "corpus_mixture_temperature") // 1-row Σ√n scalar broadcast
+      "corpus_mixture_temperature", // 1-row Σ√n scalar broadcast
+      "ann_topk_matryoshka") // query-batch broadcast (coarse pass), like ann_topk_bruteforce
     val violations = SparkEntry.allQ.flatMap { q =>
       val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

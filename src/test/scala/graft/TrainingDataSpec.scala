@@ -151,6 +151,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(packed.exceptAll(again).count() == 0)
   }
 
+  test("batchByLength: full coverage, bounded waste, only tail batches short") {
+    val docs = Tables.documents(spark, sf0001)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val batches = TrainingData.batchByLength(
+      docs, "doc_id", toks, batchSize = 16, shards = 4)
+    // every non-empty doc is in exactly one batch
+    val nDocs = docs.filter(size(toks) > 0).count()
+    assert(batches.agg(sum("n_docs")).head.getLong(0) === nDocs)
+    // no batch exceeds the batch size; at most ONE short batch per
+    // (bucket, shard) — the tail
+    assert(batches.filter(col("n_docs") > 16).count() === 0)
+    val shorts = batches.filter(col("n_docs") < 16)
+      .groupBy("bucket", "shard").count().filter(col("count") > 1)
+    assert(shorts.count() === 0)
+    // power-of-two buckets bound the intra-batch spread structurally:
+    // max_tok < 2^(bucket+1) and every member >= 2^bucket, so padding
+    // waste is < 50% for every batch
+    assert(batches.filter(
+      col("pad_waste_micros") >= 500000L).count() === 0)
+    // determinism
+    val again = TrainingData.batchByLength(
+      docs, "doc_id", toks, batchSize = 16, shards = 4)
+    assert(batches.exceptAll(again).count() === 0)
+  }
+
   test("mixtureSample respects per-source token quotas within one document") {
     val docs = Tables.documents(spark, sf0001)
     val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap
