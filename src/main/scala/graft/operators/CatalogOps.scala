@@ -114,6 +114,36 @@ object CatalogOps {
         .orderBy("lang")
     },
 
+    // ---- deep EXPORT → IMPORT round-trip (cross-warehouse replication,
+    // the by-value complement of the hardlinked CLONE): snapshot after a
+    // row-level delete exports to a directory, imports into a SECOND
+    // warehouse with a fresh v1 log, and the imported content must equal
+    // the logical post-delete state — which is exactly what the oracle
+    // computes from the fixture ----
+    Q(
+      "catalog_export_import",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM documents WHERE NOT COALESCE(source = 'src0', FALSE)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val cat = new Catalog(s, tempWarehouse())
+      val docs = Tables.documents(s, d)
+      cat.create("exp_src", docs.schema, partitionBy = Some("lang"))
+      cat.insert("exp_src", docs)
+      cat.deleteRows("exp_src", col("source") === "src0")
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_exp_").toString
+      cat.exportTable("exp_src", dest)
+      val cat2 = new Catalog(s, tempWarehouse())
+      cat2.importTable("exp_dst", dest)
+      cat2.table("exp_dst")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    },
+
     // ---- the SQL-TEXT surface over the warehouse (CatalogSql): CTAS →
     // ALTER ADD COLUMN DEFAULT → ANSI MERGE (upsert-all) → DELETE →
     // INSERT INTO → SELECT, every step routed as a text statement (the

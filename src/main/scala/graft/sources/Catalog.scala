@@ -549,6 +549,67 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     commitVersion(dst, s"clone $src@v$v", files)
   }
 
+  /** DEEP export of the table's CURRENT snapshot to `destDir` — the
+    * cross-warehouse replication/backup primitive the hardlinked
+    * [[cloneTable]] can't be (links need one filesystem): data files are
+    * BYTE-COPIED under `destDir/data/` with their manifest-relative
+    * layout, alongside the metadata sidecars and a `snapshot.txt` listing
+    * exactly the exported files. O(live snapshot bytes) by construction —
+    * history is NOT exported (an importer starts a fresh log, the same
+    * contract as Delta's deep clone). Returns the number of files copied.
+    */
+  def exportTable(name: String, destDir: String): Int = {
+    require(exists(name), s"table $name does not exist")
+    val v = currentVersion(name)
+    val files = manifest(name, v)
+    val dest = Paths.get(destDir)
+    require(!Files.exists(dest) || listDir(dest).isEmpty,
+      s"export destination $destDir must be empty")
+    Files.createDirectories(dest.resolve("meta"))
+    Seq("schema.json", "partition.txt", "indexed.txt", "retired.txt", "checks.txt")
+      .foreach { f =>
+        val p = metaDir(name).resolve(f)
+        if (Files.exists(p)) Files.copy(p, dest.resolve("meta").resolve(f))
+      }
+    val sDir = dataDir(name)
+    files.foreach { rel =>
+      val to = dest.resolve("data").resolve(rel)
+      Files.createDirectories(to.getParent)
+      Files.copy(sDir.resolve(rel), to)
+    }
+    Files.writeString(dest.resolve("snapshot.txt"),
+      (s"# export $name@v$v" +: files.sorted).mkString("\n"))
+    files.size
+  }
+
+  /** Import an [[exportTable]] snapshot as table `name` in THIS warehouse:
+    * metadata sidecars and data files copy in, and the table starts a
+    * FRESH version log at v1 (`import <srcDir>`) — by-value replication,
+    * no shared inodes, no history carried. Fails if `name` exists.
+    */
+  def importTable(name: String, srcDir: String): Int = {
+    require(!exists(name), s"table $name already exists")
+    require(!viewExists(name), s"$name is a view; views and tables share a namespace")
+    val src = Paths.get(srcDir)
+    val snap = src.resolve("snapshot.txt")
+    require(Files.exists(snap), s"$srcDir is not an exportTable snapshot")
+    val files = Files.readString(snap).split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    Files.createDirectories(metaDir(name))
+    Seq("schema.json", "partition.txt", "indexed.txt", "retired.txt", "checks.txt")
+      .foreach { f =>
+        val p = src.resolve("meta").resolve(f)
+        if (Files.exists(p)) Files.copy(p, metaDir(name).resolve(f))
+      }
+    val dDir = dataDir(name)
+    files.foreach { rel =>
+      val to = dDir.resolve(rel)
+      Files.createDirectories(to.getParent)
+      Files.copy(src.resolve("data").resolve(rel), to)
+    }
+    commitVersion(name, s"import $srcDir", files)
+  }
+
   /** CDC change feed between two retained snapshots: the row-level
     * multiset diff `tableAt(toV) ∖ tableAt(fromV)` tagged 'insert' plus
     * the reverse tagged 'delete', in a `_change` column appended to the

@@ -1126,6 +1126,35 @@ class CatalogSpec extends SparkSpec {
       "INSERT INTO rw REPLACE WHERE lang = 'en' SELECT 1"))
   }
 
+  test("exportTable/importTable: by-value snapshot replication across warehouses") {
+    val docs = Tables.documents(spark, sf0001)
+    val cat = freshCatalog()
+    cat.create("src_t", docs.schema, partitionBy = Some("lang"))
+    cat.insert("src_t", docs)
+    cat.deleteRows("src_t", col("source") === "src0") // live snapshot ⊂ all files
+    val want = cat.table("src_t").count()
+    val dest = Files.createTempDirectory("graft_export_").toString
+    val nFiles = cat.exportTable("src_t", dest)
+    assert(nFiles > 0)
+    // only the LIVE snapshot's bytes travel — the deleted-rows originals
+    // retained for time travel do not
+    val cat2 = freshCatalog()
+    val v = cat2.importTable("imported", dest)
+    assert(v === 1, "import starts a fresh log")
+    assert(cat2.table("imported").count() === want)
+    assert(cat2.table("imported").exceptAll(cat.table("src_t")).isEmpty)
+    // schema + partition column carried over
+    assert(cat2.schema("imported") === cat.schema("src_t"))
+    // by-value: mutating the import leaves the source untouched
+    cat2.deleteRows("imported", col("lang") === "en")
+    assert(cat.table("src_t").count() === want)
+    // guards: non-empty dest, unknown snapshot dir, existing name
+    intercept[IllegalArgumentException](cat.exportTable("src_t", dest))
+    intercept[IllegalArgumentException](cat2.importTable("imported", dest))
+    intercept[IllegalArgumentException](
+      cat2.importTable("x", Files.createTempDirectory("graft_notsnap_").toString))
+  }
+
   test("OCC: concurrent appends both commit, log stays linear, content = serial") {
     import spark.implicits._
     val cat = freshCatalog()
