@@ -25,12 +25,43 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing for the forked mains: 24g default, SPARK_DRIVER_MEM honored
+// up to 32g. The sweet spot is MEASURED, same code/protocol/machine:
+//  - 8g: allocation-heavy shingle kernels 10-25% slower under GC pressure
+//    (r14 A/B: containment 2.01s@8g vs 1.57s@24g);
+//  - 24g: full default-tier suite 176.4s / 173.9s (r16 runs A/B);
+//  - 90g: 212.1s on a QUIETER machine, with gc_timed at just 3.4s — the
+//    oversized lazily-committed G1 heap keeps expanding instead of
+//    reusing regions, so allocation-heavy queries continuously pay
+//    first-touch page zeroing that has nothing to do with data size.
+// A deliberately huge heap for a special run can bypass the clamp via
+// SPARK_GRAFT_JVM_EXTRA="-Xmx90g" (appended after, so it wins).
+val benchHeap: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+  req.trim.toLowerCase match {
+    case s if s.endsWith("g") && s.dropRight(1).forall(_.isDigit) =>
+      if (s.dropRight(1).toLong > 32L) "32g" else s
+    case s if s.endsWith("m") && s.dropRight(1).forall(_.isDigit) =>
+      if (s.dropRight(1).toLong > 32768L) "32g" else s
+    case _ => req // unrecognized shape: pass through untouched
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the bench/verify mains run local[32] — 32 executor
-  // threads sharing one heap. At 8g the allocation-heavy shingle kernels
-  // measured 10-25% slower under GC pressure (round-14 A/B: containment
-  // 2.01s@8g vs 1.57s@24g, same code/protocol); the machine has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  s"-Xmx$benchHeap",
+  // The bench protocol calls System.gc() between queries (untimed
+  // hygiene so later queries aren't timed under earlier queries' heap
+  // debt). As a DEFAULT full STW collection that hygiene cost 54s of a
+  // 176s suite run (86% of all GC time; r16 A/B, gc_hygiene_sec in the
+  // bench env block) — and at the invoking harness's ~90g heap it was
+  // the bulk of 76s. This flag turns explicit GC into a CONCURRENT G1
+  // cycle: same reclamation, pauses only at initial-mark/remark.
+  // Measured: gc_sec 62.4 -> 7.6 on the identical full suite, total
+  // unchanged (176.4 -> 173.9).
+  "-XX:+ExplicitGCInvokesConcurrent",
+) ++
+  // Escape hatch for GC/JIT experiments (A/B flags without editing the
+  // build): space-separated JVM flags, applied after the defaults.
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").map(_.split(" ").toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq.empty)

@@ -22,12 +22,18 @@ import org.apache.spark.sql.SparkSession
   *    still warms up once after a restart, so JIT state is the only
   *    cross-boundary carryover.
   *
-  * Output contract (two records, one source of truth):
-  *  - `BENCH_local.json` in the repo working dir: the COMPLETE
-  *    full-precision per-query record, rewritten on every run. The
-  *    harness that invokes this main captures only the tail of sbt's
-  *    stdout (~2000 chars); the full per-query map plus names alone
-  *    exceeds that window, so the durable complete record lives on disk.
+  * Output contract (three records, one source of truth):
+  *  - the COMPLETE full-precision per-query record, rewritten on every
+  *    run, in the repo working dir — tier-named so records stay
+  *    comparable round over round: `BENCH_local.json` (full tier ONLY),
+  *    `BENCH_local_default.json` (default tier, weekly rows skipped),
+  *    `BENCH_local_filtered.json` (name-filtered runs). The harness that
+  *    invokes this main captures only the tail of sbt's stdout (~2000
+  *    chars); the full per-query map plus names alone exceeds that
+  *    window, so the durable complete record lives on disk.
+  *  - `BENCH_metric.json`: byte-identical copy of the compact stdout
+  *    line — the machine-readable metric for harnesses whose tail
+  *    capture interleaves sbt/log4j chatter into stdout.
   *  - stdout, last line before sbt's epilogue: ONE compact JSON line with
   *    the suite total and the headline/perf-watch query subset, sized to
   *    always fit the tail window so it parses every round. It carries a
@@ -92,6 +98,20 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
 
+    // GC attribution: total collector time is split into (a) GC that ran
+    // while a query was being TIMED (inflates the recorded medians) and
+    // (b) GC during the untimed between-query hygiene (System.gc() full
+    // collections — wall-clock cost to the suite run, but invisible in
+    // per-query numbers). The env block reports both so a "gc_sec" number
+    // can be read for what it is instead of blamed on the queries.
+    def gcNow(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum / 1000.0
+    }
+    var gcTimed = 0.0
+    var gcHygiene = 0.0
+
     // Full materialization via the noop sink: every projected column is
     // computed and every sort retained (a bare .count() lets Catalyst prune
     // projections/sorts, under-measuring real query cost).
@@ -118,6 +138,7 @@ object Bench {
     // removal completes before the next query's timer starts, so slow
     // ContextCleaner churn can't leak block-manager pressure forward.
     def cleanBetween(): Unit = {
+      val g0 = gcNow()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
       // untimed GC between queries: without it, allocation-heavy queries
@@ -126,6 +147,7 @@ object Bench {
       // isolated vs 7.7 s in-suite for the same query. Standard
       // between-iteration hygiene; costs untimed milliseconds.
       System.gc()
+      gcHygiene += gcNow() - g0
     }
     // Stable ordering so per-round bench JSON diffs cleanly.
     val toRun = SparkEntry.allQ
@@ -143,7 +165,9 @@ object Bench {
       val t =
         try {
           time(materialize(q.run(spark, sfDir))) // warm-up (JIT + parquet footer cache)
+          val g0 = gcNow()
           val ts = (1 to runs).map(_ => time(materialize(q.run(spark, sfDir)))).sorted
+          gcTimed += gcNow() - g0
           if (ts.size % 2 == 1) ts(ts.size / 2)
           else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
         } catch { case _: Throwable => -1.0 }
@@ -157,9 +181,13 @@ object Bench {
     val suiteTotal = results.map(_._2).filter(_ >= 0).sum
     // Complete full-precision record — durable, can't be tail-truncated.
     // A filtered run writes a separate file so it can't masquerade as (or
-    // clobber) the full-suite record.
+    // clobber) the full-suite record, and (r15 advisor) the default tier
+    // writes a tier-suffixed file too: `BENCH_local.json` is FULL-suite
+    // only, so its `total` stays comparable across rounds.
     val recordName =
-      if (filter.isDefined) "BENCH_local_filtered.json" else "BENCH_local.json"
+      if (filter.isDefined) "BENCH_local_filtered.json"
+      else if (fullTier) "BENCH_local.json"
+      else "BENCH_local_default.json"
     // Environment evidence (the round-14 finding: identical code measures
     // 2.5× apart under different machine states; medians bound but don't
     // eliminate it). Recording load/memory/GC alongside the numbers makes
@@ -181,9 +209,13 @@ object Bench {
           gs.map(_.getCollectionTime).sum / 1000.0)
       }
       s"""{"load_avg":$load,"free_mem_gb":$freeGb,"heap_gb":$heapGb,""" +
-        s""""gc_count":$gcN,"gc_sec":$gcSec,"cpus":$cpus}"""
+        s""""gc_count":$gcN,"gc_sec":$gcSec,""" +
+        f""""gc_timed_sec":$gcTimed%.1f,"gc_hygiene_sec":$gcHygiene%.1f,""" +
+        s""""cpus":$cpus}"""
     }
     val env = envJson()
+    val tier =
+      if (filter.isDefined) "filtered" else if (fullTier) "full" else "default"
     val weeklyJson = weeklySkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     def json(rs: Seq[(String, Double)], round: Boolean): String = {
       val qs = rs.map { case (k, v) =>
@@ -191,12 +223,20 @@ object Bench {
         "\"" + k + "\":" + vs
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$suiteTotal,"unit":"sec","queries":$qs,""" +
-        s""""local_json":"$recordName","runs":$runs,"sf":"$sfDir",""" +
-        s""""env":$env,"weekly_skipped":$weeklyJson}"""
+        s""""local_json":"$recordName","tier":"$tier","runs":$runs,""" +
+        s""""sf":"$sfDir","env":$env,"weekly_skipped":$weeklyJson}"""
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.props("user.dir"), recordName),
-      (json(results, round = false) + "\n").getBytes("UTF-8"))
+    def writeRecord(name: String, body: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.props("user.dir"), name),
+        (body + "\n").getBytes("UTF-8"))
+    writeRecord(recordName, json(results, round = false))
+    // The compact headline line ALSO lands in a dedicated file: the
+    // invoking harness's tail window mixes sbt/log4j chatter into stdout
+    // (BENCH_r15.json recorded "parsed": null because of it), so the
+    // machine-readable copy of exactly what stdout prints lives on disk.
+    writeRecord("BENCH_metric.json",
+      json(results.filter(r => headline.contains(r._1)), round = true))
     // stop FIRST, print LAST: shutdown-time log lines must not land after
     // the compact headline line and push it out of the harness's
     // ~2000-char tail window.

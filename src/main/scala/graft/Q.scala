@@ -39,13 +39,14 @@ object Q {
     Q(name, run, None)
 
   /** Weekly-tier query: a full LIFECYCLE replay (multi-batch streaming
-    * runs, train-then-serve loops, incremental-maintenance epochs) whose
-    * cheap serving-path twin is the row a per-round bench should time.
-    * Still a first-class oracle row — Verify runs it every round and the
-    * DuckDB gate checks it — but [[Bench]] skips it by default
-    * (`SPARK_GRAFT_BENCH_TIER=full` restores it), the way a production
-    * perf suite times the serving path per-commit and the end-to-end
-    * rebuild on a slower cadence.
+    * runs, train-then-serve loops, incremental-maintenance epochs) or an
+    * ALGORITHM-VARIANT twin sharing another row's oracle, whose cheaper
+    * per-round twin is the row a per-round bench should time. Still a
+    * first-class oracle row — Verify runs it every round and the DuckDB
+    * gate checks it, and `WeeklyTierSpec` executes it per test run — but
+    * [[Bench]] skips it by default (`SPARK_GRAFT_BENCH_TIER=full`
+    * restores it), the way a production perf suite times the serving
+    * path per-commit and the end-to-end rebuild on a slower cadence.
     */
   def weekly(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): Q =

@@ -433,6 +433,60 @@ object StressScale {
         s""""update_batches":$nBatchU,"update_state_rows":[${stateU.mkString(",")}]}""")
   }
 
+  /** OCC contention stress: `writers` real threads each commit `rounds`
+    * blind appends to ONE table — writers × rounds committed versions,
+    * every slot raced by up to `writers` stagers. Asserts the log came
+    * out linear (1..writers·rounds, the serializability witness) and the
+    * final content equals the serial union, then prints one JSON line
+    * with wall time and commit throughput. The registered
+    * `catalog_concurrent_commit` row races 4×1; this is the
+    * more-writers × more-versions tier the r15 verdict asked for.
+    */
+  def occ(spark: SparkSession, dir: String, writers: Int, rounds: Int): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_occ_").toString
+    val cat = new graft.sources.Catalog(spark, wh)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars").cache()
+    val total = docs.count() // materialize once; writers slice it
+    val slices = writers * rounds
+    cat.create("occ_stress", docs.schema)
+    val t0 = System.nanoTime()
+    val threads = (0 until writers).map { w =>
+      new Thread(() =>
+        (0 until rounds).foreach { r =>
+          val k = w * rounds + r
+          cat.insert("occ_stress", docs.filter(col("doc_id") % slices === k))
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val log = cat.versions("occ_stress")
+    require(log == (1 to slices),
+      s"OCC log must be linear 1..$slices, got ${log.take(8)}...")
+    val landed = cat.table("occ_stress").count()
+    require(landed == total, s"content: $landed of $total rows landed")
+    docs.unpersist()
+    println(f"""{"mode":"occ","writers":$writers,"rounds":$rounds,""" +
+      f""""versions":$slices,"rows":$landed,"wall_sec":$wall%.2f,""" +
+      f""""commits_per_sec":${slices / wall}%.2f}""")
+  }
+
+  /** WordPiece training at a LARGER vocab than the registered row
+    * (topN=150 × 6 rounds): times `wordpieceTrain(topN, rounds)` over the
+    * corpus in `dir` and prints one JSON line. Run at sf0.1 and at a
+    * `gen`-scaled 10× dir to read the corpus-growth factor; raise topN /
+    * rounds for the vocab-growth factor (per-round work is vocab-sized
+    * windows — corpus is scanned once into the word table).
+    */
+  def wp(spark: SparkSession, dir: String, topN: Int, rounds: Int): Unit = {
+    val t0 = System.nanoTime()
+    val (merges, _) = graft.operators.TextOps.wordpieceTrain(
+      Tables.documents(spark, dir), topN = topN, rounds = rounds)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"mode":"wp","topN":$topN,"rounds":$rounds,""" +
+      f""""merges":${merges.size},"wall_sec":$wall%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.toList match {
@@ -444,9 +498,12 @@ object StressScale {
       case "simx" :: dir :: stride :: Nil => simx(spark, dir, stride.toLong)
       case "dml" :: dir :: Nil => dml(spark, dir)
       case "stream" :: dir :: Nil => stream(spark, dir)
+      case "occ" :: dir :: w :: r :: Nil => occ(spark, dir, w.toInt, r.toInt)
+      case "wp" :: dir :: t :: r :: Nil => wp(spark, dir, t.toInt, r.toInt)
       case other => sys.error(
         s"usage: gen <srcSfDir> <outDir> <replicas> | cand <dir> | sem <dir> <k> " +
-          s"| sketch <dir> | simx <dir> <stride> | dml <dir> | stream <dir>; got $other")
+          s"| sketch <dir> | simx <dir> <stride> | dml <dir> | stream <dir> " +
+          s"| occ <dir> <writers> <rounds> | wp <dir> <topN> <rounds>; got $other")
     }
     spark.stop()
   }

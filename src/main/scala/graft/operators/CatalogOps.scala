@@ -1233,8 +1233,10 @@ object CatalogOps {
     // table would actually cluster on). A 3-D box — low users × a value
     // band × one week of the month — must prune a strict subset of files
     // (asserted in CatalogSpec) and never change results — the oracle is
-    // the plain triple filter ----
-    Q(
+    // the plain triple filter. Weekly tier: same clustering discipline as
+    // catalog_zorder_prune one dimension up (one write-heavy layout row
+    // carries the per-round perf signal; Verify still checks both) ----
+    Q.weekly(
       "catalog_zorder_3d",
       """SELECT event_id, user_id, value FROM events
         |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20.0 AND 60.0

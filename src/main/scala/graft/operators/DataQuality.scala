@@ -56,8 +56,27 @@ object DataQuality {
       // branches run in the same job, and the scan re-reads are
       // column-pruned parquet. Measured 2.6 s → 0.6 s on the 5-column
       // orders profile at sf0.1.
+      //
+      // The fan-out re-executes df's lineage once per column, so the
+      // branches only agree row-for-row when that lineage is
+      // deterministic (a table scan, the ANALYZE use case). Anything
+      // else — rand()/UUID columns, a non-idempotent source — is pinned
+      // first so every branch profiles the SAME materialized rows, the
+      // consistency the old single-pass multi-distinct gave. Plain
+      // scan/project/filter lineage skips the pin (no reason to spill a
+      // 100 TB table to profile it).
+      val deterministic = {
+        val lp = df.queryExecution.logical
+        lp.collect { case n => n }.forall { n =>
+          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] ||
+          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] ||
+          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter] ||
+          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]
+        } && lp.expressions.forall(_.deterministic)
+      }
+      val src = if (deterministic) df else graft.Tables.pin(df)
       val branches = cols.zip(keyed).map { case (c, key) =>
-        df.agg(
+        src.agg(
           count(lit(1)).as("n_rows"),
           count(col(c)).as("n_nonnull"),
           countDistinct(key).as("n_distinct"),

@@ -791,8 +791,11 @@ object TrainingData {
     // ---- the same cluster resolution through the O(log n) large-star/
     // small-star contraction (the adversarial-depth variant): both CC
     // formulations must land on the identical min-id components, so this
-    // row shares dedup_components' recursive-CTE oracle verbatim ----
-    Q(
+    // row shares dedup_components' recursive-CTE oracle verbatim.
+    // Weekly tier: algorithm-variant twin of dedup_components — Verify
+    // oracle-checks it every round; the per-round bench times the
+    // min-label formulation that shares its plan prefix ----
+    Q.weekly(
       "dedup_components_star",
       s"""WITH RECURSIVE $jaccardPairsCte,
          |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs

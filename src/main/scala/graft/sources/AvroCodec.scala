@@ -68,16 +68,25 @@ object AvroCodec {
   def readAvro(spark: SparkSession, path: String, target: StructType,
       splitBytes: Long = 32L << 20): DataFrame = {
     val splits = planSplits(spark, path, splitBytes)
+    // Tasks must open the file through the SAME filesystem config the
+    // driver listed it with (spark.hadoop.* overrides, fs.defaultFS,
+    // object-store credentials) — a bare `new Configuration()` in the
+    // task silently drops them all. Hadoop's Configuration is not
+    // Serializable, so ship its materialized key/values and overlay them
+    // onto task-side defaults (once per partition, not per record).
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
     val rows = spark.sparkContext
       .parallelize(splits, math.max(splits.size, 1))
       .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { sp =>
-          // default Configuration resolves file:// and the cluster's
-          // fs.defaultFS — enough for an ingest decoder; no Spark-internal
-          // SerializableConfiguration shim needed
           val in = new org.apache.avro.mapred.FsInput(
-            new org.apache.hadoop.fs.Path(sp.path),
-            new org.apache.hadoop.conf.Configuration())
+            new org.apache.hadoop.fs.Path(sp.path), conf)
           val rdr = new DataFileReader[GenericRecord](
             in, new GenericDatumReader[GenericRecord]())
           rdr.sync(sp.start) // first sync at/after start (header counts: its

@@ -792,13 +792,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * now-empty partition dirs. After `vacuum(name)` only the files the
     * retained versions can read remain on disk — time travel beyond them
     * is gone, which is the explicit trade a vacuum makes.
+    *
+    * Safe under concurrent writers (the Delta VACUUM discipline): files
+    * referenced by a manifest being DROPPED are committed history and
+    * are reclaimed immediately, but files referenced by NO manifest at
+    * all are indistinguishable from a racing writer's moved-but-not-yet-
+    * committed output, so they (and `.stage_tmp_*` staging dirs, which a
+    * live writer may still be filling) are only reclaimed once older
+    * than `orphanRetainMillis`. A crash orphan ages past the window and
+    * gets swept on a later vacuum; an in-flight write never loses data
+    * to a concurrent vacuum as long as its stage→commit gap is shorter
+    * than the window. Pass `orphanRetainMillis = 0` only when no writer
+    * can be active (tests, single-writer maintenance).
     */
-  def vacuum(name: String, retainLast: Int = 1): Unit = {
+  def vacuum(name: String, retainLast: Int = 1,
+      orphanRetainMillis: Long = Catalog.DefaultOrphanRetainMs): Unit = {
     val dir = dataDir(name)
     if (!Files.exists(dir)) return
     val keep = math.max(1, retainLast)
     val vs = versions(name)
+    val referenced = vs.flatMap(manifest(name, _)).toSet // by ANY version
     val live = vs.takeRight(keep).flatMap(manifest(name, _)).toSet
+    val orphanCutoff = System.currentTimeMillis() - math.max(0L, orphanRetainMillis)
     walkAll(dir).filter(Files.isRegularFile(_)).foreach { f =>
       val fn = f.getFileName.toString
       // a .<file>.crc checksum shares the fate of its data file
@@ -806,7 +821,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         if (fn.startsWith(".") && fn.endsWith(".crc"))
           dir.relativize(f.getParent.resolve(fn.stripPrefix(".").stripSuffix(".crc"))).toString
         else dir.relativize(f).toString
-      if (!live.contains(dataRel)) Files.delete(f)
+      if (!live.contains(dataRel)) {
+        val committedHistory = referenced.contains(dataRel)
+        if (committedHistory ||
+            Files.getLastModifiedTime(f).toMillis < orphanCutoff)
+          Files.delete(f)
+      }
     }
     // prune empty (sub)dirs, deepest first
     walkAll(dir).filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
@@ -814,9 +834,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .foreach(Files.delete)
     vs.dropRight(keep).foreach(v => Files.deleteIfExists(manifestPath(name, v)))
     // crash-orphaned staging dirs (writer-unique names don't self-clean
-    // the way the old fixed .stage_tmp did) — vacuum is the reclaim API
+    // the way the old fixed .stage_tmp did) — vacuum is the reclaim API,
+    // age-gated because an ACTIVE writer's staging dir looks identical
     listDir(dir.getParent)
       .filter(_.getFileName.toString.startsWith(dir.getFileName.toString + ".stage_tmp"))
+      .filter(d => Files.getLastModifiedTime(d).toMillis < orphanCutoff)
       .foreach(deleteRecursively)
   }
 
@@ -1783,6 +1805,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 }
 
 object Catalog {
+  /** Default age gate for reclaiming files/staging dirs referenced by NO
+    * manifest (see [[Catalog.vacuum]]): 24h, far beyond any stage→commit
+    * gap, the Delta `deletedFileRetentionDuration` idea sized for this
+    * catalog's commit latency. Committed history being dropped is NOT
+    * age-gated — only never-referenced paths are.
+    */
+  val DefaultOrphanRetainMs: Long = 24L * 3600 * 1000
+
   /** Source-file tag column used by the row-level DML manifest passes. */
   private[sources] val FileCol = "__graft_src_file"
 

@@ -293,6 +293,45 @@ class CatalogSpec extends SparkSpec {
     assert(fp(cat.table("frag")) == before, "vacuum must not change content")
   }
 
+  test("vacuum age-gates never-referenced orphans but reclaims dropped history") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001)
+    cat.create("vgate", docs.schema)
+    cat.insert("vgate", docs.repartition(4))
+    cat.compact("vgate", targetFiles = 1) // v1 files become dropped history
+    val dataDir = java.nio.file.Paths.get(cat.warehouse, "vgate", "data")
+    // simulate a RACING writer mid-commit: a fresh staging dir and a
+    // fresh moved-but-uncommitted data file — a vacuum with the default
+    // retention must leave both alone (deleting them is the silent
+    // corruption the OCC commit path can't defend against)
+    val staging = java.nio.file.Paths.get(
+      dataDir.toString + ".stage_tmp_racer1")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.writeString(staging.resolve("part-x.parquet"), "x")
+    val inflight = dataDir.resolve("part-inflight-uuid.parquet")
+    java.nio.file.Files.writeString(inflight, "y")
+    cat.vacuum("vgate")
+    assert(java.nio.file.Files.exists(staging),
+      "fresh staging dir must survive a default vacuum")
+    assert(java.nio.file.Files.exists(inflight),
+      "fresh never-referenced file must survive a default vacuum")
+    // dropped-history files ARE reclaimed in the same call
+    def parquetFiles() = java.nio.file.Files.list(dataDir).iterator()
+    import scala.jdk.CollectionConverters._
+    assert(parquetFiles().asScala.count(
+      _.getFileName.toString.endsWith(".parquet")) == 2,
+      "live + in-flight only: the 4 dropped v1 fragments must be gone")
+    // once the orphans AGE past the window they are crash debris: a
+    // zero-retention vacuum (no concurrent writers, the test's claim)
+    // sweeps both
+    cat.vacuum("vgate", orphanRetainMillis = 0L)
+    assert(!java.nio.file.Files.exists(staging),
+      "aged staging dir is crash debris — swept")
+    assert(!java.nio.file.Files.exists(inflight),
+      "aged never-referenced file is crash debris — swept")
+    assert(cat.table("vgate").count() == docs.count())
+  }
+
   test("compact preserves the Hive partition layout of a partitioned table") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)

@@ -11,10 +11,14 @@ class WeeklyTierSpec extends SparkSpec {
 
   private val weekly = SparkEntry.allQ.filter(_.weekly)
 
-  test("weekly tier is exactly the known lifecycle rows") {
+  test("weekly tier is exactly the known lifecycle/variant rows") {
+    // r16 adds the two algorithm-variant twins the r15 verdict named:
+    // dedup_components_star (same oracle as dedup_components) and
+    // catalog_zorder_3d (same layout discipline as catalog_zorder_prune)
     assert(weekly.map(_.name).sorted === Seq(
-      "bpe_corpus_tokens", "catalog_incremental_agg",
-      "stream_dedup_embedding", "stream_upsert_merge", "wordpiece_encode"))
+      "bpe_corpus_tokens", "catalog_incremental_agg", "catalog_zorder_3d",
+      "dedup_components_star", "stream_dedup_embedding",
+      "stream_upsert_merge", "wordpiece_encode"))
     // every weekly row is oracle-checked (never rows-only): down-tiering
     // the bench cadence must not weaken the correctness gate
     assert(weekly.forall(_.oracle.isDefined))
