@@ -26,23 +26,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // Heap sizing for the forked mains: 24g default, SPARK_DRIVER_MEM honored
-// up to 32g. The sweet spot is MEASURED, same code/protocol/machine:
+// up to 24g. The sweet spot is MEASURED, same code/protocol/machine
+// (r16 full default-tier suite, flag set below in all cases):
 //  - 8g: allocation-heavy shingle kernels 10-25% slower under GC pressure
 //    (r14 A/B: containment 2.01s@8g vs 1.57s@24g);
-//  - 24g: full default-tier suite 176.4s / 173.9s (r16 runs A/B);
-//  - 90g: 212.1s on a QUIETER machine, with gc_timed at just 3.4s — the
-//    oversized lazily-committed G1 heap keeps expanding instead of
-//    reusing regions, so allocation-heavy queries continuously pay
-//    first-touch page zeroing that has nothing to do with data size.
+//  - 24g: 176.4s / 173.9s (runs A/B);
+//  - 32g: 190.6s (run D);
+//  - 90g: 212.1s on the day's QUIETEST machine, gc_timed just 3.4s — the
+//    oversized heap's background work (concurrent-cycle span, region-set
+//    bookkeeping, first-touch commit of fresh regions) lands inside
+//    whichever query is being timed, producing the few-catastrophic-rows
+//    drift pattern three rounds of records documented.
 // A deliberately huge heap for a special run can bypass the clamp via
 // SPARK_GRAFT_JVM_EXTRA="-Xmx90g" (appended after, so it wins).
 val benchHeap: String = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
   req.trim.toLowerCase match {
     case s if s.endsWith("g") && s.dropRight(1).forall(_.isDigit) =>
-      if (s.dropRight(1).toLong > 32L) "32g" else s
+      if (s.dropRight(1).toLong > 24L) "24g" else s
     case s if s.endsWith("m") && s.dropRight(1).forall(_.isDigit) =>
-      if (s.dropRight(1).toLong > 32768L) "32g" else s
+      if (s.dropRight(1).toLong > 24576L) "24g" else s
     case _ => req // unrecognized shape: pass through untouched
   }
 }
