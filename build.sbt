@@ -13,6 +13,11 @@ Test / fork := true
 run / fork := true
 // forward stdin to the forked JVM so the Dump REPL works under runMain
 run / connectInput := true
+// Inherit stdout instead of routing it through sbt's logger: the bench
+// metric line must reach the invoking harness UNPREFIXED (sbt's default
+// strategy prepends "[info] ", which is what left BENCH_r15.json with
+// "parsed": null — its tail parser never saw a line starting with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
