@@ -46,12 +46,33 @@ val jdk17AddOpens = Seq(
 // SPARK_GRAFT_JVM_EXTRA="-Xmx90g" (appended after, so it wins).
 val benchHeap: String = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-  req.trim.toLowerCase match {
-    case s if s.endsWith("g") && s.dropRight(1).forall(_.isDigit) =>
-      if (s.dropRight(1).toLong > 24L) "24g" else s
-    case s if s.endsWith("m") && s.dropRight(1).forall(_.isDigit) =>
-      if (s.dropRight(1).toLong > 24576L) "24g" else s
-    case _ => req // unrecognized shape: pass through untouched
+  // normalize every -Xmx suffix (k/m/g/t) to MiB so a request can't dodge
+  // the clamp by unit choice; unrecognized shapes are rejected loudly
+  // rather than passed through to a confusing JVM launch error
+  val s = req.trim.toLowerCase
+  val mib: Option[Long] =
+    if (s.nonEmpty && s.init.nonEmpty && s.init.forall(_.isDigit))
+      s.last match {
+        case 'k' => Some(s.init.toLong / 1024)
+        case 'm' => Some(s.init.toLong)
+        case 'g' => Some(s.init.toLong * 1024)
+        case 't' => Some(s.init.toLong * 1024 * 1024)
+        case _   => None
+      }
+    else None
+  mib match {
+    case None =>
+      sys.error(s"SPARK_DRIVER_MEM='$req' is not <digits>[kmgt]; " +
+        "use e.g. 24g (values above 24g are clamped — bypass via " +
+        "SPARK_GRAFT_JVM_EXTRA=\"-Xmx<size>\")")
+    case Some(m) if m > 24576L =>
+      // visible at load so a silently-shrunk big run (e.g. a 64g 10x
+      // StressScale) is attributable from the sbt log, not a mystery OOM
+      println(s"[graft] SPARK_DRIVER_MEM=$req clamped to 24g — the " +
+        "measured sweet spot (see NOTES_r16); bypass with " +
+        "SPARK_GRAFT_JVM_EXTRA=\"-Xmx" + req + "\"")
+      "24g"
+    case _ => s
   }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -156,6 +156,15 @@ object Bench {
     val weeklySkipped =
       if (fullTier || filter.isDefined) Seq.empty
       else SparkEntry.allQ.filter(_.weekly).map(_.name)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // per-QUERY load average (r16 verdict item: the per-run load number
+    // can't attribute which rows a host-contention burst landed on)
+    val loadByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = toRun.zipWithIndex.map { case (q, idx) =>
       if (idx > 0 && restartEvery > 0 && idx % restartEvery == 0) {
         // session rotation (untimed): bounded-state execution windows
@@ -166,11 +175,18 @@ object Bench {
         try {
           time(materialize(q.run(spark, sfDir))) // warm-up (JIT + parquet footer cache)
           val g0 = gcNow()
-          val ts = (1 to runs).map(_ => time(materialize(q.run(spark, sfDir)))).sorted
+          var ts = (1 to runs).map(_ => time(materialize(q.run(spark, sfDir))))
+          // adaptive re-measure: when the 3 timed runs disagree by >20%
+          // of their median, the row is being bounced by host contention
+          // — two more runs make the median a 5-sample statistic, which
+          // is what shrinks the documented same-code band
+          if (runs <= 3 &&
+              (ts.max - ts.min) > 0.2 * math.max(median(ts), 1e-9))
+            ts = ts ++ (1 to 2).map(_ => time(materialize(q.run(spark, sfDir))))
           gcTimed += gcNow() - g0
-          if (ts.size % 2 == 1) ts(ts.size / 2)
-          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+          median(ts)
         } catch { case _: Throwable => -1.0 }
+      loadByQuery(q.name) = osBean.getSystemLoadAverage
       cleanBetween()
       q.name -> t
     }
@@ -179,6 +195,27 @@ object Bench {
     // tail-window line must report the same suite total as the full
     // on-disk record.
     val suiteTotal = results.map(_._2).filter(_ >= 0).sum
+    // Round-over-round comparable total (r16 verdict item 3): the suite
+    // total silently absorbs tier demotions/additions, so also report the
+    // sum over the INTERSECTION of query names with the previous committed
+    // same-tier record (read BEFORE this run overwrites it;
+    // SPARK_GRAFT_BENCH_PREV points it elsewhere, e.g. a driver record).
+    // Three fields: this run over the intersection, the previous record
+    // over the same intersection, and the intersection size — the judge
+    // reads code-level delta directly from the first two.
+    def prevQueries(path: java.nio.file.Path): Map[String, Double] = {
+      if (!java.nio.file.Files.exists(path)) return Map.empty
+      val body = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      // a prev record at a DIFFERENT scale factor (e.g. an sf0.001 smoke
+      // run's leftover) would make the delta meaningless — skip it
+      val prevSf = """"sf"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(body).map(_.group(1))
+      if (!prevSf.contains(sfDir)) return Map.empty
+      val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse(return Map.empty)
+      """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qBlock)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
     // Complete full-precision record — durable, can't be tail-truncated.
     // A filtered run writes a separate file so it can't masquerade as (or
     // clobber) the full-suite record, and (r15 advisor) the default tier
@@ -188,6 +225,15 @@ object Bench {
       if (filter.isDefined) "BENCH_local_filtered.json"
       else if (fullTier) "BENCH_local.json"
       else "BENCH_local_default.json"
+    val prev = prevQueries(java.nio.file.Paths.get(sys.props("user.dir"),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", recordName)))
+    val shared = results.collect {
+      case (n, t) if t >= 0 && prev.get(n).exists(_ >= 0) => (n, t, prev(n))
+    }
+    val comparableJson =
+      f""""comparable_total":${shared.map(_._2).sum}%.1f,""" +
+        f""""comparable_prev_total":${shared.map(_._3).sum}%.1f,""" +
+        s""""comparable_n":${shared.size},"""
     // Environment evidence (the round-14 finding: identical code measures
     // 2.5× apart under different machine states; medians bound but don't
     // eliminate it). Recording load/memory/GC alongside the numbers makes
@@ -217,12 +263,19 @@ object Bench {
     val tier =
       if (filter.isDefined) "filtered" else if (fullTier) "full" else "default"
     val weeklyJson = weeklySkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def json(rs: Seq[(String, Double)], round: Boolean): String = {
+    def json(rs: Seq[(String, Double)], round: Boolean,
+        withLoad: Boolean = false): String = {
       val qs = rs.map { case (k, v) =>
         val vs = if (round) f"$v%.3f" else v.toString
         "\"" + k + "\":" + vs
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$suiteTotal,"unit":"sec","queries":$qs,""" +
+      // per-query load lives only in the on-disk full record: the stdout
+      // line must keep fitting the harness's tail window
+      val loadJson = if (!withLoad) "" else
+        loadByQuery.map { case (k, l) => f""""$k":$l%.2f""" }
+          .mkString(""""load_avg_by_query":{""", ",", "},")
+      s"""{"metric":"total","value":$suiteTotal,"unit":"sec",""" +
+        comparableJson + s""""queries":$qs,$loadJson""" +
         s""""local_json":"$recordName","tier":"$tier","runs":$runs,""" +
         s""""sf":"$sfDir","env":$env,"weekly_skipped":$weeklyJson}"""
     }
@@ -230,13 +283,16 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.props("user.dir"), name),
         (body + "\n").getBytes("UTF-8"))
-    writeRecord(recordName, json(results, round = false))
+    writeRecord(recordName, json(results, round = false, withLoad = true))
     // The compact headline line ALSO lands in a dedicated file: the
     // invoking harness's tail window mixes sbt/log4j chatter into stdout
     // (BENCH_r15.json recorded "parsed": null because of it), so the
     // machine-readable copy of exactly what stdout prints lives on disk.
-    writeRecord("BENCH_metric.json",
-      json(results.filter(r => headline.contains(r._1)), round = true))
+    // Filtered runs SKIP it (r16 advisor): a partial total must never
+    // clobber the durable suite metric.
+    if (filter.isEmpty)
+      writeRecord("BENCH_metric.json",
+        json(results.filter(r => headline.contains(r._1)), round = true))
     // stop FIRST, print LAST: shutdown-time log lines must not land after
     // the compact headline line and push it out of the harness's
     // ~2000-char tail window.

@@ -67,12 +67,16 @@ object DataQuality {
       // 100 TB table to profile it).
       val deterministic = {
         val lp = df.queryExecution.logical
+        // expressions are checked on EVERY node, not just the root: a
+        // rand() buried in a Filter below a clean Project would otherwise
+        // pass the gate and each branch would profile different rows
         lp.collect { case n => n }.forall { n =>
-          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] ||
-          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] ||
-          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter] ||
-          n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]
-        } && lp.expressions.forall(_.deterministic)
+          (n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] ||
+            n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] ||
+            n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter] ||
+            n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]) &&
+          n.expressions.forall(_.deterministic)
+        }
       }
       val src = if (deterministic) df else graft.Tables.pin(df)
       val branches = cols.zip(keyed).map { case (c, key) =>

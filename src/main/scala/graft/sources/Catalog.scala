@@ -446,6 +446,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     else parquetRowCount(added.map(rel => dataDir(name).resolve(rel)))
   }
 
+  /** Two-phase seam for the cross-process vacuum-race spec: [[stageOnly]]
+    * leaves the table in exactly the state a racing writer exposes to a
+    * concurrent vacuum — data files moved into the live tree, referenced
+    * by NO manifest — and [[commitStaged]] publishes them later. Only the
+    * phase split is test-only; both halves are the production [[insert]]
+    * path verbatim, so what the spec exercises is what ships.
+    */
+  private[graft] def stageOnly(name: String, df: DataFrame): Seq[String] =
+    stageIn(name, projectToPhysical(name, df))
+
+  private[graft] def commitStaged(name: String, files: Seq[String]): Unit =
+    commitAppend(name, "insert", files)
+
   /** Exact row count of freshly written parquet files from their footer
     * metadata — a driver-side footer read per file, NO Spark job (the
     * previous `spark.read.parquet(...).count()` launched a full job per
@@ -780,6 +793,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         val dst = dir.resolve(rel)
         Files.createDirectories(dst.getParent)
         Files.move(p, dst)
+        // restamp mtime to MOVE time: vacuum's orphan age gate keys off
+        // the data file's mtime, and a move preserves the time the bytes
+        // were WRITTEN in staging — for a long write job that would start
+        // the orphan clock at first byte, not at publish, letting a
+        // concurrent vacuum reclaim a moved-but-uncommitted file whose
+        // write alone outlived the retain window. With the restamp the
+        // gate's bound is move→commit, which is metadata-fast.
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis()))
         rel.toString
       }
     deleteRecursively(staged)
@@ -801,9 +823,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * live writer may still be filling) are only reclaimed once older
     * than `orphanRetainMillis`. A crash orphan ages past the window and
     * gets swept on a later vacuum; an in-flight write never loses data
-    * to a concurrent vacuum as long as its stage→commit gap is shorter
-    * than the window. Pass `orphanRetainMillis = 0` only when no writer
-    * can be active (tests, single-writer maintenance).
+    * to a concurrent vacuum as long as its MOVE→commit gap is shorter
+    * than the window ([[stageIn]] restamps each file's mtime at move
+    * time, so the write job's duration — however long the stage phase
+    * ran — does not count against the window; only the metadata-fast
+    * publish→commit hop does). Pass `orphanRetainMillis = 0` only when
+    * no writer can be active (tests, single-writer maintenance).
     */
   def vacuum(name: String, retainLast: Int = 1,
       orphanRetainMillis: Long = Catalog.DefaultOrphanRetainMs): Unit = {

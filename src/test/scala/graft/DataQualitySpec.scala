@@ -29,6 +29,20 @@ class DataQualitySpec extends SparkSpec {
     assert(plan.split("\n").count(_.contains("LocalRelation")) == 1)
   }
 
+  test("exact profile pins nondeterministic lineage BELOW the root so every branch sees the same rows") {
+    // the r16 advisor's exact hole: rand() in a Filter under a clean
+    // Project — the root's expressions are deterministic, so a root-only
+    // gate re-executes the sample per column and the branches disagree
+    val df = graft.Tables.orders(spark, sf0001)
+      .filter(rand() < 0.5)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val nRows = DataQuality
+      .profile(df, Seq("o_orderkey", "o_custkey", "o_totalprice"), exact = true)
+      .select("n_rows").collect().map(_.getLong(0)).distinct
+    assert(nRows.length == 1,
+      s"branches profiled different row sets: n_rows ∈ ${nRows.mkString(",")}")
+  }
+
   test("uniqueReport counts duplicated keys, not duplicated rows") {
     val df = Seq(1L, 2L, 2L, 2L, 3L, 3L, 4L).toDF("k")
     val rep = DataQuality.uniqueReport(df, "k", "k.unique").collect().head
