@@ -28,6 +28,56 @@ object DevTime {
     def mat(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.contains("jacc")) {
+      // stage decomposition of prefixFilteredJaccardPairs (r16 verdict's
+      // dedup_ngram_jaccard watch item): which stage owns the ~2.9 s
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val sh = Dedup.explodedShingles(Tables.fanOut(docs), "doc_id",
+        Dedup.shingles3(col("text")))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      mat(sh.limit(1).toDF()) // warm
+      (1 to 2).foreach { i =>
+        t(s"[$i] explode+hash")(mat(sh))
+        val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        t(s"[$i] docFreq")(mat(docFreq))
+        val arr = sh.join(docFreq, "sh")
+          .groupBy(col("doc_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("df"), col("sh")))),
+            s => s.getField("sh")).as("arr"))
+        t(s"[$i] arr (join+collect+sort)")(mat(arr))
+        val eps = 1e-9
+        val threshold = 0.8
+        val pref = arr
+          .select(col("doc_id"), size(col("arr")).as("sz"), col("arr"))
+          .select(col("doc_id"), col("sz"), posexplode(
+            slice(col("arr"), lit(1),
+              (col("sz") - ceil(lit(threshold) * col("sz") - lit(eps)) + 1).cast("int")))
+            .as(Seq("pos0", "sh")))
+        val a = pref.select(
+          col("doc_id").as("doc_a"), col("sh"), (col("pos0") + 1).as("pa"), col("sz").as("na"))
+        val b = pref.select(
+          col("doc_id").as("doc_b"), col("sh"), (col("pos0") + 1).as("pb"), col("sz").as("nb"))
+        val cand = a.join(b, Seq("sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(least(col("na"), col("nb")).cast("double")
+            >= lit(threshold) * greatest(col("na"), col("nb")) - lit(eps))
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(min(least(col("pa"), col("pb"))
+            + least(col("na") - col("pa"), col("nb") - col("pb"))).as("ub"))
+          .filter(col("ub").cast("double")
+            >= lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(eps))
+          .select("doc_a", "doc_b")
+        t(s"[$i] cand (prefix join)")(mat(cand))
+        t(s"[$i] full query")(mat(
+          SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)))
+        t(s"[$i] merge full")(mat(
+          SparkEntry.queries("catalog_merge")(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
+
     val cp = Tables.orders(spark, sfDir)
       .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))

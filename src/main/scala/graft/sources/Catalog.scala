@@ -1678,23 +1678,38 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val base = currentVersion(name)
     val s = schema(name)
     require(s.fieldNames.contains(key), s"merge key $key not in schema of $name")
-    val nUpd = updates.count()
-    val keys = updates.select(col(key)).distinct()
-    val nKeys = keys.count()
+    // one pass over updates for both counts (was two separate jobs — at
+    // scale each job is a full scan of the update set)
+    val updStats = updates.agg(
+      count(lit(1)).as("n"), count_distinct(col(key)).as("k")).head()
+    val (nUpd, nKeys) = (updStats.getLong(0), updStats.getLong(1))
     require(nUpd == nKeys,
       s"merge updates must be key-unique on $key: $nUpd rows over $nKeys keys")
+    val keys = updates.select(col(key)).distinct()
     val updLogical = alignUpdates(name, updates)
     if (manifest(name, currentVersion(name)).isEmpty) {
       insert(name, updLogical); return (0L, nUpd)
     }
-    val perFile = collectBounded("merge", name,
-      logicalWithFile(name).join(keys, Seq(key), "left_semi")
-        .groupBy(Catalog.FileCol).agg(count(lit(1)).as("n")))
+    // rollup folds the old separate matchedKeys job (a second semi-join
+    // scan of the affected files) into the manifest pass: the grand-total
+    // row carries the distinct matched key count, the per-file rows the
+    // rewrite set. Expand doubles only the MATCHED rows (the trickle),
+    // never the full table scan.
+    // fresh-aliased left side: `updates` routinely derives from this very
+    // table (read-modify-write), and an unqualified post-join reference to
+    // the key column would trip DetectAmbiguousSelfJoin
+    val tagged = logicalWithFile(name)
+      .select(col(Catalog.FileCol).as("__f"), col(key).as("__k"))
+    val perFileAll = collectBounded("merge", name,
+      tagged.as("t").join(keys.as("u"),
+          col("t.__k") === col(s"u.$key"), "left_semi")
+        .rollup(col("t.__f"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("t.__k")).as("nk")))
+    val perFile = perFileAll.filter(!_.isNullAt(0))
     if (perFile.isEmpty) { insert(name, updLogical); return (0L, nUpd) }
     val affected = perFile.map(_.getString(0)).toSeq.sorted
     val matched = perFile.map(_.getLong(1)).sum
-    val matchedKeys = keys.join(
-      logicalOverFiles(name, affected), Seq(key), "left_semi").count()
+    val matchedKeys = perFileAll.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(0L)
     // retained non-matched rows of the affected files + ALL update rows
     // (matched replacements and fresh inserts alike) form the staged write
     val retained = logicalOverFiles(name, affected).join(keys, Seq(key), "left_anti")
