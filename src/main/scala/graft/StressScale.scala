@@ -98,8 +98,15 @@ object StressScale {
     java.nio.file.Files.createDirectories(out)
     val docs = Tables.documents(spark, srcDir)
     val emb = Tables.embeddings(spark, srcDir)
-    // id stride larger than any fixture id keeps replica ranges disjoint
-    val stride = 10000000L
+    // id stride larger than any fixture id keeps replica ranges disjoint.
+    // It must ALSO clear every insert-clone offset the catalog DML
+    // queries apply to doc_id (+10^7 merge/changes/sql_dml, +2·10^7
+    // sql_merge_cond/evolve, +9·10^7/+9.5·10^7 quarantine — at the old
+    // 10^7 stride, replica k+1's originals collided with replica k's
+    // clones → "updates must be key-unique" at sf1), while keeping every
+    // derived id below the ~2^31 bound long-packing schemes put on ids:
+    // 10^8 clears the largest offset and caps derived ids near 10^9.
+    val stride = 100000000L
     (0 until replicas).map(documentReplica(docs, _, stride))
       .reduce(_.unionAll(_))
       .repartition(32).write.mode("overwrite")
@@ -136,6 +143,8 @@ object StressScale {
       replicas: Int): Unit = {
     val out = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(out)
+    // TPC-H keys feed the graph rows' shiftleft(key, 32) pair packing, so
+    // replica keys must stay < 2^31: 10^7 keeps max keys ~9·10^7
     val stride = 10000000L
     def shift(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
       keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * stride)))
@@ -151,6 +160,36 @@ object StressScale {
       .repartition(32).write.mode("overwrite")
       .parquet(out.resolve("lineitem.parquet").toString)
     println(s"""{"gentpch":"$outDir","replicas":$replicas}""")
+  }
+
+  /** Complete replica fixture for a FULL default-tier suite run (r16
+    * verdict item 2): [[gen]]'s doc/embedding/events replicas plus the
+    * whole TPC-H tier — fact tables AND their dimensions shifted by the
+    * same key stride, so every within-replica join relationship survives
+    * (a fact-only replication would orphan 1-1/n of the joins and read as
+    * fake sub-linearity). `region`/`nation` are fixed-cardinality in
+    * TPC-H and are copied as-is; dim nationkeys stay in range.
+    */
+  private def genAll(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    gen(spark, srcDir, outDir, replicas)
+    genTpch(spark, srcDir, outDir, replicas)
+    val out = java.nio.file.Paths.get(outDir)
+    val stride = 10000000L // must equal genTpch's fact stride
+    def rep(df: DataFrame, keys: Seq[String], parts: Int, name: String): Unit =
+      (0 until replicas).map(k =>
+        keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * stride))))
+        .reduce(_.unionAll(_))
+        .repartition(parts).write.mode("overwrite")
+        .parquet(out.resolve(s"$name.parquet").toString)
+    rep(Tables.customer(spark, srcDir), Seq("c_custkey"), 4, "customer")
+    rep(Tables.supplier(spark, srcDir), Seq("s_suppkey"), 2, "supplier")
+    rep(Tables.part(spark, srcDir), Seq("p_partkey"), 4, "part")
+    Tables.region(spark, srcDir).repartition(1)
+      .write.mode("overwrite").parquet(out.resolve("region.parquet").toString)
+    Tables.nation(spark, srcDir).repartition(1)
+      .write.mode("overwrite").parquet(out.resolve("nation.parquet").toString)
+    println(s"""{"genall":"$outDir","replicas":$replicas}""")
   }
 
   private def cand(spark: SparkSession, dir: String): Unit = {
@@ -492,6 +531,7 @@ object StressScale {
     args.toList match {
       case "gen" :: src :: out :: n :: Nil => gen(spark, src, out, n.toInt)
       case "gentpch" :: src :: out :: n :: Nil => genTpch(spark, src, out, n.toInt)
+      case "genall" :: src :: out :: n :: Nil => genAll(spark, src, out, n.toInt)
       case "cand" :: dir :: Nil => cand(spark, dir)
       case "sem" :: dir :: k :: Nil => sem(spark, dir, k.toInt)
       case "sketch" :: dir :: Nil => sketch(spark, dir)
