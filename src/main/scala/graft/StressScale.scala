@@ -182,7 +182,27 @@ object StressScale {
         .reduce(_.unionAll(_))
         .repartition(parts).write.mode("overwrite")
         .parquet(out.resolve(s"$name.parquet").toString)
-    rep(Tables.customer(spark, srcDir), Seq("c_custkey"), 4, "customer")
+    // customers get a per-replica NAME tag on top of the key shift:
+    // `er_link_typos` links on levenshtein(c_name, dirty) <= 1, and
+    // byte-identical replica names would make every dirty name truly
+    // match all `replicas` copies — the scaling run would then measure
+    // planted collisions (~replicas² pair growth), not the blocking join
+    // (r17 verdict item 3). The tag is a triplicated 2-letter code
+    // ("~aaabbb" shape): any two distinct codes differ in >=1 of the 2
+    // letters, each letter appears 3x, so pairwise levenshtein >= 3
+    // (equal lengths; lev >= len - LCS, LCS <= 3) — one substitution of
+    // typo noise can never bridge replicas. Within a replica the tag is
+    // constant, so all within-replica ER semantics are untouched.
+    require(replicas <= 676, s"name tags support <=676 replicas, got $replicas")
+    def nameTag(k: Int): String =
+      "~" + ("" + ('a' + k / 26).toChar) * 3 + ("" + ('a' + k % 26).toChar) * 3
+    (0 until replicas).map { k =>
+      Tables.customer(spark, srcDir)
+        .withColumn("c_custkey", col("c_custkey") + lit(k * stride))
+        .withColumn("c_name", concat(col("c_name"), lit(nameTag(k))))
+    }.reduce(_.unionAll(_))
+      .repartition(4).write.mode("overwrite")
+      .parquet(out.resolve("customer.parquet").toString)
     rep(Tables.supplier(spark, srcDir), Seq("s_suppkey"), 2, "supplier")
     rep(Tables.part(spark, srcDir), Seq("p_partkey"), 4, "part")
     Tables.region(spark, srcDir).repartition(1)

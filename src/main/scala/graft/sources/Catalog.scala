@@ -1510,10 +1510,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * the driver never materializes an over-bound file list.
     */
   private def collectBounded(op: String, name: String,
-      perFile: DataFrame): Array[org.apache.spark.sql.Row] = {
+      perFile: DataFrame,
+      rollupTotalRow: Boolean = false): Array[org.apache.spark.sql.Row] = {
     val cap = maxAffectedFiles
-    val rows = perFile.take(cap + 1)
-    if (rows.length > cap)
+    // a rollup grand-total row (null in the file column) is bookkeeping
+    // riding along in the same pass, not a file to rewrite — it gets a
+    // seat beyond the cap and is excluded from the bound check, so a
+    // merge touching exactly `cap` files still commits
+    val extra = if (rollupTotalRow) 1 else 0
+    val rows = perFile.take(cap + extra + 1)
+    val fileRows =
+      if (rollupTotalRow) rows.count(!_.isNullAt(0)) else rows.length
+    if (fileRows > cap)
       throw new Catalog.ManifestScaleException(
         s"$op on $name touches more than $cap data files; a copy-on-write " +
           "rewrite of that many files in one commit is driver-unbounded — " +
@@ -1666,7 +1674,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * whose `key` appears in `updates` is replaced by the update row with
     * that key, and update rows with unseen keys are appended. `updates`
     * must be key-unique (checked loudly — multiple update rows per key is
-    * the ambiguity SQL MERGE rejects at runtime).
+    * the ambiguity SQL MERGE rejects at runtime). A single NULL-keyed
+    * update row is accepted: it matches no stored row (SQL equality never
+    * matches NULL) and is inserted; two or more NULL-keyed rows are
+    * rejected as duplicates of the null key group.
     *
     * FILE-granular like [[deleteRows]]: the manifest pass semi-joins the
     * update keys against the file-tagged table (AQE broadcasts the key
@@ -1679,9 +1690,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val s = schema(name)
     require(s.fieldNames.contains(key), s"merge key $key not in schema of $name")
     // one pass over updates for both counts (was two separate jobs — at
-    // scale each job is a full scan of the update set)
+    // scale each job is a full scan of the update set). count_distinct
+    // ignores NULLs, so the null key group is counted back in explicitly
+    // (max(isNull) = 1 if any) — a SINGLE NULL-keyed update row is
+    // accepted, never matches any stored row (SQL equality), and is
+    // inserted; two or more NULL-keyed rows are duplicates of one key
+    // group and rejected, exactly the distinct().count() semantics this
+    // folded pass replaced.
     val updStats = updates.agg(
-      count(lit(1)).as("n"), count_distinct(col(key)).as("k")).head()
+      count(lit(1)).as("n"),
+      (count_distinct(col(key)) +
+        coalesce(max(col(key).isNull.cast("long")), lit(0L))).as("k")).head()
     val (nUpd, nKeys) = (updStats.getLong(0), updStats.getLong(1))
     require(nUpd == nKeys,
       s"merge updates must be key-unique on $key: $nUpd rows over $nKeys keys")
@@ -1704,7 +1723,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       tagged.as("t").join(keys.as("u"),
           col("t.__k") === col(s"u.$key"), "left_semi")
         .rollup(col("t.__f"))
-        .agg(count(lit(1)).as("n"), count_distinct(col("t.__k")).as("nk")))
+        .agg(count(lit(1)).as("n"), count_distinct(col("t.__k")).as("nk")),
+      rollupTotalRow = true)
     val perFile = perFileAll.filter(!_.isNullAt(0))
     if (perFile.isEmpty) { insert(name, updLogical); return (0L, nUpd) }
     val affected = perFile.map(_.getString(0)).toSeq.sorted

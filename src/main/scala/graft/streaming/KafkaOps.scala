@@ -122,11 +122,23 @@ object KafkaOps {
         "(file-backed replay via wireParseFileBacked needs no broker)")
     val (fmt, opts) = liveReaderConfig(spark)
     val configured = spark.readStream.format(fmt).options(opts)
+    // rewrap ONLY the missing-data-source signature (Spark's "Failed to
+    // find data source" analysis error, or a ClassNotFoundException in the
+    // cause chain) — when the connector IS present, genuine broker/option
+    // failures routinely mention "kafka" in their message and must surface
+    // verbatim, not be mislabeled with a classpath remedy
+    def isMissingSource(e: Throwable): Boolean = {
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      chain.exists {
+        case _: ClassNotFoundException => true
+        case t => Option(t.getMessage)
+          .exists(_.toLowerCase.contains("failed to find data source"))
+      }
+    }
     val wire =
       try configured.load()
       catch {
-        case e: Exception if Option(e.getMessage)
-            .exists(_.toLowerCase.contains("kafka")) =>
+        case e: Exception if isMissingSource(e) =>
           throw new IllegalStateException(
             "Kafka connector not on the classpath — add " +
               "org.apache.spark:spark-sql-kafka-0-10_2.13 (matching the " +
