@@ -25,7 +25,9 @@ object EventsOps {
     },
 
     // ---- approx_count_distinct (HLL++) — engine-specific sketch, so the
-    // oracle can't reproduce the exact value: rows-only check; bench headline ----
+    // oracle can't reproduce the exact value: rows-only check BY DESIGN;
+    // its oracle-checked accuracy contract is the `distinct_approx_check`
+    // row below (estimate within 3×rsd of the exact count) ----
     Q.rowsOnly("distinct_approx") { (s, d) =>
       Tables.events(s, d)
         .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"))
@@ -524,7 +526,10 @@ object EventsOps {
         .orderBy("event_type")
     },
     // Scalar projections (not the raw array) so the harness can sort/compare
-    // the rows-only output deterministically.
+    // the rows-only output deterministically. Rows-only BY DESIGN
+    // (engine-specific sketch); its oracle-checked accuracy contract is
+    // the `q_percentile_approx_check` row (approx within rank tolerance
+    // of the exact percentile, both computed by the oracle too).
     Q.rowsOnly("q_percentile_approx") { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")

@@ -50,6 +50,35 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** KEYED range join — the bounded-output shape [[rangeJoin]] should be
+    * traded up to whenever the semantics carry an entity key: points join
+    * intervals on `pKey == ivKey` AND containment, equi-joined through
+    * (key, bucket). The pure-range form's candidate set is all co-temporal
+    * pairs (grows ~quadratically when both sides grow together — the
+    * measured 28–36× at 10× data on `q_range_join`); the keyed form's is
+    * bounded by per-key × per-bucket cardinality, so 10× entities with
+    * the same per-entity activity is 10× work — the 100 TB-safe contract,
+    * the way `dedup_semantic_scaled` twins `dedup_semantic`. Shuffle is
+    * one hash exchange on (key, bucket) per side; exactly-once output per
+    * match holds for the same reason as [[rangeJoin]].
+    */
+  def rangeJoinKeyed(
+      points: DataFrame, pCol: String, pKey: String,
+      intervals: DataFrame, startCol: String, endCol: String, ivKey: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", floor(col(pCol) / bucketWidth))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__ibucket", explode(sequence(
+        floor(col(startCol) / bucketWidth),
+        floor((col(endCol) - 1) / bucketWidth))))
+    p.join(iv,
+        col(pKey) === col(ivKey) && col("__bucket") === col("__ibucket"))
+      .filter(col(pCol) >= col(startCol) && col(pCol) < col(endCol))
+      .drop("__bucket", "__ibucket")
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- pure range join, no equi key: count ALL users' events landing
     // in each user's first-2-hours window. Epoch-second integers on both
@@ -73,6 +102,35 @@ object RangeJoin {
         .agg(min("sec").as("start"))
         .withColumn("fin", col("start") + lit(7200L))
       rangeJoin(ev, "sec", iv, "start", "fin", bucketWidth = 3600L)
+        .groupBy("iv_user").agg(count(lit(1)).as("n_events"))
+        .orderBy("iv_user")
+    },
+    // ---- BOUNDED range join (scale twin of q_range_join): same window
+    // semantics but keyed — each user's window counts only that user's
+    // own events. The pure-range row above is the suite's documented
+    // worst grower (~28–36× at 10× data: co-temporal pair count is
+    // semantically quadratic); this row is the shape a 100 TB pipeline
+    // should ship (per-key bounded candidates → linear growth), kept
+    // side by side the way dedup_semantic_scaled twins dedup_semantic ----
+    Q(
+      "q_range_join_bounded",
+      """WITH ev AS (SELECT user_id,
+        |              date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+        |            FROM events),
+        |iv AS (SELECT user_id AS iv_user, MIN(sec) AS start, MIN(sec) + 7200 AS fin
+        |       FROM ev GROUP BY 1)
+        |SELECT iv.iv_user, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM iv JOIN ev e
+        |  ON e.user_id = iv.iv_user AND e.sec >= iv.start AND e.sec < iv.fin
+        |GROUP BY 1 ORDER BY iv_user""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("sec"))
+      val iv = ev.groupBy(col("user_id").as("iv_user"))
+        .agg(min("sec").as("start"))
+        .withColumn("fin", col("start") + lit(7200L))
+      rangeJoinKeyed(ev, "sec", "user_id", iv, "start", "fin", "iv_user",
+          bucketWidth = 3600L)
         .groupBy("iv_user").agg(count(lit(1)).as("n_events"))
         .orderBy("iv_user")
     },

@@ -152,4 +152,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.sorted == Seq((1L, 10L), (1L, 99L), (2L, 100L), (2L, 250L),
       (2L, 399L), (3L, 0L)))
   }
+
+  test("rangeJoinKeyed: equi key bounds candidates, matches keyed naive join") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 10L), (1L, 150L), (2L, 10L), (2L, 350L), (3L, 10L))
+      .toDF("pk", "p")
+    val intervals = Seq(
+      (1L, 0L, 100L),   // key 1: catches its own p=10 only
+      (2L, 0L, 400L),   // key 2: spans 4 buckets, catches 10 and 350
+      (9L, 0L, 400L),   // key with no points: matches nothing
+    ).toDF("ik", "s", "e")
+    val got = RangeJoin.rangeJoinKeyed(points, "p", "pk",
+        intervals, "s", "e", "ik", 100L)
+      .select("ik", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // key 3 has no interval; key 1's p=150 is out of range — the same-time
+    // point of ANOTHER key (p=10 under key 3) must NOT leak across keys
+    assert(got.sorted == Seq((1L, 10L), (2L, 10L), (2L, 350L)))
+  }
+
 }

@@ -623,6 +623,47 @@ class CatalogSpec extends SparkSpec {
     assert(dataFiles(cat, "docs") == snapshot)
   }
 
+  test("merge touching exactly maxAffectedFiles commits; cap-1 still throws") {
+    // r17 advisor: the rollup grand-total row rode along in the bounded
+    // manifest collect, silently shrinking merge's effective cap to cap-1
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    cat.create("docs", docs.schema)
+    cat.insert("docs", docs.repartition(4))
+    val nFiles = dataFiles(cat, "docs").size
+    assert(nFiles >= 2)
+    val upd = cat.table("docs").withColumn("source", lit("m"))
+    spark.conf.set("graft.dml.maxAffectedFiles", nFiles.toString)
+    try {
+      // touches every file = exactly the cap → must commit, not throw
+      assert(cat.merge("docs", upd, "doc_id") == ((100L, 0L)))
+      assert(cat.table("docs").filter(col("source") === "m").count() == 100)
+      spark.conf.set("graft.dml.maxAffectedFiles", (nFiles - 1).toString)
+      intercept[Catalog.ManifestScaleException] {
+        cat.merge("docs", cat.table("docs"), "doc_id")
+      }
+    } finally spark.conf.unset("graft.dml.maxAffectedFiles")
+  }
+
+  test("merge accepts one NULL-keyed update row (inserted), rejects two") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    cat.create("docs", docs.schema)
+    cat.insert("docs", docs)
+    val nullRow = docs.limit(1)
+      .withColumn("doc_id", lit(null).cast("long"))
+      .withColumn("source", lit("nullkey"))
+    // SQL equality never matches NULL: the row matches nothing, inserts
+    assert(cat.merge("docs", nullRow, "doc_id") == ((0L, 1L)))
+    val back = cat.table("docs")
+    assert(back.count() == 51)
+    assert(back.filter(col("doc_id").isNull).count() == 1)
+    // two NULL-keyed rows are duplicates of the null key group
+    assertThrows[IllegalArgumentException] {
+      cat.merge("docs", nullRow.unionByName(nullRow), "doc_id")
+    }
+  }
+
   test("time travel: every committed version stays readable until vacuumed") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sf0001)
