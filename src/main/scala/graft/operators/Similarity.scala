@@ -615,6 +615,24 @@ object Similarity {
     semanticNearDupPairs(corpus, id, vec, math.max(k, 1), iters, threshold, fixedK = true)
   }
 
+  /** [[semanticNearDupPairs]] at the SemDeDup paper's operating point,
+    * k = ⌈√n⌉ — the sizing that BALANCES the build's two cost terms.
+    * The k ∝ n contract ([[semanticNearDupPairsScaled]]) keeps the pair
+    * join linear but makes the Lloyd ASSIGNMENT quadratic (O(n·k·d) with
+    * k = n/c is n²·d/c — measured 38.9× for 10× data at the 100× tier,
+    * ~95% of it the assignment by the op-count arithmetic); k = √n puts
+    * assignment AND expected intra-cluster pairs both at O(n^1.5·d),
+    * the best single-level exact-SemDeDup exponent. Past that, the
+    * registered linear path for embedding near-dup at the 100 TB tier is
+    * SRP-LSH bucketing (`dedup_embedding_srp`).
+    */
+  def semanticNearDupPairsSqrtK(
+      corpus: DataFrame, id: String, vec: String,
+      iters: Int, threshold: Double): DataFrame = {
+    val k = math.max(math.ceil(math.sqrt(corpus.count().toDouble)).toInt, 1)
+    semanticNearDupPairs(corpus, id, vec, k, iters, threshold, fixedK = true)
+  }
+
   /** DuckDB replay of [[semanticNearDupPairs]]: the Lloyd CTE chain, then
     * exact intra-cluster pairwise cosine.
     */
@@ -1502,6 +1520,24 @@ object Similarity {
     Q("dedup_semantic_scaled", semanticOracleSqlScaled(64, 2, 0.4)) { (s, d) =>
       semanticNearDupPairsScaled(
         Tables.embeddings(s, d), "vec_id", "embedding", 64, 2, 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- SemDeDup at the paper's k = ⌈√n⌉ operating point: balances
+    // the Lloyd assignment (O(n·k·d)) against the intra-cluster pair
+    // join (O(n²·d/k)) at O(n^1.5·d) each — the best single-level exact
+    // exponent. The k ∝ n row above keeps pairs linear but pays a
+    // quadratic assignment (measured 38.9× per 10× data at the 100×
+    // tier); this row's expected growth is ~10^1.5 ≈ 32× per decade on
+    // BOTH terms, ~5× cheaper in absolute time at sf10. Oracle computes
+    // the same k from COUNT(*) inside the SQL ----
+    Q("dedup_semantic_sqrtk", semanticOracleSqlFor(
+      "(SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)",
+      2, 0.4)) { (s, d) =>
+      semanticNearDupPairsSqrtK(
+        Tables.embeddings(s, d), "vec_id", "embedding", 2, 0.4)
         .select(col("vec_a"), col("vec_b"), col("cluster"),
           round(col("sim"), 6).as("sim_r"))
         .orderBy("vec_a", "vec_b")
