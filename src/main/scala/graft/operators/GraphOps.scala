@@ -296,6 +296,16 @@ object GraphOps {
     * when partitions scale 3× with the data — on a real cluster shuffle
     * parallelism grows with input, so the fixed-core harness understates
     * the scaling. The final top-k is a TakeOrdered — no global sort.
+    *
+    * The three-exchange prologue (membership distinct → degree filter →
+    * per-resource arrays) is deliberate and HUB-SAFE: degree is computed
+    * and capped on the flat table before any member array exists, so no
+    * task ever materializes a pathological hub's list. A one-pass
+    * collect_set fusion would save two exchanges of a 2-column table but
+    * build every hub's full set first — the wrong trade at 100 TB. (r18
+    * DevTime, solo sf1: prologue 17 s of the 19–21 s total; the sized
+    * pair aggregate beats naive session partitioning ~5×; sf10 probe
+    * growth 2.7× per 10× data.)
     */
   def resourceAllocationTopPairs(
       bip: org.apache.spark.sql.DataFrame,
