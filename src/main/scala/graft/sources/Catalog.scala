@@ -1679,6 +1679,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * matches NULL) and is inserted; two or more NULL-keyed rows are
     * rejected as duplicates of the null key group.
     *
+    * The multi-NULL rejection is DELIBERATELY STRICTER than the SQL MERGE
+    * contract cited above: standard MERGE's multi-match ambiguity is per
+    * TARGET row, and null-keyed source rows match no target row, so a
+    * standards-faithful engine would insert them all. Here the key is an
+    * upsert identity — several NULL-keyed rows are indistinguishable on
+    * it, which is almost always an upstream bug (a dropped join column, a
+    * mis-parsed id), so the call fails loudly instead of appending
+    * unidentifiable rows. Callers that genuinely want SQL's
+    * insert-them-all behavior: split the NULL-keyed rows off and
+    * [[insert]] them directly.
+    *
     * FILE-granular like [[deleteRows]]: the manifest pass semi-joins the
     * update keys against the file-tagged table (AQE broadcasts the key
     * side when it is small — the common shape: a trickle of updates

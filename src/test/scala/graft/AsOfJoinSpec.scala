@@ -170,4 +170,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.sorted == Seq((1L, 10L), (2L, 10L), (2L, 350L)))
   }
 
+  test("rangeJoinKeyed: shared column names across sides resolve (r18 advisor)") {
+    import graft.operators.RangeJoin
+    // the NATURAL caller: both sides key by the same name, and the points
+    // side even carries a column named like the interval start — bare-name
+    // resolution used to throw an ambiguous-reference AnalysisException
+    val points = Seq((1L, 10L, 777L), (2L, 350L, 777L))
+      .toDF("user_id", "p", "s")
+    val intervals = Seq((1L, 0L, 100L), (2L, 300L, 400L))
+      .toDF("user_id", "s", "e")
+    val got = RangeJoin.rangeJoinKeyed(points, "p", "user_id",
+        intervals, "s", "e", "user_id", 100L)
+      .select(col("p")).collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == Seq(10L, 350L))
+    // unkeyed form too: points column name colliding with interval bounds
+    val got2 = RangeJoin.rangeJoin(points, "p", intervals, "s", "e", 100L)
+      .select(col("p"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2.sorted == Seq((10L, 100L), (350L, 400L)))
+  }
+
 }

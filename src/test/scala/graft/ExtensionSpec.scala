@@ -288,6 +288,44 @@ class ExtensionSpec extends SparkSpec {
       .columns.sameElements(Seq("vec_a", "vec_b", "cluster", "sim")))
   }
 
+  test("sampledKMeansCentroids with a full-corpus sample ≡ kMeansCentroids") {
+    // sampleC large enough that ppm ≥ 10⁶ (every row sampled); fixture ids
+    // are dense from 0, so "first k sample ids" ≡ the full trainer's
+    // id < k seeds — the two must then train byte-identical codebooks
+    val emb = Tables.embeddings(spark, sf0001)
+    val full = graft.operators.Similarity
+      .kMeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val sampled = graft.operators.Similarity
+      .sampledKMeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2,
+        sampleC = 100.0)
+    assert(sampled == full)
+  }
+
+  test("semanticNearDupPairsSampled ≡ exact pairs restricted to its own clusters; deterministic") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = graft.operators.Similarity
+      .sampledKMeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    // deterministic: the hash sample and Lloyd rounds replay exactly
+    assert(cents == graft.operators.Similarity
+      .sampledKMeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2))
+    val cluster = graft.operators.Similarity
+      .assignToCentroids(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = exact.keySet.filter { case (a, b) => cluster(a) == cluster(b) }
+    val got = graft.operators.Similarity
+      .semanticNearDupPairsSampled(emb, "vec_id", "embedding", k = 4,
+        iters = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet == expected)
+    got.foreach { case (a, b, cl, sim) =>
+      assert(cl == cluster(a) && cl == cluster(b), s"pair ($a,$b) reported wrong cluster")
+      assert(math.abs(exact((a, b)) - sim) < 1e-9)
+    }
+  }
+
   test("srpSignature raises on a dim mismatch instead of degenerating") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     assertThrows[Exception] {
