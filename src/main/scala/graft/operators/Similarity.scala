@@ -779,6 +779,10 @@ object Similarity {
     *    the best exact single-level operating point. At k ∝ n the single
     *    assignment pass is STILL O(n²·d/T) by itself: sampling removes
     *    the training multiplier, not the assignment exponent.
+    * Measured (solo filtered protocol, sf1 = 50k vecs → sf10 = 500k,
+    * NOTES_r19 §1): k ∝ n sampled 2.75 s → 99.1 s (36× — the arithmetic
+    * above, confirmed); √n sampled 2.63 s → 32.3 s (12.3×, the cheapest
+    * regime at BOTH scales — the recommended exact operating point).
     * Past n^1.5, the registered linear path for embedding near-dup is
     * SRP-LSH bucketing (`dedup_embedding_srp`).
     *
