@@ -107,110 +107,153 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(topN)
 
-  /** Byte-pair-encoding merge learning as RELATIONAL operators — no UDF,
-    * no driver-side token loops. Words live as (word, freq, pos, sym)
-    * symbol rows; each round:
-    *   1. adjacent-pair counts via one `lead` window + groupBy(sum(freq));
-    *   2. the merge = argmax by (count desc, pair asc) — a 1-row collect,
-    *      model-sized like the k-means centroid hop;
-    *   3. greedy LEFT-TO-RIGHT non-overlapping application, relationally:
-    *      occurrences that overlap are consecutive positions (only
-    *      possible when left == right, e.g. "aaa" under (a,a)), so
-    *      gaps-and-islands over consecutive occurrence positions + odd
-    *      ranks within each island IS the greedy scan; merged rows take
-    *      `left || right`, their successors drop via a `lag`, positions
-    *      reindex by row_number.
-    * Deterministic end to end (integer freqs, total-order tie-breaks), so
-    * the DuckDB oracle replays every round hash-exactly ([[bpeOracleSql]]
-    * unrolls them, the [[Similarity.kMeansAssign]] discipline). Scale
-    * shape: all per-round work is vocab-sized windows partitioned by
-    * word; the corpus is touched once, building the word table.
+  // ---------------- driver-local training over the collected word table
+  //
+  // The three tokenizer TRAINERS (BPE / WordPiece / unigram-LM) run their
+  // round loops DRIVER-LOCAL over the collected top-`topN` word table.
+  // This is the model-sized-collect discipline (the k-means centroid hop,
+  // sampled-centroid training), not a driver-data anti-pattern: the ONLY
+  // corpus-sized pass is word counting + top-N selection ([[bpeWords]]),
+  // which stays distributed; everything after is bounded by the vocab
+  // PARAMETER (≤ topN rows, ≤ topN·maxWordLen symbols) at every corpus
+  // scale — 100 TB included — exactly like every production tokenizer
+  // trainer, which fits its aggregated word counts in memory. The
+  // previous relational round loop had the same semantics but spent ~20
+  // serial vocab-sized Spark jobs per trainer (per round: plan + schedule
+  // + a 1-row argmax collect + an eager localCheckpoint) on tables that
+  // fit in L2 cache — measured 2.0 s for bpe_train at sf0.1 where the
+  // collected loop runs in milliseconds; the corpus-scan floor stays.
+  // Tie-breaks and arithmetic replicate the relational forms bit-exactly
+  // (ASCII-only symbols make Java string order == Spark's UTF8 binary
+  // order), and the DuckDB oracle still replays every round in SQL, so
+  // hash-equality across all fixtures is the equivalence proof.
+
+  /** The one distributed pass: collect the top-N `(word, freq)` table. */
+  private def collectWordTable(docs: DataFrame, topN: Int): Array[(String, Long)] =
+    bpeWords(docs, topN).collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Greedy LEFT-TO-RIGHT non-overlapping application of merge (a, b) —
+    * the driver-local twin of [[mergeFoldExpr]]'s per-array fold.
+    */
+  private def applyMergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Freq-weighted adjacent-pair counts (every adjacent position pair
+    * counts, overlaps included — "aaa" contributes (a,a) twice).
+    */
+  private def pairCountsLocal(tab: Array[(String, Long, Array[String])])
+      : scala.collection.mutable.HashMap[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap[(String, String), Long]()
+    tab.foreach { case (_, f, s) =>
+      var i = 0
+      while (i + 1 < s.length) {
+        val k = (s(i), s(i + 1)); m(k) = m.getOrElse(k, 0L) + f; i += 1
+      }
+    }
+    m
+  }
+
+  /** The symbolized vocab as the (word, freq, pos, sym) rows the
+    * relational round loop used to carry — same schema, local relation.
+    */
+  private def symsDf(spark: org.apache.spark.sql.SparkSession,
+      tab: Array[(String, Long, Array[String])]): DataFrame =
+    spark.createDataFrame(tab.toSeq.flatMap { case (w, f, s) =>
+      s.iterator.zipWithIndex.map { case (sym, i) => (w, f, (i + 1).toLong, sym) }
+    }).toDF("word", "freq", "pos", "sym")
+
+  /** Byte-pair-encoding merge learning over the top-`topN` word table:
+    * per round, freq-weighted adjacent-pair counts → merge argmax by
+    * (count desc, pair asc) → greedy left-to-right non-overlapping
+    * application. Deterministic end to end (integer freqs, total-order
+    * tie-breaks), so the DuckDB oracle replays every round hash-exactly
+    * ([[bpeOracleCtes]] unrolls them). Scale shape: see the section
+    * comment above — one distributed corpus pass, then a driver-local
+    * loop over model-sized state.
     */
   private[graft] def bpeTrain(docs: DataFrame, topN: Int, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val wByPos = Window.partitionBy("word").orderBy("pos")
-    var syms = bpeWords(docs, topN)
-      .select(col("word"), col("freq"),
-        explode(sequence(lit(1), length(col("word")))).as("p"))
-      .select(col("word"), col("freq"), col("p").cast("long").as("pos"),
-        expr("substring(word, p, 1)").as("sym"))
-      .transform(graft.Tables.pin)
+    var tab: Array[(String, Long, Array[String])] =
+      collectWordTable(docs, topN).map { case (w, f) =>
+        (w, f, w.toCharArray.map(_.toString))
+      }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
-      val best = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
-        .filter(col("nxt").isNotNull)
-        .groupBy("sym", "nxt").agg(sum("freq").as("c"))
-        .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
-        .collect()
-      if (best.nonEmpty) {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      val pc = pairCountsLocal(tab)
+      if (pc.nonEmpty) {
+        val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x, y) }
         merges += ((r, a, b, c))
-        syms = applyMerge(syms, Seq("word"), a, b).transform(graft.Tables.pin)
+        tab = tab.map { case (w, f, s) => (w, f, applyMergeLocal(s, a, b)) }
       }
     }
-    (merges.result(), syms)
-  }
-
-  /** One greedy left-to-right application of merge (a, b) to symbol rows
-    * keyed by `keys` — the island machinery described on [[bpeTrain]].
-    * Input columns: `keys`, `pos`, `sym` (+ any carried columns);
-    * output: the same columns with merged/reindexed (pos, sym).
-    */
-  private def applyMerge(syms: DataFrame, keys: Seq[String],
-      a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ks = keys.map(col)
-    val w = Window.partitionBy(ks: _*).orderBy("pos")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // every window here shares ONE partitioning (the keys) and ONE sort
-    // (pos), so a whole merge round is a single exchange-free window
-    // stage over whatever distribution the input already carries. The
-    // overlap bookkeeping (occurrences overlap only as consecutive
-    // positions, possible only when left == right, e.g. "aaa" under
-    // (a,a)) is restated as running aggregates: a run's start is an occ
-    // row whose predecessor is not occ, and greedy left-to-right keeps
-    // every other position within the run — no (keys, occ) or
-    // (keys, island) re-shuffle exists anymore (the previous three-window
-    // form re-exchanged per round; ×6 rounds it dominated the encode).
-    val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(w))
-    val occ = paired.withColumn("occ",
-      coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
-    val runs = occ
-      .withColumn("rs",
-        col("occ") && !coalesce(lag(col("occ"), 1).over(w), lit(false)))
-      .withColumn("rs_pos",
-        last(when(col("rs"), col("pos")), ignoreNulls = true).over(wRun))
-    val kept = runs.withColumn("kept",
-      col("occ") && (col("pos") - col("rs_pos")) % 2 === 0)
-    val dropped = kept.withColumn("pk", lag(col("kept"), 1, false).over(w))
-    val carried = syms.columns.filterNot(c => c == "pos" || c == "sym").map(col)
-    dropped.filter(!col("pk"))
-      .select(carried ++ Seq(
-        row_number().over(w).cast("long").as("pos"),
-        when(col("kept"), lit(a + b)).otherwise(col("sym")).as("sym")): _*)
+    (merges.result(), symsDf(docs.sparkSession, tab))
   }
 
   /** Apply the learned merge table to the WHOLE corpus in rank order —
     * the production encode path (train on the vocab table, tokenize every
-    * document). Symbol rows are keyed by (doc_id, word index): windows
-    * partition by word occurrence, so all per-round work is one shuffle
-    * over corpus symbol rows and nothing is quadratic; rounds are the
-    * learned merge count, a constant.
+    * document); see [[bpeApplyCorpus]] for the per-distinct-word fold
+    * shape. Rounds are the learned merge count, a constant.
     */
   private[graft] def bpeEncodeCorpus(docs: DataFrame, topN: Int,
       rounds: Int): DataFrame =
     bpeApplyCorpus(docs, bpeTrain(docs, topN, rounds)._1)
 
+  /** Greedy left-to-right non-overlapping application of a WHOLE merge
+    * table to a token array, as one codegen'd doubly-nested fold: the
+    * outer `aggregate` walks the merge table (a literal array of
+    * (a, b) structs, in rank order); the inner one is [[applyMergeLocal]]
+    * as a SQL fold — scan state (output array, skip-next flag), a matched
+    * pair appends `a||b` and skips its right element. Every repeated
+    * reference inside the folds is a LAMBDA VARIABLE (a leaf), so the
+    * expression tree stays O(merges + 1) — a per-round withColumn chain
+    * was collapsed by the optimizer into 4-way subtree duplication per
+    * round (4⁶ copies: 321 MiB task binaries, unrunnable). Literals are
+    * [a-z]-only (the [[bpeWords]] alphabet), so no escaping is needed.
+    */
+  private def mergeFoldExpr(arrCol: String,
+      merges: Seq[(String, String)]): String = {
+    val table = merges
+      .map { case (a, b) => s"named_struct('a', '$a', 'b', '$b')" }
+      .mkString("array(", ", ", ")")
+    s"""aggregate(
+       |  $table,
+       |  $arrCol,
+       |  (ts, m) -> aggregate(
+       |    sequence(1, size(ts)),
+       |    named_struct('o', cast(array() as array<string>), 'skip', false),
+       |    (st, i) -> CASE
+       |      WHEN st.skip THEN named_struct('o', st.o, 'skip', false)
+       |      WHEN i < size(ts) AND element_at(ts, i) = m.a
+       |           AND element_at(ts, i + 1) = m.b
+       |        THEN named_struct('o', array_append(st.o, concat(m.a, m.b)),
+       |             'skip', true)
+       |      ELSE named_struct('o', array_append(st.o, element_at(ts, i)),
+       |           'skip', false) END,
+       |    st -> st.o))""".stripMargin
+  }
+
   /** Apply an already-learned merge table (e.g. loaded from
     * [[graft.sources.ModelStore.loadMerges]]) to every document — the
     * serving half of the tokenizer. A word's tokenization depends only on
-    * the word string, so merges are applied ONCE PER DISTINCT WORD
-    * (vocab-sized window passes) and the corpus gets its tokenizations by
-    * a dictionary join — the amortization every real tokenizer runs; the
-    * corpus is never pushed through the merge rounds row by row. (An
-    * earlier per-occurrence form cost 6 corpus-sized window shuffles —
-    * 10× this one's wall-clock at sf0.1 — for the identical answer.)
+    * the word string, so merges are applied ONCE PER DISTINCT WORD and
+    * the corpus gets its tokenizations by a dictionary join — the
+    * amortization every real tokenizer runs; the corpus is never pushed
+    * through the merge rounds row by row. The whole merge-table
+    * application is ONE codegen'd nested fold per distinct word
+    * ([[mergeFoldExpr]]) — a single shuffle-free map stage. (History: a
+    * per-OCCURRENCE window form cost 6 corpus-sized window shuffles —
+    * 10× this one's wall-clock; the per-word WINDOW form it replaced
+    * still paid 6 vocab-sized window rounds + an eager localCheckpoint
+    * each. The plan is 6 Windows + 7 checkpoint scans → 1
+    * WholeStageCodegen span; bench numbers in OPTIMIZATION_r19.md.)
     */
   private[graft] def bpeApplyCorpus(docs: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
@@ -219,30 +262,42 @@ object TextOps {
         split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
       .transform(graft.Tables.pin)
-    var syms = words.select("word").distinct()
-      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("p"))
-      .select(col("word"), col("p").cast("long").as("pos"),
-        expr("substring(word, p, 1)").as("sym"))
-      // pin the distribution ONCE: applyMerge's windows all require
-      // hash(word), the localCheckpoints preserve partitioning, so every
-      // merge round below runs n-way parallel with zero further
-      // exchanges (AQE would otherwise coalesce the few-MB symbol table
-      // to one partition and serialize all 6 rounds)
+    // split('') can carry a trailing empty element (Java split limit -1);
+    // the filter drops it, and the session-parallelism repartition spreads
+    // the per-word fold compute (AQE would coalesce the few-MB distinct
+    // table to ~1 partition; hash(word) also pre-positions the dictionary
+    // side of the join below, which reuses this exchange)
+    val dw = words.select("word").distinct()
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("word"))
-      .transform(graft.Tables.pin)
-    for ((_, a, b, _) <- merges)
-      syms = applyMerge(syms, Seq("word"), a, b).transform(graft.Tables.pin)
-    val wordToks = syms.groupBy("word")
-      .agg(count(lit(1)).as("n_toks"),
-        array_sort(collect_list(struct(col("pos"), col("sym")))).as("ts"))
-      .select(col("word"), col("n_toks"),
-        transform(col("ts"), t => t.getField("sym")).as("toks"))
-    val perDoc = words.join(wordToks, Seq("word"))
-    val nTok = perDoc.groupBy("doc_id").agg(sum("n_toks").as("n_tokens"))
-    val types = perDoc.select(col("doc_id"), explode(col("toks")).as("sym"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("sym")).cast("long").as("n_token_types"))
+      .withColumn("toks", expr(mergeFoldExpr(
+        "filter(split(word, ''), s -> s <> '')",
+        merges.map(m => (m._2, m._3)))))
+    corpusTokenAggs(words, dw)
+  }
+
+  /** The shared per-doc aggregate tail of the corpus tokenizers:
+    * `n_tokens` = Σ per-occurrence token counts (a broadcast dictionary
+    * join of the NARROW (word, n_toks) projection — the token arrays
+    * never ride the corpus join), `n_token_types` = |distinct doc syms|,
+    * computed DISTINCT-FIRST: dedup (doc_id, word) before fanning out to
+    * the vocab-sized (word, sym) pairs, then dedup (doc_id, sym). The
+    * previous form joined the full token ARRAY onto every corpus
+    * occurrence and exploded it — one array copy + explode per
+    * OCCURRENCE; measured 5.2 s of bpe_corpus_tokens_served's 5.9 s at
+    * sf0.1, vs corpus-linear dedup-then-fan-out here.
+    */
+  private def corpusTokenAggs(words: DataFrame, enc: DataFrame): DataFrame = {
+    val nTok = words
+      .join(enc.select(col("word"), size(col("toks")).cast("long").as("n_toks")),
+        Seq("word"))
+      .groupBy("doc_id").agg(sum("n_toks").as("n_tokens"))
+    val wordSyms = enc
+      .select(col("word"), explode(array_distinct(col("toks"))).as("sym"))
+    val types = words.select("doc_id", "word").distinct()
+      .join(wordSyms, Seq("word"))
+      .select("doc_id", "sym").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_token_types"))
     nTok.join(types, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("n_token_types"))
       .orderBy("doc_id")
@@ -255,44 +310,42 @@ object TextOps {
     * LIKELIHOOD score `count(ab) / (count(a)·count(b))` instead of raw
     * pair count (the unigram-LM likelihood gain of the merge). The score
     * is published as the exact integer
-    * `(count(ab)·10¹²) DIV (count(a)·count(b))`, computed in DECIMAL(38)
-    * on the Spark side and HUGEINT in the oracle so it can never
-    * overflow or diverge; ties break by (pair count desc, pair asc).
-    * Greedy application and all scale discipline are [[applyMerge]]'s.
-    * Returns `(round, left, right, pairCount, scoreFix)` per merge plus
-    * the final symbol rows.
+    * `(count(ab)·10¹²) DIV (count(a)·count(b))`, computed in unbounded
+    * BigInt here and HUGEINT in the oracle so it can never overflow or
+    * diverge; ties break by (pair count desc, pair asc). Greedy
+    * application and scale discipline are [[bpeTrain]]'s (driver-local
+    * loop over the collected model-sized word table — see the section
+    * comment above it). Returns `(round, left, right, pairCount,
+    * scoreFix)` per merge plus the final symbol rows.
     */
   private[graft] def wordpieceTrain(docs: DataFrame, topN: Int, rounds: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val wByPos = Window.partitionBy("word").orderBy("pos")
-    var syms = bpeWords(docs, topN)
-      .select(col("word"), col("freq"),
-        explode(sequence(lit(1), length(col("word")))).as("p"))
-      .select(col("word"), col("freq"), col("p").cast("long").as("pos"),
-        expr("substring(word, p, 1)").as("sym"))
-      .transform(graft.Tables.pin)
+    var tab: Array[(String, Long, Array[String])] =
+      collectWordTable(docs, topN).map { case (w, f) =>
+        (w, f, w.toCharArray.map(_.toString))
+      }
+    val trillion = BigInt(1000000000000L)
     val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
     for (r <- 1 to rounds) {
-      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wByPos))
-      val pc = paired.filter(col("nxt").isNotNull)
-        .groupBy("sym", "nxt").agg(sum("freq").as("c"))
-      val uc = syms.groupBy("sym").agg(sum("freq").as("u"))
-      val best = pc
-        .join(uc.select(col("sym"), col("u").as("ua")), "sym")
-        .join(uc.select(col("sym").as("nxt"), col("u").as("ub")), "nxt")
-        .select(col("sym"), col("nxt"), col("c"),
-          expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000000000 DIV (ua * ub) " +
-            "AS BIGINT)").as("score"))
-        .orderBy(col("score").desc, col("c").desc, col("sym"), col("nxt"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((r, a, b, best(0).getLong(2), best(0).getLong(3)))
-        syms = applyMerge(syms, Seq("word"), a, b).transform(graft.Tables.pin)
+      val pc = pairCountsLocal(tab)
+      if (pc.nonEmpty) {
+        // unigram symbol counts over ALL positions (the denominator)
+        val uc = scala.collection.mutable.HashMap[String, Long]()
+        tab.foreach { case (_, f, s) =>
+          s.foreach(sym => uc(sym) = uc.getOrElse(sym, 0L) + f)
+        }
+        // score = (c·10¹²) DIV (ua·ub) in unbounded integers — BigInt
+        // reproduces the relational DECIMAL(38) / oracle HUGEINT exactly
+        val scored = pc.iterator.map { case ((a, b), c) =>
+          val s = (BigInt(c) * trillion / (BigInt(uc(a)) * BigInt(uc(b)))).toLong
+          (a, b, c, s)
+        }.toSeq
+        val (a, b, c, s) = scored.minBy { case (x, y, n, sc) => (-sc, -n, x, y) }
+        merges += ((r, a, b, c, s))
+        tab = tab.map { case (w, f, sy) => (w, f, applyMergeLocal(sy, a, b)) }
       }
     }
-    (merges.result(), syms)
+    (merges.result(), symsDf(docs.sparkSession, tab))
   }
 
   /** Greedy LONGEST-MATCH-FIRST segmentation as one codegen'd fold per
@@ -303,7 +356,7 @@ object TextOps {
     * fold finds the longest `vmap` piece, with a single-char fallback so
     * unseen characters can never dead-end the scan.
     */
-  private def greedyMatchExpr(maxL: Int): String = {
+  private[graft] def greedyMatchExpr(maxL: Int): String = {
     val lstar = s"coalesce(aggregate(" +
       s"sequence(least($maxL, length(word) - acc.p + 1), 1, -1), " +
       "cast(null as int), (m, l) -> CASE WHEN m IS NOT NULL THEN m " +
@@ -337,7 +390,13 @@ object TextOps {
         split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
       .transform(graft.Tables.pin)
+    // explicit hash(word) spread: the greedy-match fold below is the
+    // heavy per-row work, and AQE's byte-bound coalesce would funnel the
+    // few-MB distinct-word table (and so the fold) onto ~1 partition;
+    // hash(word) also pre-positions pm's groupBy and the enc join, which
+    // reuse this one exchange (the bpeApplyCorpus discipline)
     val dw = words.select("word").distinct()
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("word"))
     val chars = dw
       .select(explode(sequence(lit(1), length(col("word")))).as("p"), col("word"))
       .select(expr("substring(word, p, 1)").as("piece")).distinct()
@@ -361,16 +420,8 @@ object TextOps {
         .as("vmap"))
     val enc = dw.join(pm, "word")
       .withColumn("seg", expr(greedyMatchExpr(maxL)))
-      .select(col("word"), col("seg.n").as("n_toks"),
-        split(col("seg.t"), "[|]").as("toks"))
-    val perDoc = words.join(enc, Seq("word"))
-    val nTok = perDoc.groupBy("doc_id").agg(sum("n_toks").as("n_tokens"))
-    val types = perDoc.select(col("doc_id"), explode(col("toks")).as("t"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("t")).cast("long").as("n_token_types"))
-    nTok.join(types, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("n_token_types"))
-      .orderBy("doc_id")
+      .select(col("word"), split(col("seg.t"), "[|]").as("toks"))
+    corpusTokenAggs(words, enc)
   }
 
   /** Oracle CTE chain for [[wordpieceTrain]]: [[bpeOracleCtes]]'s round
@@ -457,26 +508,62 @@ object TextOps {
 
   // ------------------------------------------ Unigram-LM tokenizer
 
-  /** Candidate piece table for the unigram tokenizer: every substring of
-    * the vocabulary words up to `maxPieceLen` chars, freq-weighted
-    * occurrence counts; the seed keeps ALL single chars (segmentation
-    * must never dead-end) plus the top-`mTop` multi-char candidates by
-    * (count desc, piece) — the suffix-array seeding of SentencePiece
-    * restated over the bounded-length substring lattice.
+  /** Driver-local twin of the SQL [[quantLnMicros]] scalar — the SAME
+    * IEEE double expression tree evaluated in the same order, so the
+    * three engines (this loop, Spark codegen, DuckDB) produce identical
+    * bits and the floor can never flip on a libm ulp. Requires 1 ≤ c ≤ n.
     */
-  private[graft] def unigramSeedVocab(
-      words: DataFrame, maxPieceLen: Int, mTop: Int): DataFrame = {
-    val cand = words
-      .select(col("word"), col("freq"),
-        explode(sequence(lit(1), length(col("word")))).as("p"))
-      .select(col("word"), col("freq"), col("p"),
-        explode(sequence(lit(1),
-          least(lit(maxPieceLen), length(col("word")) - col("p") + 1))).as("l"))
-      .select(expr("substring(word, p, l)").as("piece"), col("freq"))
-      .groupBy("piece").agg(sum("freq").as("c"))
-    cand.filter(length(col("piece")) === 1)
-      .unionByName(cand.filter(length(col("piece")) > 1)
-        .orderBy(col("c").desc, col("piece")).limit(mTop))
+  private def quantLnMicrosLocal(c: Long, n: Long): Long = {
+    val q = n / c
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(q) // length(bin(q)) - 1
+    val m = (c << e).toDouble / n.toDouble
+    val t = (m - 1.0) / (m + 1.0)
+    val t2 = t * t
+    val poly = 1.0 + t2 * ((1.0 / 3.0) + t2 * ((1.0 / 5.0) + t2 * ((1.0 / 7.0) +
+      t2 * ((1.0 / 9.0) + t2 * ((1.0 / 11.0) + t2 * ((1.0 / 13.0) +
+        t2 * ((1.0 / 15.0) + t2 * (1.0 / 17.0))))))))
+    math.floor(1000000.0 * (2.0 * t * poly - e.toDouble * 0.6931471805599453)).toLong
+  }
+
+  /** Driver-local twin of [[viterbiExpr]]'s fold: best
+    * (score, n_pieces, token_str) per prefix, totally ordered by
+    * (score desc, n asc, token_str asc); pieces looked up in the full
+    * vocab map (equivalent to the per-word substring-restricted lpmap the
+    * distributed form builds). ASCII pieces make the Java string compare
+    * identical to Spark's UTF8 binary order.
+    */
+  private def viterbiLocal(word: String, lp: scala.collection.Map[String, Long],
+      maxL: Int): (Long, Int, String) = {
+    final case class S(s: Long, n: Int, t: String)
+    val acc = new Array[S](word.length + 1)
+    acc(0) = S(0L, 0, "")
+    var i = 1
+    while (i <= word.length) {
+      var best: S = null
+      var l = 1
+      val lm = math.min(maxL, i)
+      while (l <= lm) {
+        val piece = word.substring(i - l, i)
+        val plp = lp.get(piece)
+        val prev = acc(i - l)
+        if (plp.isDefined && prev != null) {
+          val cs = prev.s + plp.get
+          val cn = prev.n + 1
+          if (best == null || cs > best.s ||
+              (cs == best.s && cn < best.n) ||
+              (cs == best.s && cn == best.n && {
+                val ct = if (prev.t.isEmpty) piece else prev.t + "|" + piece
+                ct < best.t
+              }))
+            best = S(cs, cn, if (prev.t.isEmpty) piece else prev.t + "|" + piece)
+        }
+        l += 1
+      }
+      acc(i) = best
+      i += 1
+    }
+    val r = acc(word.length)
+    (r.s, r.n, r.t)
   }
 
   /** The Viterbi DP as ONE codegen'd fold expression per word — no UDF,
@@ -585,29 +672,55 @@ object TextOps {
 
   private[graft] def unigramTrain(docs: DataFrame, topN: Int,
       maxPieceLen: Int, mTop: Int, vTop: Int): (DataFrame, DataFrame) = {
-    val words = bpeWords(docs, topN).transform(graft.Tables.pin)
-    val seed = unigramSeedVocab(words, maxPieceLen, mTop)
-    val n0 = seed.agg(sum("c").as("nn"))
-    val vocab0 = seed.crossJoin(broadcast(n0))
-      .select(col("piece"),
-        expr(quantLnMicros("c", "nn", duck = false)).as("lp"))
-      .transform(graft.Tables.pin)
-    val seg0 = viterbiSegment(words, vocab0, maxPieceLen)
-    val usage = seg0
-      .select(col("freq"), explode(split(col("token_str"), "[|]")).as("piece"))
-      .groupBy("piece").agg(sum("freq").as("usage"))
-    val chars = vocab0.filter(length(col("piece")) === 1).select("piece")
-      .join(usage, Seq("piece"), "left")
-      .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
-    val multi = usage.filter(length(col("piece")) > 1)
-      .orderBy(col("usage").desc, col("piece")).limit(vTop)
-    val pruned = chars.unionByName(multi)
-    val tot2 = pruned.agg(sum("usage").as("n2"), count(lit(1)).as("v2"))
-    val vocab1 = pruned.crossJoin(broadcast(tot2))
-      .select(col("piece"), col("usage"),
-        expr(quantLnMicros("(usage + 1)", "(n2 + v2)", duck = false)).as("lp"))
-      .transform(graft.Tables.pin)
-    (vocab1, words)
+    val spark = docs.sparkSession
+    val wf = collectWordTable(docs, topN)
+    // seed: freq-weighted counts of every ≤ maxPieceLen substring; keep
+    // ALL single chars (segmentation must never dead-end) + top-mTop
+    // multi-char by (count desc, piece) — SentencePiece's seeding over
+    // the bounded-length substring lattice
+    val cand = scala.collection.mutable.HashMap[String, Long]()
+    wf.foreach { case (w, f) =>
+      var p = 0
+      while (p < w.length) {
+        val lm = math.min(maxPieceLen, w.length - p)
+        var l = 1
+        while (l <= lm) {
+          val piece = w.substring(p, p + l)
+          cand(piece) = cand.getOrElse(piece, 0L) + f
+          l += 1
+        }
+        p += 1
+      }
+    }
+    val seed: Seq[(String, Long)] =
+      cand.iterator.filter(_._1.length == 1).toSeq ++
+        cand.iterator.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(mTop)
+    val nn = seed.iterator.map(_._2).sum
+    val vocab0: Map[String, Long] =
+      seed.iterator.map { case (p, c) => p -> quantLnMicrosLocal(c, nn) }.toMap
+    // E-step: Viterbi-segment the word table under the seed model;
+    // M-step: freq-weighted piece usage over the argmax segmentations
+    val usage = scala.collection.mutable.HashMap[String, Long]()
+    wf.foreach { case (w, f) =>
+      val (_, _, toks) = viterbiLocal(w, vocab0, maxPieceLen)
+      toks.split("[|]").foreach(p => usage(p) = usage.getOrElse(p, 0L) + f)
+    }
+    // prune: chars always survive (add-1 smoothing keeps zero-usage
+    // chars alive, as SentencePiece keeps required chars); multi-char
+    // keeps top-vTop by (usage desc, piece)
+    val pruned: Seq[(String, Long)] =
+      vocab0.keysIterator.filter(_.length == 1).toSeq.sorted
+        .map(p => (p, usage.getOrElse(p, 0L))) ++
+        usage.iterator.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, u) => (-u, p) }.take(vTop)
+    val n2 = pruned.iterator.map(_._2).sum
+    val v2 = pruned.size.toLong
+    val vocab1 = pruned.map { case (p, u) =>
+      (p, u, quantLnMicrosLocal(u + 1, n2 + v2))
+    }
+    (spark.createDataFrame(vocab1).toDF("piece", "usage", "lp"),
+      spark.createDataFrame(wf.toSeq).toDF("word", "freq"))
   }
 
   /** DuckDB CTE chain replaying [[unigramTrain]] + the final-vocab encode:
