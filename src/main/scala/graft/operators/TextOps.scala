@@ -257,11 +257,15 @@ object TextOps {
     */
   private[graft] def bpeApplyCorpus(docs: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    // consumed by the distinct-word pass AND the dictionary join
+    // consumed by three subtrees (distinct-word pass, n_tokens join,
+    // n_token_types dedup); NOT pinned: the exploded word table is
+    // CORPUS-sized, and a localCheckpoint of it holds corpus-scale blocks
+    // in executor storage at 100 TB — recomputing a codegen'd scan+split
+    // per consumer is the right trade (measured equal-or-better at sf0.1
+    // and sf10; pin()'s own contract is model-sized or O(1)-read state)
     val words = docs.select(col("doc_id"), explode(filter(
         split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
-      .transform(graft.Tables.pin)
     // split('') can carry a trailing empty element (Java split limit -1);
     // the filter drops it, and the session-parallelism repartition spreads
     // the per-word fold compute (AQE would coalesce the few-MB distinct
@@ -386,10 +390,10 @@ object TextOps {
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // corpus-sized, so not pinned — see the bpeApplyCorpus words note
     val words = docs.select(col("doc_id"), explode(filter(
         split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
-      .transform(graft.Tables.pin)
     // explicit hash(word) spread: the greedy-match fold below is the
     // heavy per-row work, and AQE's byte-bound coalesce would funnel the
     // few-MB distinct-word table (and so the fold) onto ~1 partition;
