@@ -58,7 +58,12 @@ object Bench {
     "stream_enrich_static", "dedup_substring", "dedup_semantic",
     "quality_buckets", "lm_bigram_score", "catalog_compact",
     "dedup_semantic_scaled",
-    "decontaminate_semantic", "lm_trigram_backoff", "catalog_merge")
+    "decontaminate_semantic", "lm_trigram_backoff", "catalog_merge",
+    // r19 verdict item 1b: the text-family rows the r19 optimizations
+    // landed on must be visible in the printed subset (additions-only)
+    "bpe_train", "bpe_encode", "bpe_corpus_tokens", "bpe_corpus_tokens_served",
+    "wordpiece_train", "wordpiece_encode", "wordpiece_encode_served",
+    "unigram_train", "unigram_encode", "unigram_encode_served")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -257,14 +262,16 @@ object Bench {
       }
       q.name -> measureRow(q, q.name)
     }
-    // r18 verdict item 4: the six BASELINE.md rows are the stock-Spark
-    // ratio anchors, and the r18 driver record showed q1/q3 regressing
-    // ~60% under a run-START contention burst while the rest of the
-    // suite got FASTER. Re-measure the anchors at suite END (same full
-    // protocol, fresh session) and report the BETTER position per row;
-    // both positions stay in the on-disk record ("<name>#end" entries +
-    // headline_end_by_query), so a slow reading is attributable as
-    // positional rather than code.
+    // The six BASELINE.md rows are the stock-Spark ratio anchors; the r18
+    // driver record showed q1/q3 regressing ~60% under a run-START
+    // contention burst while the rest of the suite got FASTER. Re-measure
+    // the anchors at suite END (same full protocol, fresh session) as
+    // ATTRIBUTION ONLY: the reported `queries` value is ALWAYS the
+    // start-position reading (the r19 verdict: min(start, end) is a
+    // one-sided estimator that biases the anchors downward and broke
+    // round-over-round comparison). Both positions stay in the on-disk
+    // record ("<name>#end" entries + headline_end_by_query), so a slow
+    // start reading remains attributable as positional rather than code.
     val baselineAnchors = Seq("q1_scan_agg", "q3_join_agg_topk",
       "distinct_exact", "distinct_approx", "window_rank",
       "events_sessionize_agg")
@@ -277,9 +284,7 @@ object Bench {
           startByName.get(q.name).exists(_ >= 0))
         .foreach(q => endByQuery(q.name) = measureRow(q, q.name + "#end"))
     }
-    val results = startResults.map { case (n, t) =>
-      n -> endByQuery.get(n).filter(_ >= 0).map(math.min(_, t)).getOrElse(t)
-    }
+    val results = startResults
     // `value` is ALWAYS the total over every query run this invocation,
     // even when `queries` shows only the headline subset — the printed
     // tail-window line must report the same suite total as the full
@@ -353,13 +358,12 @@ object Bench {
     val tier =
       if (filter.isDefined) "filtered" else if (fullTier) "full" else "default"
     val weeklyJson = weeklySkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // BOTH anchor positions stay in the record (a row's reported value is
-    // min(start, end), so neither reading is recoverable from it alone)
+    // The reported value is the start-position reading, so the compact
+    // line only needs the END map for positional attribution; the start
+    // map is recoverable from `queries` itself.
     val headlineEndJson = if (endByQuery.isEmpty) "" else
       endByQuery.map { case (k, v) => f""""$k":$v%.3f""" }
-        .mkString(""""headline_end_by_query":{""", ",", "},") +
-        endByQuery.keys.flatMap(k => startByName.get(k).map(v => f""""$k":$v%.3f"""))
-          .mkString(""""headline_start_by_query":{""", ",", "},")
+        .mkString(""""headline_end_by_query":{""", ",", "},")
     // Compact self-attribution for the tail-window line (r18 verdict
     // item 5: the driver-parsed record must let a judge attribute
     // per-row deltas without the local file). Full maps live on disk;
