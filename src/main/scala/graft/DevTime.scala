@@ -38,38 +38,26 @@ object DevTime {
       }
       val merges = graft.sources.ModelStore.loadMerges(spark, dir).map(m => (m._2, m._3))
       mat(docs.limit(1).toDF()) // warm
+      // mirrors wordpieceApplyCorpus as of the r20 literal-vocab rewrite:
+      // stages are (alphabet collect) → (join-free greedy fold) → full row
       (1 to 2).foreach { i =>
         val words = docs.select(col("doc_id"), explode(filter(
             split(lower(col("text")), "[^a-z]+"),
             w => length(w) > 0)).as("word"))
-          .transform(graft.Tables.pin)
         val dw = words.select("word").distinct()
           .repartition(spark.sessionState.conf.numShufflePartitions, col("word"))
-        import spark.implicits._
-        val chars = dw
-          .select(explode(sequence(lit(1), length(col("word")))).as("p"), col("word"))
-          .select(expr("substring(word, p, 1)").as("piece")).distinct()
-        val vocab = chars
-          .unionByName(merges.map { case (a, b) => a + b }.toDF("piece"))
-          .distinct()
-          .transform(graft.Tables.pin)
-        val maxL = vocab.agg(max(length(col("piece")))).head.getInt(0)
-        val subs = dw
-          .select(col("word"),
-            explode(sequence(lit(1), length(col("word")))).as("p"))
-          .select(col("word"), col("p"),
-            explode(sequence(lit(1),
-              least(lit(maxL), length(col("word")) - col("p") + 1))).as("l"))
-          .select(col("word"), expr("substring(word, p, l)").as("piece"))
-          .distinct()
-        t(s"[$i] subs distinct")(mat(subs))
-        val pm = subs.join(vocab, "piece")
-          .groupBy("word")
-          .agg(map_from_entries(collect_list(struct(col("piece"), lit(1))))
-            .as("vmap"))
-        t(s"[$i] pm maps")(mat(pm))
-        val enc = dw.join(pm, "word")
-          .withColumn("seg", expr(TextOps.greedyMatchExpr(maxL)))
+        var vocab: Array[String] = Array()
+        t(s"[$i] alphabet collect") {
+          val alphabet = dw
+            .select(explode(sequence(lit(1), length(col("word")))).as("p"), col("word"))
+            .select(expr("substring(word, p, 1)").as("piece")).distinct()
+            .collect().map(_.getString(0))
+          vocab = (alphabet ++ merges.map { case (a, b) => a + b }).distinct
+        }
+        val maxL = vocab.map(_.length).max
+        val vmapLit = vocab.sorted.map(p => s"'$p', 1").mkString("map(", ", ", ")")
+        val enc = dw
+          .withColumn("seg", expr(TextOps.greedyMatchExpr(maxL, vmapLit)))
           .select(col("word"), split(col("seg.t"), "[|]").as("toks"))
         t(s"[$i] enc fold")(mat(enc))
         t(s"[$i] full registered row")(mat(
@@ -133,6 +121,70 @@ object DevTime {
             .agg(countDistinct(col("sym")).cast("long").as("n_token_types"))))
         t(s"[$i] full bpeApplyCorpus")(mat(
           TextOps.bpeApplyCorpus(docs, merges)))
+        t(s"[$i] full registered row")(mat(
+          SparkEntry.queries("bpe_corpus_tokens_served")(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
+    if (args.contains("cta")) {
+      // corpusTokenAggs shape decomposition (r20): where does the
+      // dedup-first form spend its time vs the r19 two-consumer form
+      import graft.operators.{Similarity, TextOps}
+      val docs = Tables.documents(spark, sfDir)
+      val dir = Similarity.withStagedIndex(spark, sfDir, "bpe:150:6",
+        fixture = "documents.parquet") { tmp =>
+        graft.sources.ModelStore.saveMerges(spark, tmp,
+          TextOps.bpeTrain(docs, topN = 150, rounds = 6)._1)
+      }
+      val merges = graft.sources.ModelStore.loadMerges(spark, dir)
+      mat(docs.limit(1).toDF()) // warm
+      (1 to 2).foreach { i =>
+        val words = docs.select(col("doc_id"), explode(filter(
+            split(lower(col("text")), "[^a-z]+"),
+            w => length(w) > 0)).as("word"))
+        t(s"[$i] words explode only")(mat(words))
+        val dwc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        t(s"[$i] dwc groupBy")(mat(dwc))
+        val table = merges
+          .map { case (_, a, b, _) => s"named_struct('a', '$a', 'b', '$b')" }
+          .mkString("array(", ", ", ")")
+        val fold =
+          s"""aggregate(
+             |  $table,
+             |  filter(split(word, ''), s -> s <> ''),
+             |  (ts, m) -> aggregate(
+             |    sequence(1, size(ts)),
+             |    named_struct('o', cast(array() as array<string>), 'skip', false),
+             |    (st, i) -> CASE
+             |      WHEN st.skip THEN named_struct('o', st.o, 'skip', false)
+             |      WHEN i < size(ts) AND element_at(ts, i) = m.a
+             |           AND element_at(ts, i + 1) = m.b
+             |        THEN named_struct('o', array_append(st.o, concat(m.a, m.b)),
+             |             'skip', true)
+             |      ELSE named_struct('o', array_append(st.o, element_at(ts, i)),
+             |           'skip', false) END,
+             |    st -> st.o))""".stripMargin
+        val dwCheap = dwc.select("word").distinct()
+          .repartition(spark.sessionState.conf.numShufflePartitions, col("word"))
+          .withColumn("toks", expr("array(word)")) // stand-in cheap fold
+        val dw = dwc.select("word").distinct()
+          .repartition(spark.sessionState.conf.numShufflePartitions, col("word"))
+          .withColumn("toks", expr(fold))
+        t(s"[$i] dw real fold solo")(mat(dw))
+        val joinedCheap = dwc.join(broadcast(dwCheap.select(col("word"),
+          size(col("toks")).cast("long").as("n_toks"),
+          array_distinct(col("toks")).as("syms"))), Seq("word"))
+        t(s"[$i] dwc+bjoin cheapfold")(mat(joinedCheap))
+        val joined = dwc.join(broadcast(dw.select(col("word"),
+          size(col("toks")).cast("long").as("n_toks"),
+          array_distinct(col("toks")).as("syms"))), Seq("word"))
+        t(s"[$i] dwc+bjoin")(mat(joined))
+        val agg = joined.groupBy("doc_id")
+          .agg(sum(col("c") * col("n_toks")).as("n_tokens"),
+            size(array_distinct(flatten(collect_set(col("syms")))))
+              .cast("long").as("n_token_types"))
+          .orderBy("doc_id")
+        t(s"[$i] +agg(doc)+sort")(mat(agg))
         t(s"[$i] full registered row")(mat(
           SparkEntry.queries("bpe_corpus_tokens_served")(spark, sfDir)))
       }

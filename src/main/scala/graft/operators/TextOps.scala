@@ -257,55 +257,79 @@ object TextOps {
     */
   private[graft] def bpeApplyCorpus(docs: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    // consumed by three subtrees (distinct-word pass, n_tokens join,
-    // n_token_types dedup); NOT pinned: the exploded word table is
-    // CORPUS-sized, and a localCheckpoint of it holds corpus-scale blocks
-    // in executor storage at 100 TB — recomputing a codegen'd scan+split
-    // per consumer is the right trade (measured equal-or-better at sf0.1
-    // and sf10; pin()'s own contract is model-sized or O(1)-read state)
+    // the exploded word table is CORPUS-sized and NOT pinned (pin()'s
+    // contract is model-sized or O(1)-read state); it has ONE consumer —
+    // the (doc_id, word) occurrence-count aggregate — so the corpus is
+    // scanned exactly once and nothing corpus-sized is ever retained
     val words = docs.select(col("doc_id"), explode(filter(
         split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
+    val dwc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     // split('') can carry a trailing empty element (Java split limit -1);
     // the filter drops it, and the session-parallelism repartition spreads
     // the per-word fold compute (AQE would coalesce the few-MB distinct
-    // table to ~1 partition; hash(word) also pre-positions the dictionary
-    // side of the join below, which reuses this exchange)
-    val dw = words.select("word").distinct()
+    // table to ~1 partition). dw dedups the ALREADY-deduped (doc_id,
+    // word) table, never the raw corpus.
+    val dw = dwc.select("word").distinct()
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("word"))
       .withColumn("toks", expr(mergeFoldExpr(
         "filter(split(word, ''), s -> s <> '')",
         merges.map(m => (m._2, m._3)))))
-    corpusTokenAggs(words, dw)
+    corpusTokenAggs(dwc, dw)
   }
 
-  /** The shared per-doc aggregate tail of the corpus tokenizers:
-    * `n_tokens` = Σ per-occurrence token counts (a broadcast dictionary
-    * join of the NARROW (word, n_toks) projection — the token arrays
-    * never ride the corpus join), `n_token_types` = |distinct doc syms|,
-    * computed DISTINCT-FIRST: dedup (doc_id, word) before fanning out to
-    * the vocab-sized (word, sym) pairs, then dedup (doc_id, sym). The
-    * previous form joined the full token ARRAY onto every corpus
-    * occurrence and exploded it — one array copy + explode per
-    * OCCURRENCE; measured 5.2 s of bpe_corpus_tokens_served's 5.9 s at
-    * sf0.1, vs corpus-linear dedup-then-fan-out here.
+  /** The shared per-doc aggregate tail of the corpus tokenizers, fed the
+    * deduped occurrence-count table `dwc(doc_id, word, c)` and the
+    * encoded dictionary `enc(word, toks)`.
+    *
+    * ONE dictionary join and ONE per-doc aggregation produce BOTH
+    * outputs: broadcast-join `enc` (projected to `n_toks` + distinct
+    * `syms` — the token arrays never ride a corpus-sized row) onto the
+    * distinct-(doc, word) table, then a single groupBy(doc_id) —
+    * `n_tokens` = Σ c·n_toks (exact: Σ_occurrences n_toks =
+    * Σ_(doc,word) c·n_toks), `n_token_types` = |array_distinct(flatten(
+    * collect_set(syms)))| (the per-doc union of the per-word distinct
+    * symbol sets; partial-aggregated state is bounded by the DOC's own
+    * vocabulary, never the corpus). No Generate: an earlier posexplode
+    * form let InferFiltersFromGenerate push `size(syms)>0 AND
+    * isnotnull(syms)` — with the whole per-word encode fold substituted
+    * in, twice — below the dictionary's distinct aggregate onto the
+    * per-occurrence corpus scan (measured 5× the row's cost at sf0.1).
+    *
+    * vs the r19 form it replaces: that one consumed the CORPUS-sized
+    * exploded word table in TWO subtrees (a per-occurrence n_tokens join
+    * + a distinct for the types path — two full corpus scans), evaluated
+    * `enc` — the expensive per-word fold — in both, fanned the types
+    * path out by (doc, sym) pairs through two more distinct shuffles,
+    * and joined the two per-doc aggregates at the end. Here the corpus
+    * is scanned once (the caller's groupBy(doc_id, word)
+    * partial-aggregates map-side before its only shuffle — and the
+    * caller's dictionary derives from the SAME aggregate, so
+    * ReuseExchange keeps it one physical scan), the dictionary fold runs
+    * in ONE subtree, and the final per-doc join is gone.
+    *
+    * The dictionary side is an EXPLICIT broadcast, not planner choice:
+    * it is distinct-word-sized (the language's vocabulary, not the
+    * corpus) — the same side the r19 plan already broadcast. Catalyst's
+    * size estimate for the post-aggregate dwc is wildly wrong and the
+    * static planner answered by broadcasting the CORPUS-derived side
+    * (BuildLeft; measured 3.5× slower), and a SHUFFLE_HASH hint instead
+    * re-shuffles dwc by hash(word) — catastrophically skewed on a small
+    * vocabulary. The broadcast keeps the corpus side shuffle-free at the
+    * join exactly as in r19.
     */
-  private def corpusTokenAggs(words: DataFrame, enc: DataFrame): DataFrame = {
-    val nTok = words
-      .join(enc.select(col("word"), size(col("toks")).cast("long").as("n_toks")),
-        Seq("word"))
-      .groupBy("doc_id").agg(sum("n_toks").as("n_tokens"))
-    val wordSyms = enc
-      .select(col("word"), explode(array_distinct(col("toks"))).as("sym"))
-    val types = words.select("doc_id", "word").distinct()
-      .join(wordSyms, Seq("word"))
-      .select("doc_id", "sym").distinct()
-      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_token_types"))
-    nTok.join(types, Seq("doc_id"))
+  private def corpusTokenAggs(dwc: DataFrame, enc: DataFrame): DataFrame =
+    dwc
+      .join(broadcast(enc.select(col("word"),
+        size(col("toks")).cast("long").as("n_toks"),
+        array_distinct(col("toks")).as("syms"))), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("n_toks")).as("n_tokens"),
+        size(array_distinct(flatten(collect_set(col("syms")))))
+          .cast("long").as("n_token_types"))
       .select(col("doc_id"), col("n_tokens"), col("n_token_types"))
       .orderBy("doc_id")
-  }
 
   // ------------------------------------------ WordPiece tokenizer
 
@@ -357,14 +381,17 @@ object TextOps {
     * replay (a merge sequence and longest-match can tokenize a word
     * differently; production encoders all ship the matcher). State =
     * (cursor, token_str, n); at the cursor, an inner descending-length
-    * fold finds the longest `vmap` piece, with a single-char fallback so
-    * unseen characters can never dead-end the scan.
+    * fold finds the longest piece present in `vmap` (an expression
+    * evaluating to a map keyed by piece — a column or a literal), with a
+    * single-char fallback so unseen characters can never dead-end the
+    * scan.
     */
-  private[graft] def greedyMatchExpr(maxL: Int): String = {
+  private[graft] def greedyMatchExpr(maxL: Int,
+      vmap: String = "vmap"): String = {
     val lstar = s"coalesce(aggregate(" +
       s"sequence(least($maxL, length(word) - acc.p + 1), 1, -1), " +
       "cast(null as int), (m, l) -> CASE WHEN m IS NOT NULL THEN m " +
-      "WHEN element_at(vmap, substring(word, acc.p, l)) IS NOT NULL THEN l " +
+      s"WHEN element_at($vmap, substring(word, acc.p, l)) IS NOT NULL THEN l " +
       "ELSE cast(null as int) END), 1)"
     val tok = s"substring(word, acc.p, $lstar)"
     s"""aggregate(
@@ -389,43 +416,41 @@ object TextOps {
   private[graft] def wordpieceApplyCorpus(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    // corpus-sized, so not pinned — see the bpeApplyCorpus words note
+    // corpus-sized, so not pinned — see the bpeApplyCorpus words note;
+    // one consumer: the (doc_id, word) occurrence-count aggregate
     val words = docs.select(col("doc_id"), explode(filter(
         split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
+    val dwc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     // explicit hash(word) spread: the greedy-match fold below is the
     // heavy per-row work, and AQE's byte-bound coalesce would funnel the
-    // few-MB distinct-word table (and so the fold) onto ~1 partition;
-    // hash(word) also pre-positions pm's groupBy and the enc join, which
-    // reuse this one exchange (the bpeApplyCorpus discipline)
-    val dw = words.select("word").distinct()
+    // few-MB distinct-word table (and so the fold) onto ~1 partition
+    val dw = dwc.select("word").distinct()
       .repartition(spark.sessionState.conf.numShufflePartitions, col("word"))
-    val chars = dw
+    // the encode vocabulary — the corpus's single-char alphabet plus the
+    // merge products — is MODEL-sized at ANY corpus size (≤26 [a-z]
+    // chars + one row per merge), so it is collected once and inlined as
+    // a LITERAL map in the greedy matcher: per-word segmentation becomes
+    // one join-free codegen'd fold. The previous form built a per-word
+    // piece-membership map distributed-side (substring explode +
+    // distinct + vocab join + map_from_entries + dictionary re-join —
+    // four exchanges), and that whole subtree evaluated TWICE under
+    // corpusTokenAggs' two consumers. Probing the full-vocab literal is
+    // equivalent to probing the per-word map: the matcher only ever
+    // probes substrings of the word itself. Literal safety: alphabet
+    // chars come from the [a-z]+ split; merge symbols are validated
+    // ^[a-z]+$ at the ModelStore trust boundary.
+    val alphabet = dw
       .select(explode(sequence(lit(1), length(col("word")))).as("p"), col("word"))
       .select(expr("substring(word, p, 1)").as("piece")).distinct()
-    val vocab = chars
-      .unionByName(merges.map { case (a, b) => a + b }.toDF("piece"))
-      .distinct()
-      .transform(graft.Tables.pin) // model-sized: alphabet + one row/merge
-    val maxL = vocab.agg(max(length(col("piece")))).head.getInt(0)
-    // per-word piece-membership map over the word's own substrings only
-    val subs = dw
-      .select(col("word"),
-        explode(sequence(lit(1), length(col("word")))).as("p"))
-      .select(col("word"), col("p"),
-        explode(sequence(lit(1),
-          least(lit(maxL), length(col("word")) - col("p") + 1))).as("l"))
-      .select(col("word"), expr("substring(word, p, l)").as("piece"))
-      .distinct()
-    val pm = subs.join(vocab, "piece")
-      .groupBy("word")
-      .agg(map_from_entries(collect_list(struct(col("piece"), lit(1))))
-        .as("vmap"))
-    val enc = dw.join(pm, "word")
-      .withColumn("seg", expr(greedyMatchExpr(maxL)))
+      .collect().map(_.getString(0))
+    val vocab = (alphabet ++ merges.map { case (a, b) => a + b }).distinct
+    val maxL = vocab.map(_.length).max
+    val vmapLit = vocab.sorted.map(p => s"'$p', 1").mkString("map(", ", ", ")")
+    val enc = dw
+      .withColumn("seg", expr(greedyMatchExpr(maxL, vmapLit)))
       .select(col("word"), split(col("seg.t"), "[|]").as("toks"))
-    corpusTokenAggs(words, enc)
+    corpusTokenAggs(dwc, enc)
   }
 
   /** Oracle CTE chain for [[wordpieceTrain]]: [[bpeOracleCtes]]'s round
@@ -648,22 +673,23 @@ object TextOps {
     * state is model-sized; the corpus is touched once building the word
     * table — the [[bpeTrain]] scale discipline.
     */
-  /** `FLOOR(1e6·ln(c/n))` as a SQL scalar with NO libm call, for the
-    * unigram lp quantization: the exponent comes from integer bit-length
-    * (`length(bin(n DIV c)) - 1`), the mantissa log from a fixed 9-term
-    * atanh series in plain IEEE `+ - * /` — every operation is
-    * correctly rounded and evaluated in the same order by Spark and
-    * DuckDB, so the two engines produce the SAME bits and the floor can
-    * never flip on a libm ulp (JVM `Math.log` and libm `log` are each
-    * only ~1-ulp accurate and may disagree; lp feeds the Viterbi argmax,
+  /** `FLOOR(1e6·ln(c/n))` as a DuckDB-dialect SQL scalar with NO libm
+    * call — the ORACLE twin of [[quantLnMicrosLocal]] (the Spark side
+    * computes lp driver-locally since the r19 trainer rewrite, so this
+    * only ever renders oracle SQL). The exponent comes from integer
+    * bit-length (`length(bin(n // c)) - 1`), the mantissa log from a
+    * fixed 9-term atanh series in plain IEEE `+ - * /` — every operation
+    * is correctly rounded and evaluated in the same order by the JVM
+    * loop and DuckDB, so the two engines produce the SAME bits and the
+    * floor can never flip on a libm ulp (lp feeds the Viterbi argmax,
     * which amplifies a 1-micro flip into a different segmentation).
     * Truncation error vs true ln is < 2e-4 micro (|t| ≤ 1/3 since the
     * reduced mantissa is in (1/2, 1]); requires `1 <= c <= n`.
     */
-  private[graft] def quantLnMicros(c: String, n: String, duck: Boolean): String = {
-    val q = if (duck) s"(($n) // ($c))" else s"(($n) DIV ($c))"
+  private[graft] def quantLnMicros(c: String, n: String): String = {
+    val q = s"(($n) // ($c))"
     val e = s"(length(bin($q)) - 1)"
-    val sh = if (duck) s"(($c) << $e)" else s"shiftleft(($c), $e)"
+    val sh = s"(($c) << $e)"
     val m = s"(CAST($sh AS DOUBLE) / CAST(($n) AS DOUBLE))"
     val t = s"(($m - 1.0) / ($m + 1.0))"
     val t2 = s"($t * $t)"
@@ -751,7 +777,7 @@ object TextOps {
        |      ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
        |    FROM cand WHERE length(piece) > 1) WHERE rk <= $mTop),
        |n0 AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM seed),
-       |v0 AS (SELECT piece, ${quantLnMicros("c", "nn", duck = true)} AS lp
+       |v0 AS (SELECT piece, ${quantLnMicros("c", "nn")} AS lp
        |  FROM seed CROSS JOIN n0),
        |p0(word, pos, score, n, toks) AS (
        |  SELECT word, 0, CAST(0 AS BIGINT), 0, '' FROM w
@@ -775,7 +801,7 @@ object TextOps {
        |n2 AS (SELECT CAST(SUM(usage) AS BIGINT) AS nn,
        |    CAST(COUNT(*) AS BIGINT) AS vv FROM pr),
        |v1 AS (SELECT piece, usage,
-       |    ${quantLnMicros("(usage + 1)", "(nn + vv)", duck = true)} AS lp
+       |    ${quantLnMicros("(usage + 1)", "(nn + vv)")} AS lp
        |  FROM pr CROSS JOIN n2),
        |p1(word, pos, score, n, toks) AS (
        |  SELECT word, 0, CAST(0 AS BIGINT), 0, '' FROM w

@@ -86,7 +86,17 @@ object ModelStore {
     spark.read.parquet(s"$dir/merges")
       .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_freq"))
       .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .map { r =>
+        // trust boundary: downstream encoders (mergeFoldExpr /
+        // greedyMatchExpr's literal vocab) interpolate these symbols into
+        // SQL literals under the [a-z]-only invariant of the trainers'
+        // word alphabet — enforce it HERE so a foreign or corrupted model
+        // dir fails loudly instead of becoming expression injection
+        val (l, rr) = (r.getString(1), r.getString(2))
+        require(l.matches("^[a-z]+$") && rr.matches("^[a-z]+$"),
+          s"merge symbols must be [a-z]+ (got '$l', '$rr' in $dir)")
+        (r.getInt(0), l, rr, r.getLong(3))
+      }
       .sortBy(_._1).toSeq
 
   /** Write a learned unigram-LM piece table `(piece, usage, lp)` — the
