@@ -190,6 +190,36 @@ object DevTime {
       }
       spark.stop(); return
     }
+    if (args.contains("cap")) {
+      // stage decomposition of exactJaccardPairs / dedup_jaccard_capped
+      // (r20: 2× slower at 32 cores than 8 on this host — which stage)
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      mat(docs.limit(1).toDF()) // warm
+      (1 to 2).foreach { i =>
+        val sh0raw = Dedup.explodedShingles(Tables.fanOut(docs), "doc_id",
+          Dedup.shingles3(col("text")))
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+        t(s"[$i] explode+hash (no pin)")(mat(sh0raw))
+        var sh0: org.apache.spark.sql.DataFrame = null
+        t(s"[$i] pin explode") { sh0 = graft.Tables.pin(sh0raw) }
+        val hot = sh0.groupBy("sh").count().filter(col("count") > 5).select("sh")
+        t(s"[$i] hot df agg")(mat(hot))
+        val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+        t(s"[$i] anti join")(mat(sh))
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+        val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        t(s"[$i] self join+agg")(mat(inter))
+        t(s"[$i] full registered row")(mat(
+          SparkEntry.queries("dedup_jaccard_capped")(spark, sfDir)))
+        t(s"[$i] minhash row")(mat(
+          SparkEntry.queries("dedup_minhash")(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
     if (args.contains("jacc")) {
       // stage decomposition of prefixFilteredJaccardPairs (r16 verdict's
       // dedup_ngram_jaccard watch item): which stage owns the ~2.9 s

@@ -83,7 +83,7 @@ object Dedup {
   private def withShingleCache(
       docs: DataFrame, id: String, shingles: Column)(
       f: DataFrame => DataFrame): DataFrame =
-    f(explodedShingles(Tables.fanOut(docs), id, shingles)
+    f(explodedShingles(Tables.fanOutBySize(docs), id, shingles)
       .select(col(id), xxhash64(col("sh")).as("sh"))
       .transform(graft.Tables.pin))
 
@@ -248,7 +248,7 @@ object Dedup {
     // shingle consumers below both exchange the same explode subtree on
     // hash(sh), so ReuseExchange computes the explode once, and the three
     // arr consumers share the post-join hash(id) exchange the same way.
-    val sh = explodedShingles(Tables.fanOut(docs), id, shingles)
+    val sh = explodedShingles(Tables.fanOutBySize(docs), id, shingles)
       .select(col(id), xxhash64(col("sh")).as("sh"))
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // Per-doc shingle array sorted by (global df, shingle) — ONE shuffle on
@@ -373,7 +373,7 @@ object Dedup {
     * LSH pipeline reads them ≥ 2×: signatures + verification sides).
     */
   private def hashedShingleArr(docs: DataFrame, id: String, shingles: Column): DataFrame =
-    Tables.fanOut(docs)
+    Tables.fanOutBySize(docs)
       .select(col(id), array_distinct(transform(shingles, s => xxhash64(s))).as("arr"))
       .filter(size(col("arr")) > 0)
       .transform(graft.Tables.pin)
