@@ -190,6 +190,139 @@ object DevTime {
       }
       spark.stop(); return
     }
+    if (args.contains("bask")) {
+      // basket_association_rules reuse check (r20 verdict item 8): if the
+      // three consumers of the deduped basket table really share one
+      // exchange, the full row should cost ~ one b-subtree + the pair
+      // fan-out, not 3× b
+      mat(Tables.lineitem(spark, sfDir).limit(1).toDF()) // warm
+      (1 to 2).foreach { i =>
+        val b = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        t(s"[$i] b distinct solo")(mat(b))
+        val pairsOnly = b.groupBy("ok")
+          .agg(array_sort(collect_list(col("pk"))).as("ps"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+              "y -> shiftleft(x, 32) + y)))")).as("pr"))
+          .groupBy("pr").agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 2)
+        t(s"[$i] pairs subtree")(mat(pairsOnly))
+        t(s"[$i] full registered row")(mat(
+          SparkEntry.queries("basket_association_rules")(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
+    if (args.contains("pr")) {
+      // graph_pagerank A/B at final HEAD (r20 verdict item 7): the code
+      // relies on AQE stage reuse across the 3 iteration subtrees instead
+      // of pinning (r18 A/B said pin is slower) — re-verify both arms
+      import org.apache.spark.sql.DataFrame
+      mat(Tables.orders(spark, sfDir).limit(1).toDF()) // warm
+      def build(pin: Boolean): DataFrame = {
+        val pairs = Tables.orders(spark, sfDir)
+          .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+        val edges0 = pairs
+          .select(explode(array(
+            struct(col("c").as("src"), (col("s") + 1000000L).as("dst")),
+            struct((col("s") + 1000000L).as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val edges = if (pin) graft.Tables.pin(edges0) else edges0
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        val nTot = nodes.agg(count(lit(1)).as("n"))
+        val edgesDeg0 = edges.join(deg, "src")
+        val edgesDeg = if (pin) graft.Tables.pin(edgesDeg0) else edgesDeg0
+        var r = nodes.crossJoin(broadcast(nTot))
+          .select(col("id"), expr("1000000000 DIV n").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edgesDeg
+            .join(r.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum(expr("r DIV outdeg")).as("s"))
+          r = nodes.crossJoin(broadcast(nTot))
+            .join(contrib, Seq("id"), "left")
+            .select(col("id"), (expr("150000000 DIV n")
+              + expr("(85 * COALESCE(s, 0)) DIV 100")).as("r"))
+        }
+        r.select(col("id"), col("r").as("rank_nanos"))
+          .orderBy(col("rank_nanos").desc, col("id")).limit(50)
+      }
+      (1 to 2).foreach { i =>
+        t(s"[$i] pagerank reuse (as shipped)")(mat(build(pin = false)))
+        t(s"[$i] pagerank pinned edgesDeg")(mat(build(pin = true)))
+        t(s"[$i] registered row")(mat(
+          SparkEntry.queries("graph_pagerank")(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
+    if (args.contains("svc")) {
+      // stream_view_click_left_join floor decomposition (r20 verdict
+      // item 6): watermark head job vs streaming machinery vs final sort
+      import graft.streaming.StreamingOps
+      mat(Tables.events(spark, sfDir).limit(1).toDF()) // warm
+      (1 to 3).foreach { i =>
+        t(s"[$i] wm head job") {
+          Tables.events(spark, sfDir)
+            .filter(col("event_type").isin("view", "click"))
+            .groupBy("event_type").agg(max(expr("ts_ns div 1000")).as("m"))
+            .agg(min(col("m")).as("wm")).head().getLong(0)
+        }
+        t(s"[$i] raw stream (stage+run)")(mat(
+          StreamingOps.viewClickLeftOuterJoinRaw(spark, sfDir).toDF()))
+        t(s"[$i] full registered row")(mat(
+          SparkEntry.queries("stream_view_click_left_join")(spark, sfDir)))
+        t(s"[$i] inner-join row (ref)")(mat(
+          SparkEntry.queries("stream_view_click_join")(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
+    if (args.contains("cat")) {
+      // catalog_sql_dml lifecycle decomposition (r20 verdict item 4):
+      // which statement owns the wall-clock, and how much is write jobs
+      import graft.sources.{Catalog, CatalogSql, GraftSql}
+      mat(Tables.documents(spark, sfDir).limit(1).toDF()) // warm
+      (1 to 2).foreach { i =>
+        GraftSql.registerFixtures(spark, sfDir)
+        val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+        val cat = new Catalog(spark, wh)
+        def x(label: String, q: String) =
+          t(s"[$i] $label")(CatalogSql.exec(spark, cat, q))
+        x("ctas", """CREATE TABLE docs_sql AS
+          |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin)
+        x("alter", "ALTER TABLE docs_sql ADD COLUMN tag STRING DEFAULT 'base'")
+        x("merge", """MERGE INTO docs_sql USING (
+          |  SELECT doc_id, text, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+          |         'merged' AS tag
+          |  FROM documents WHERE doc_id % 7 = 3) src
+          |ON docs_sql.doc_id = src.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        x("delete", "DELETE FROM docs_sql WHERE doc_id % 5 = 0")
+        x("insert", """INSERT INTO docs_sql
+          |SELECT CAST(doc_id + 10000000 AS BIGINT) AS doc_id, text, lang,
+          |       CAST(n_chars AS BIGINT) AS n_chars, 'fresh' AS tag
+          |FROM documents WHERE doc_id % 11 = 5""".stripMargin)
+        t(s"[$i] select+mat")(mat(CatalogSql.exec(spark, cat,
+          """SELECT lang, tag, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+            |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+            |FROM docs_sql GROUP BY lang, tag ORDER BY lang, tag""".stripMargin)))
+        t(s"[$i] full registered row")(mat(
+          SparkEntry.queries("catalog_sql_dml")(spark, sfDir)))
+        val nf = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+          .filter(p => p.toString.endsWith(".parquet")).count()
+        println(s"[$i] parquet files in warehouse: $nf")
+      }
+      spark.stop(); return
+    }
     if (args.contains("cap")) {
       // stage decomposition of exactJaccardPairs / dedup_jaccard_capped
       // (r20: 2× slower at 32 cores than 8 on this host — which stage)

@@ -20,11 +20,17 @@ object ExplainProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // "exec" as a third arg: materialize first (noop sink) and print the
+    // POST-EXECUTION adaptive plan — the only place AQE decisions
+    // (ReusedExchange, AQEShuffleRead coalescing, runtime join swaps)
+    // are visible; the default pre-execution dump shows isFinalPlan=false
+    val execMode = args.length > 2 && args(2) == "exec"
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
       println(s"==== $n ====")
-      println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (execMode) df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }
